@@ -1,13 +1,476 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.checks.Checks
+import graft.engine.{Drift, Stats, Validator}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.sources.TranscriptGen
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Two query families:
+  *  - `q*` — oracle-checked operators over the driver's read-only testdata
+  *    parquet tables; every entry has a DuckDB-equivalent `oracleSql` whose
+  *    column names/types match the Spark result exactly. Doubles that
+  *    accumulate over many rows go through exact DECIMAL sums (or are
+  *    rounded) so both engines agree bit-for-bit.
+  *  - `t*` — the transcript validation engine itself on the deterministic
+  *    synthetic transcript table (FIXTURES.md §A; `north_rule` forbids
+  *    external data, and xxhash64-based results are not expressible in
+  *    DuckDB) — registered rows-only; their correctness gate is the
+  *    ScalaTest suite (planted-violation counts, golden files).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Small fixed synthetic transcript config for t* entries. */
+  private val tCfg = TranscriptGen.Config(nConvs = 2000L)
+
+  /** Exact double sum via DECIMAL(18,2) accumulation (order-independent),
+    * surfaced back as a rounded double — matches
+    * `round(CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE), 2)` in DuckDB.
+    */
+  private def exactSum2(c: Column): Column =
+    round(sum(c.cast("decimal(18,2)")).cast("double"), 2)
+
+  /** Flagship: full transcript validation (row + window + dedup + referential
+    * checks) on the synthetic table; planted violations guarantee rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val turns = TranscriptGen.transcripts(spark, tCfg)
+    val convs = TranscriptGen.conversations(spark, tCfg)
+    Validator.allViolations(turns, Some(convs))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- constraint checks replayed on oracle-checkable tables ----
+    "q01_required_nonempty" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("text").isNull || col("text") === "", 1L).otherwise(0L))
+            .as("n_missing_text"),
+          sum(when(col("lang").isNull || col("lang") === "", 1L).otherwise(0L))
+            .as("n_missing_lang"))
+    }),
+    "q02_enum_member" -> ((s, dir) => {
+      val allowed = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          when(col("event_type").isin(allowed: _*), lit("valid"))
+            .otherwise(lit("invalid")).as("status"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q03_format_regex" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"),
+          when(col("lang").rlike("^[a-z]{2}$"), lit("valid"))
+            .otherwise(lit("invalid")).as("status"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q04_json_format" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          when(col("props").rlike("^\\{\"k\": \\d+\\}$"), lit("valid"))
+            .otherwise(lit("invalid")).as("status"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q05_length_crossfield" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(length(col("text")) =!= col("n_chars"), 1L).otherwise(0L))
+            .as("n_crossfield_bad"),
+          sum(when(length(col("text")) > 2000, 1L).otherwise(0L))
+            .as("n_too_long"))
+    }),
+    "q06_range_check" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("value") <= 0, 1L).otherwise(0L)).as("n_nonpositive"),
+          round(min(col("value")), 4).as("min_value"),
+          round(max(col("value")), 4).as("max_value"))
+    }),
+    "q07_verdict" -> ((s, dir) => {
+      // per-group pass/fail verdict: valid iff zero issues across all rules
+      // (reference verification.py:241 semantics, grouped by source)
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(
+            col("text").isNull || col("text") === "" ||
+              length(col("text")) =!= col("n_chars") ||
+              !col("lang").rlike("^[a-z]{2}$"), 1L).otherwise(0L))
+            .as("n_violations"))
+        .select(col("source"), col("n_rows"), col("n_violations"),
+          when(col("n_violations") === 0, lit("valid")).otherwise(lit("invalid"))
+            .as("status"))
+    }),
+    "q08_unique_key" -> ((s, dir) => {
+      val dupEvents = t(s, dir, "events").groupBy("event_id")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(count(lit(1)).as("n_dup_event_ids"))
+      val dupLi = t(s, dir, "lineitem").groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(count(lit(1)).as("n_dup_lineitem_keys"))
+      dupEvents.crossJoin(dupLi)
+    }),
+    "q09_referential" -> ((s, dir) => {
+      val orphanOrders = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer").select("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_orders"))
+      val orphanLi = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_lineitems"))
+      orphanOrders.crossJoin(orphanLi)
+    }),
+    "q10_window_order" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      t(s, dir, "events")
+        .select(col("ts"), lag("ts", 1).over(w).as("prev_ts"))
+        .agg(sum(when(col("prev_ts") > col("ts"), 1L).otherwise(0L))
+          .as("n_out_of_order"))
+    }),
+    "q11_contiguity" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(max("l_linenumber").as("mx"), count(lit(1)).as("c"),
+          min("l_linenumber").as("mn"))
+        .filter(col("mx") =!= col("c") || col("mn") =!= 1)
+        .agg(count(lit(1)).as("n_noncontiguous"))
+    }),
+    "q12_col_stats" -> ((s, dir) => {
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("text")).as("n_text"),
+        countDistinct(col("lang")).as("n_lang"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+    }),
+    "q13_drift_chisq" -> ((s, dir) => {
+      val byDay = t(s, dir, "events")
+        .select(to_date(col("ts")).as("part_key"), col("event_type"))
+        .withColumnRenamed("part_key", "part_id")
+      Drift.chiSquare(byDay, "event_type")
+        .select(col("part_id").as("part_key"), round(col("chi2"), 4).as("chi2"),
+          col("n"))
+    }),
+    "q14_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), exactSum2(col("o_totalprice")).as("total"))
+        .orderBy(col("total").desc, col("o_custkey"))
+        .limit(10)
+    }),
+    "q15_tpch_q1" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          exactSum2(col("l_extendedprice")).as("sum_base_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q16_join_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum2(col("o_totalprice")).as("revenue"))
+    }),
+    "q17_multi_join" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_lines"),
+          exactSum2(col("l_extendedprice")).as("volume"))
+    }),
+    // ---- training-data pipeline operators ----
+    "q18_dedup_exact_summary" -> ((s, dir) => {
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(coalesce(col("text"), lit("")))).as("n_unique_texts"))
+    }),
+    "q19_dedup_exact_groups" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
+        .filter(col("n") > 1)
+    }),
+    "q20_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          count(lit(1)).as("n_docs"))
+    }),
+    "q21_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"), TextOps.langId(col("text")).as("predicted"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q22_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(round(avg(TextOps.qualityScore(col("text"))), 4).as("avg_quality"),
+          count(lit(1)).as("n_docs"))
+    }),
+    "q23_embedding_integrity" -> ((s, dir) => {
+      t(s, dir, "embeddings").agg(
+        count(lit(1)).as("n_vecs"),
+        min(size(col("embedding"))).cast("long").as("min_dim"),
+        max(size(col("embedding"))).cast("long").as("max_dim"),
+        countDistinct(col("label")).as("n_labels"))
+    }),
+    "q24_ann_brute_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 5)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"),
+          col("rank"))
+    }),
+    // ---- rows-only entries (xxhash64 / engine-internal — no DuckDB twin) ----
+    "t01_violations" -> ((s, _) => entry(s)),
+    "t02_verdicts" -> ((s, _) => {
+      val turns = TranscriptGen.transcripts(s, tCfg)
+      Validator.verdicts(turns, Validator.allViolations(
+        turns, Some(TranscriptGen.conversations(s, tCfg))))
+    }),
+    "t03_col_stats" -> ((s, _) =>
+      Stats.colStats(TranscriptGen.transcripts(s, tCfg))),
+    "t04_dup_keys" -> ((s, _) =>
+      Validator.dupViolations(TranscriptGen.transcripts(s, tCfg))),
+    "t05_orphans" -> ((s, _) => {
+      Validator.orphanViolations(
+        TranscriptGen.transcripts(s, tCfg),
+        TranscriptGen.conversations(s, tCfg))
+    }),
+    "t06_drift" -> ((s, _) =>
+      Drift.chiSquare(TranscriptGen.transcripts(s, tCfg), "role")),
+    "t07_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.5)),
+    "t08_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 8)),
+    "t09_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 3), k = 5)
+    }),
+    "t10_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("fp")).as("n_distinct_fp"))),
+    "t11_multimodal_features" -> ((s, dir) =>
+      Multimodal.featureTable(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("vec_id"), col("kind"), col("meta.byte_len").as("byte_len"),
+          size(col("embedding")).as("dim"), size(col("frames")).as("n_frames")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_required_nonempty" ->
+      """SELECT source,
+        | count(*) AS n_rows,
+        | CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_text,
+        | CAST(sum(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_lang
+        |FROM documents GROUP BY source""".stripMargin,
+    "q02_enum_member" ->
+      """SELECT event_type,
+        | CASE WHEN event_type IN ('click','error','purchase','signup','view')
+        |      THEN 'valid' ELSE 'invalid' END AS status,
+        | count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q03_format_regex" ->
+      """SELECT lang,
+        | CASE WHEN regexp_full_match(lang, '[a-z]{2}') THEN 'valid' ELSE 'invalid' END AS status,
+        | count(*) AS n
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q04_json_format" ->
+      """SELECT CASE WHEN regexp_full_match(props, '\{"k": \d+\}') THEN 'valid' ELSE 'invalid' END AS status,
+        | count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q05_length_crossfield" ->
+      """SELECT source,
+        | count(*) AS n_rows,
+        | CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_crossfield_bad,
+        | CAST(sum(CASE WHEN length(text) > 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_too_long
+        |FROM documents GROUP BY source""".stripMargin,
+    "q06_range_check" ->
+      """SELECT event_type,
+        | count(*) AS n,
+        | CAST(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpositive,
+        | round(min(value), 4) AS min_value,
+        | round(max(value), 4) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q07_verdict" ->
+      """SELECT source, count(*) AS n_rows,
+        | CAST(sum(CASE WHEN text IS NULL OR text = '' OR length(text) <> n_chars
+        |          OR NOT regexp_full_match(lang, '[a-z]{2}') THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        | CASE WHEN sum(CASE WHEN text IS NULL OR text = '' OR length(text) <> n_chars
+        |          OR NOT regexp_full_match(lang, '[a-z]{2}') THEN 1 ELSE 0 END) = 0
+        |      THEN 'valid' ELSE 'invalid' END AS status
+        |FROM documents GROUP BY source""".stripMargin,
+    "q08_unique_key" ->
+      """SELECT
+        | (SELECT count(*) FROM (SELECT event_id FROM events GROUP BY event_id HAVING count(*) > 1) a) AS n_dup_event_ids,
+        | (SELECT count(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1) b) AS n_dup_lineitem_keys""".stripMargin,
+    "q09_referential" ->
+      """SELECT
+        | (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_orphan_orders,
+        | (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphan_lineitems""".stripMargin,
+    "q10_window_order" ->
+      """SELECT CAST(sum(CASE WHEN prev_ts > ts THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order
+        |FROM (SELECT ts, lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts FROM events) t""".stripMargin,
+    "q11_contiguity" ->
+      """SELECT count(*) AS n_noncontiguous FROM (
+        | SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        | HAVING max(l_linenumber) <> count(*) OR min(l_linenumber) <> 1) t""".stripMargin,
+    "q12_col_stats" ->
+      """SELECT count(*) AS n_rows, CAST(count(text) AS BIGINT) AS n_text,
+        | count(DISTINCT lang) AS n_lang,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        | round(avg(n_chars), 4) AS avg_chars
+        |FROM documents""".stripMargin,
+    "q13_drift_chisq" ->
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS part_key, event_type AS cat, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        | p AS (SELECT part_key, CAST(sum(o) AS DOUBLE) AS r FROM c GROUP BY 1),
+        | k AS (SELECT cat, CAST(sum(o) AS DOUBLE) AS cc FROM c GROUP BY 1),
+        | g AS (SELECT CAST(sum(o) AS DOUBLE) AS gg FROM c)
+        |SELECT p.part_key,
+        | round(sum(power(COALESCE(c.o, 0) - p.r * k.cc / g.gg, 2) / (p.r * k.cc / g.gg)), 4) AS chi2,
+        | CAST(max(p.r) AS BIGINT) AS n
+        |FROM p CROSS JOIN k CROSS JOIN g
+        | LEFT JOIN c ON c.part_key = p.part_key AND c.cat = k.cat
+        |GROUP BY p.part_key""".stripMargin,
+    "q14_topk" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY total DESC, o_custkey LIMIT 10""".stripMargin,
+    "q15_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q16_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q17_multi_join" ->
+      """SELECT r_name, count(*) AS n_lines,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS volume
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q18_dedup_exact_summary" ->
+      """SELECT count(*) AS n_docs,
+        | count(DISTINCT md5(COALESCE(text, ''))) AS n_unique_texts
+        |FROM documents""".stripMargin,
+    "q19_dedup_exact_groups" ->
+      """SELECT md5(COALESCE(text, '')) AS content_hash, count(*) AS n,
+        | min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "q20_token_count" ->
+      """SELECT lang,
+        | CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |     ELSE length(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q21_lang_id" -> LangIdSql.sql,
+    "q22_quality_score" -> QualitySql.sql,
+    "q23_embedding_integrity" ->
+      """SELECT count(*) AS n_vecs,
+        | CAST(min(len(embedding)) AS BIGINT) AS min_dim,
+        | CAST(max(len(embedding)) AS BIGINT) AS max_dim,
+        | count(DISTINCT label) AS n_labels
+        |FROM embeddings""".stripMargin,
+    "q24_ann_brute_topk" ->
+      """SELECT query_id, vec_id, round(c, 4) AS cos, rank FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS c,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+        |             e.vec_id) AS INT) AS rank
+        | FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+        | WHERE e.vec_id <> q.vec_id) s
+        |WHERE rank <= 5""".stripMargin
+  )
+}
+
+/** DuckDB twin of [[graft.ops.TextOps.langId]] — kept in its own object so
+  * the CASE chain mirrors the Scala fold order (later languages win ties:
+  * fr > es > en > de, "und" when no stopword fires).
+  */
+private object LangIdSql {
+  private def score(lang: String): String = {
+    val ws = graft.ops.TextOps.stopwords(lang)
+    ws.map(w =>
+      s"CAST((length(pt) - length(replace(pt, '$w', ''))) / ${w.length} AS BIGINT)")
+      .mkString(" + ")
+  }
+  val sql: String =
+    s"""WITH scored AS (
+       | SELECT lang,
+       |  ${score("de")} AS s_de, ${score("en")} AS s_en,
+       |  ${score("es")} AS s_es, ${score("fr")} AS s_fr
+       | FROM (SELECT lang, ' ' || lower(COALESCE(text, '')) || ' ' AS pt FROM documents) d),
+       |pred AS (
+       | SELECT lang,
+       |  CASE
+       |   WHEN s_fr > 0 AND s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es THEN 'fr'
+       |   WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_en AND s_es >= s_fr THEN 'es'
+       |   WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |   WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |   ELSE 'und' END AS predicted
+       | FROM scored)
+       |SELECT lang, predicted, count(*) AS n FROM pred GROUP BY 1, 2""".stripMargin
+}
+
+/** DuckDB twin of [[graft.ops.TextOps.qualityScore]]. */
+private object QualitySql {
+  val sql: String =
+    """WITH f AS (
+      | SELECT lang,
+      |  CAST(length(t) AS DOUBLE) AS len,
+      |  CAST(CASE WHEN trim(t) = '' THEN 0
+      |       ELSE length(regexp_split_to_array(trim(t), '\s+')) END AS DOUBLE) AS ntok,
+      |  CAST(length(list_distinct(regexp_split_to_array(trim(t), '\s+'))) AS DOUBLE) AS ndtok,
+      |  CAST(length(regexp_replace(t, '[^\p{L}]', '', 'g')) AS DOUBLE) AS nalpha
+      | FROM (SELECT lang, COALESCE(text, '') AS t FROM documents) d),
+      |q AS (
+      | SELECT lang,
+      |  round(
+      |   (CASE WHEN len >= 20 AND len <= 10000 THEN 1.0 WHEN len > 0 THEN 0.5 ELSE 0.0 END) * 0.3
+      |   + (nalpha / greatest(len, 1.0)) * 0.3
+      |   + (CASE WHEN len / greatest(ntok, 1.0) >= 2 AND len / greatest(ntok, 1.0) <= 12
+      |      THEN 1.0 ELSE 0.4 END) * 0.2
+      |   + least(ndtok / greatest(ntok, 1.0) * 2, 1.0) * 0.2, 4) AS quality
+      | FROM f)
+      |SELECT lang, round(avg(quality), 4) AS avg_quality, count(*) AS n_docs
+      |FROM q GROUP BY lang""".stripMargin
 }

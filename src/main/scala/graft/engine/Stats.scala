@@ -1,0 +1,64 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TDigestQuantiles.tdigestQuantiles
+
+/** Single-pass wide column-stats aggregate (SURVEY.md §2.5 engine row):
+  * one `agg(...)` → one scan → one shuffle-free partial+final aggregation:
+  * count, null rate, min/max, HLL++ distinct (`approx_count_distinct`), and
+  * t-digest quantiles (p50/p90/p99) on a numeric proxy per column (value for
+  * numerics/timestamps, `length` for strings). The single-row result is then
+  * reshaped to one `ColStats` row per column — driver-side trivial.
+  */
+object Stats {
+
+  val defaultPercentiles: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  /** Numeric proxy used for quantile sketching of non-numeric columns. */
+  private def proxy(df: DataFrame, c: String): Option[Column] =
+    df.schema(c).dataType.typeName match {
+      case "integer" | "long" | "double" | "float" | "short" =>
+        Some(col(c).cast("double"))
+      case "timestamp" => Some(unix_timestamp(col(c)).cast("double"))
+      case "string"    => Some(length(col(c)).cast("double"))
+      case _           => None
+    }
+
+  def colStats(
+      df: DataFrame,
+      columns: Seq[String] = Nil,
+      percentiles: Seq[Double] = defaultPercentiles): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val base = Seq(
+        count(col(c)).as(s"${c}__n_nonnull"),
+        avg(col(c).isNull.cast("double")).as(s"${c}__null_rate"),
+        approx_count_distinct(col(c)).as(s"${c}__n_distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+      val td = proxy(df, c).map(p =>
+        tdigestQuantiles(p, percentiles).as(s"${c}__q"))
+      base ++ td
+    } :+ count(lit(1)).as("__n_rows")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+
+    val perCol = cols.map { c =>
+      val q =
+        if (proxy(df, c).isDefined) col(s"${c}__q")
+        else lit(null).cast("array<double>")
+      struct(
+        lit(c).as("column"),
+        col("__n_rows").as("n"),
+        col(s"${c}__null_rate").as("null_rate"),
+        col(s"${c}__n_distinct").as("n_distinct_approx"),
+        col(s"${c}__min").as("min"),
+        col(s"${c}__max").as("max"),
+        q.as("q_tdigest"))
+    }
+    wide
+      .select(explode(array(perCol: _*)).as("s"))
+      .select(col("s.*"))
+  }
+}

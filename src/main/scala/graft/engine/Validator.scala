@@ -1,0 +1,180 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.checks.{Check, Checks}
+
+/** The distributed replay of the reference's soft-path validator
+  * (`Verification.run`, reference `src/core/verification.py:15-28`): collect
+  * typed violations per turn, never throw; verdict per partition is
+  * `"valid"` iff zero issues (`verification.py:241`). The strict mode of the
+  * reference (pydantic constructor throws, `models.py:184-266` via
+  * `api.py:32`) maps to `failFast`, which raises on the first violation.
+  */
+object Validator {
+
+  val violationCols: Seq[String] =
+    Seq("conv_id", "turn_idx", "part_id", "rule_id", "field", "message", "text")
+
+  /** Per-row checks compiled to one projection + explode. Whole-stage
+    * codegen'd; reads only the columns the catalog references (Catalyst
+    * prunes the rest through the scan).
+    */
+  def rowViolations(
+      turns: DataFrame,
+      checks: Seq[Check] = Checks.transcriptChecks): DataFrame = {
+    turns
+      .select(
+        col("conv_id"), col("turn_idx"), col("part_id"), col("text"),
+        explode(Checks.violationsArray(checks)).as("v"))
+      .select(
+        col("conv_id"), col("turn_idx"), col("part_id"),
+        col("v.rule_id").as("rule_id"),
+        col("v.field").as("field"),
+        col("v.message").as("message"),
+        col("text"))
+  }
+
+  /** Conversation-level cross-row checks (SURVEY.md §2.6): timestamp
+    * monotonicity via `lag(ts)` over `(conv_id ordered by turn_idx)`. One
+    * shuffle on conv_id; clean rows are generated monotonic so every firing
+    * is a planted TS_ORDER row.
+    */
+  def tsOrderViolations(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    turns
+      .select(col("conv_id"), col("turn_idx"), col("part_id"), col("text"),
+        col("ts"), lag("ts", 1).over(w).as("prev_ts"))
+      .filter(col("prev_ts").isNotNull && col("prev_ts") > col("ts"))
+      .select(
+        col("conv_id"), col("turn_idx"), col("part_id"),
+        lit("TS_ORDER_ts").as("rule_id"),
+        lit("ts").as("field"),
+        format_string("Non-monotonic ts in conv %s at turn %d: %s < %s",
+          col("conv_id"), col("turn_idx"),
+          col("ts").cast("string"), col("prev_ts").cast("string")).as("message"),
+        col("text"))
+  }
+
+  /** `(conv_id, turn_idx)` uniqueness via explicit two-phase *salted* hash
+    * aggregate (SURVEY.md §2.5): phase 1 groups by (key, salt) so a hot
+    * conversation's rows spread over `saltFactor` reducers; phase 2 re-groups
+    * by key alone on the (already tiny) per-salt partial counts. The salt is
+    * derived from row content, not rand() — deterministic under retry.
+    * The single-root/exactly-one analog of reference `models.py:284-290`.
+    */
+  def dupViolations(turns: DataFrame, saltFactor: Int = 16): DataFrame = {
+    val salted = turns
+      .groupBy(
+        col("conv_id"), col("turn_idx"),
+        pmod(xxhash64(col("role"), col("text"), col("ts")), lit(saltFactor))
+          .as("salt"))
+      .agg(
+        count(lit(1)).as("c"),
+        min("part_id").as("part_id"),
+        min("text").as("text"))
+    salted
+      .groupBy(col("conv_id"), col("turn_idx"))
+      .agg(
+        sum("c").as("n"),
+        min("part_id").as("part_id"),
+        min("text").as("text"))
+      .filter(col("n") > 1)
+      .select(
+        col("conv_id"), col("turn_idx"), col("part_id"),
+        lit("DUPLICATE_KEY").as("rule_id"),
+        lit("conv_id,turn_idx").as("field"),
+        format_string("%d duplicate rows for key (conv_id, turn_idx)=(%s, %d)",
+          col("n"), col("conv_id"), col("turn_idx")).as("message"),
+        col("text"))
+  }
+
+  /** Referential integrity of `conv_id` against the conversations dim — the
+    * engine surfaces what the reference silently drops (dangling `@id` refs,
+    * `models.py:246`). Join strategy chosen from table stats: broadcast the
+    * dim when its optimizer-estimated size fits under the threshold, else let
+    * the planner pick SMJ/shuffled-hash (SURVEY.md §2.4).
+    */
+  def orphanViolations(
+      turns: DataFrame,
+      conversations: DataFrame,
+      broadcastThresholdBytes: Long = 64L << 20): DataFrame = {
+    val dimKeys = conversations.select("conv_id")
+    val dimSize = dimKeys.queryExecution.optimizedPlan.stats.sizeInBytes
+    val dim =
+      if (dimSize <= broadcastThresholdBytes) broadcast(dimKeys) else dimKeys
+    turns
+      .join(dim, Seq("conv_id"), "left_anti")
+      .select(
+        col("conv_id"), col("turn_idx"), col("part_id"),
+        lit("ORPHAN_CONV").as("rule_id"),
+        lit("conv_id").as("field"),
+        format_string("Dangling conv_id reference: %s", col("conv_id"))
+          .as("message"),
+        col("text"))
+  }
+
+  /** Soft checks — the engine's deterministic stand-in for the reference's
+    * warning channel (URL reachability, `verification.py:152-173`, is
+    * network I/O and excluded; the issue/warning two-channel split is kept).
+    */
+  def warnings(turns: DataFrame): DataFrame = {
+    turns
+      .filter(col("text").isNotNull && length(col("text")) > 1000 &&
+        length(col("text")) <= 2000)
+      .select(
+        col("conv_id"), col("turn_idx"), col("part_id"),
+        lit("SOFT_LENGTH_text").as("rule_id"),
+        lit("text").as("field"),
+        concat(lit("Long text (soft cap 1000): length "),
+          length(col("text")).cast("string")).as("message"),
+        col("text"))
+  }
+
+  /** Full violations table: per-row ∪ window ∪ dedup ∪ referential, in the
+    * stable `(conv_id, turn_idx)` sort-within-partitions output ordering
+    * mandated by the north star (no global sort — no extra shuffle).
+    */
+  def allViolations(
+      turns: DataFrame,
+      conversations: Option[DataFrame] = None,
+      checks: Seq[Check] = Checks.transcriptChecks,
+      saltFactor: Int = 16): DataFrame = {
+    val base = rowViolations(turns, checks)
+      .unionByName(tsOrderViolations(turns))
+      .unionByName(dupViolations(turns, saltFactor))
+    val all = conversations match {
+      case Some(dim) => base.unionByName(orphanViolations(turns, dim))
+      case None      => base
+    }
+    all.sortWithinPartitions("conv_id", "turn_idx")
+  }
+
+  /** Per-partition verdicts (reference `as_dict`, `verification.py:239-245`):
+    * status "valid" iff zero issues; warnings counted separately and never
+    * flip the verdict (reference: warnings don't enter `self.issues`).
+    */
+  def verdicts(
+      turns: DataFrame,
+      violations: DataFrame,
+      warningsDf: Option[DataFrame] = None): DataFrame = {
+    val rows = turns.groupBy("part_id").agg(count(lit(1)).as("n_rows"))
+    val viol = violations.groupBy("part_id").agg(count(lit(1)).as("n_violations"))
+    val warn = warningsDf
+      .getOrElse(warnings(turns))
+      .groupBy("part_id")
+      .agg(count(lit(1)).as("n_warnings"))
+    rows
+      .join(viol, Seq("part_id"), "left_outer")
+      .join(warn, Seq("part_id"), "left_outer")
+      .select(
+        col("part_id"),
+        when(coalesce(col("n_violations"), lit(0L)) === 0, lit("valid"))
+          .otherwise(lit("invalid")).as("status"),
+        col("n_rows"),
+        coalesce(col("n_violations"), lit(0L)).as("n_violations"),
+        coalesce(col("n_warnings"), lit(0L)).as("n_warnings"))
+  }
+}

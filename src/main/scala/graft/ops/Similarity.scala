@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, and a deterministic
+  * random-hyperplane LSH bucketed variant as the scale path (candidates come
+  * from an equi-join on bucket key — O(n/2^bits) per query instead of O(n)).
+  * Vector math is `zip_with` + `aggregate` folds in double precision —
+  * built-in, codegen-friendly, no UDF, no MLlib.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = l2norm(a) * l2norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact brute-force top-k: broadcast the (small) query set against the
+    * full embedding table, rank per query. The join is broadcast-nested-loop
+    * by construction (no key) — correct baseline; `annTopK` is the scale
+    * path. Deterministic tie-break on vec_id.
+    */
+  def bruteForceTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+    val scored = e
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed, driver-side
+    * constants — tiny, broadcast as literals).
+    */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-of-projection LSH bucket key: bit j set iff dot(v, plane_j) > 0. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(vec, typedlit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: both sides bucketed on the same
+    * hyperplanes; candidates are the query's bucket only (single-probe;
+    * recall rises with fewer bits or multiprobe — documented tradeoff).
+    * Shuffle is an equi-join on the bucket key instead of a cross join.
+    */
+  def annTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      nBits: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(dim, nBits)
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: LSH-bucket self-join then exact cosine
+    * verify — the embedding-space member of the dedup family.
+    */
+  def cosineNearDupPairs(
+      embeddings: DataFrame,
+      threshold: Double = 0.95,
+      nBits: Int = 8,
+      dim: Int = 64,
+      maxBucket: Int = 2000): DataFrame = {
+    val planes = hyperplanes(dim, nBits)
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val buckets = e
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("vec_id"), col("v"))).as("docs"),
+        count(lit(1)).as("bn"))
+      .filter(col("bn") > 1 && col("bn") <= maxBucket)
+    buckets
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, all pure
+  * built-in `Column` expressions (codegen'd, no UDFs): token counting,
+  * language-ID heuristic, quality scoring, document fingerprinting.
+  * Each has a `SparkEntry.queries` entry with a DuckDB oracle where the
+  * function set is SQL-portable (see SparkEntry.oracleSql).
+  */
+object TextOps {
+
+  /** Whitespace token count; empty/null-safe (0 for empty). */
+  def tokenCount(c: Column): Column =
+    when(c.isNull || length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** Occurrences of `needle` in `c` via the length-difference trick — the
+    * only portable pure-SQL substring counter (no regexp dialect issues).
+    */
+  def countOccurrences(c: Column, needle: String): Column =
+    ((length(c) - length(replace(c, lit(needle), lit("")))) / needle.length)
+      .cast("long")
+
+  /** N-gram stopword-ratio language-ID heuristic: score per language =
+    * stopword hits per token; argmax wins, "und" (undetermined) when no
+    * stopword fires. Deterministic and cheap — one pass over `text`.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "de" -> Seq(" der ", " und ", " die ", " ist "),
+    "fr" -> Seq(" le ", " la ", " et ", " est "),
+    "es" -> Seq(" el ", " los ", " y ", " es "))
+
+  def langScores(c: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), lower(coalesce(c, lit(""))), lit(" "))
+    stopwords.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      lang -> ws.map(w => countOccurrences(padded, w)).reduce(_ + _)
+    }
+  }
+
+  def langId(c: Column): Column = {
+    val scores = langScores(c)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1]: blends length band, alpha ratio, mean token
+    * length band, and repetition (distinct-token ratio). The heuristic-scoring
+    * analog of the reference's format checks — same compile-to-predicate
+    * architecture, scalar-valued.
+    */
+  def qualityScore(c: Column): Column = {
+    val t = coalesce(c, lit(""))
+    val len = length(t).cast("double")
+    val nTok = tokenCount(t).cast("double")
+    val alpha =
+      length(regexp_replace(t, "[^\\p{L}]", "")).cast("double") /
+        greatest(len, lit(1.0))
+    val meanTokLen = len / greatest(nTok, lit(1.0))
+    val lenBand = when(len >= 20 && len <= 10000, lit(1.0))
+      .when(len > 0, lit(0.5)).otherwise(lit(0.0))
+    val tokBand = when(meanTokLen >= 2 && meanTokLen <= 12, lit(1.0))
+      .otherwise(lit(0.4))
+    val distinctRatio =
+      size(array_distinct(split(trim(t), "\\s+"))).cast("double") /
+        greatest(nTok, lit(1.0))
+    round(
+      lenBand * 0.3 + alpha * 0.3 + tokBand * 0.2 +
+        least(distinctRatio * 2, lit(1.0)) * 0.2, 4)
+  }
+
+  /** 64-bit document fingerprint over whitespace-normalized lowercase text.
+    * xxhash64 — content-defined identity for exact-dup detection at scale
+    * (hash-compare instead of byte-compare in the first pass).
+    */
+  def fingerprint(c: Column): Column =
+    xxhash64(lower(regexp_replace(coalesce(c, lit("")), "\\s+", " ")))
+}
