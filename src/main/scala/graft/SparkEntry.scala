@@ -278,6 +278,13 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .agg(count(lit(1)).as("n"), countDistinct(col("fp")).as("n_distinct_fp"))),
+    "t12_sanitize_revalidate" -> ((s, _) => {
+      // sanitize nulls format-violating fields; re-validation must fire only
+      // required/missing-side rules (reference sanitize_metadata semantics)
+      val turns = TranscriptGen.transcripts(s, tCfg)
+      Validator.rowViolations(graft.engine.Sanitizer.sanitize(turns))
+        .groupBy("rule_id").agg(count(lit(1)).as("n"))
+    }),
     "t11_multimodal_features" -> ((s, dir) =>
       Multimodal.featureTable(t(s, dir, "documents"), "text", "doc_id")
         .select(col("vec_id"), col("kind"), col("meta.byte_len").as("byte_len"),

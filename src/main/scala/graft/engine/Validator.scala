@@ -66,22 +66,29 @@ object Validator {
     * The single-root/exactly-one analog of reference `models.py:284-290`.
     */
   def dupViolations(turns: DataFrame, saltFactor: Int = 16): DataFrame = {
+    // Phase A+B on NARROW columns only (no text): every aggregate has a
+    // fixed-width mutable buffer, so both phases stay HashAggregate with
+    // map-side partial combine (min(text) here would demote the whole hot
+    // path to SortAggregate — measured finding, see PlanSpec).
     val salted = turns
       .groupBy(
         col("conv_id"), col("turn_idx"),
         pmod(xxhash64(col("role"), col("text"), col("ts")), lit(saltFactor))
           .as("salt"))
-      .agg(
-        count(lit(1)).as("c"),
-        min("part_id").as("part_id"),
-        min("text").as("text"))
-    salted
+      .agg(count(lit(1)).as("c"), min("part_id").as("pid"))
+    val dupKeys = salted
       .groupBy(col("conv_id"), col("turn_idx"))
-      .agg(
-        sum("c").as("n"),
-        min("part_id").as("part_id"),
-        min("text").as("text"))
+      .agg(sum("c").as("n"), min("pid").as("part_id"))
       .filter(col("n") > 1)
+    // Phase C: attach the kept row's text for the byte-parity invariant —
+    // dup keys are rare, so this join's right side is tiny relative to the
+    // table; AQE broadcasts it when it fits, SMJ otherwise. min(text) here
+    // runs only over the duplicate rows themselves.
+    turns
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+      .join(dupKeys, Seq("conv_id", "turn_idx"))
+      .groupBy(col("conv_id"), col("turn_idx"))
+      .agg(min("text").as("text"), min("n").as("n"), min("part_id").as("part_id"))
       .select(
         col("conv_id"), col("turn_idx"), col("part_id"),
         lit("DUPLICATE_KEY").as("rule_id"),

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+    (3L, "completely different content about spark catalyst optimizer internals here xyz"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (5L, "der hund und die katze und der vogel und die maus sind hier")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups: identical texts collapse to min key") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id").filter(col("n") > 1)
+      .select("n", "keep_id").as[(Long, Long)].collect()
+    assert(g.toSeq === Seq((2L, 1L))) // docs 1 and 4 identical
+  }
+
+  test("jaccard: identical=1, near-dup high, different low") {
+    val j = docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.jaccard(col("a.text"), col("b.text")).as("j"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(j((1L, 4L)) === 1.0)
+    assert(j((1L, 2L)) > 0.7)
+    assert(j((1L, 3L)) === 0.0)
+  }
+
+  test("minhash LSH finds the planted near-dup pair and the exact pair") {
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical texts have distance 0, near-dups close, different far") {
+    val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sims(1L) === sims(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sims(a) ^ sims(b))
+    assert(ham(1L, 2L) < ham(1L, 3L))
+    assert(ham(1L, 2L) <= 16)
+  }
+
+  test("token count, lang id, quality, fingerprint") {
+    val r = docs.select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("tc"),
+      TextOps.langId(col("text")).as("lang"),
+      TextOps.qualityScore(col("text")).as("q"),
+      TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getString(2), x.getDouble(3), x.getLong(4))).toMap
+    assert(r(1L)._1 === 14)
+    assert(r(1L)._2 === "en")
+    assert(r(5L)._2 === "de")
+    assert(r(3L)._2 === "und") // no stopwords
+    assert(r(1L)._3 > 0.5 && r(1L)._3 <= 1.0)
+    assert(r(1L)._4 === r(4L)._4) // identical text -> identical fingerprint
+    assert(r(1L)._4 !== r(2L)._4)
+    // fingerprint invariant to whitespace normalization
+    val fpWs = Seq(("x  y\tz"), ("x y z")).toDF("t")
+      .select(TextOps.fingerprint(col("t"))).as[Long].collect()
+    assert(fpWs(0) === fpWs(1))
+  }
+
+  test("token count edge cases: null, empty, whitespace-only") {
+    val r = Seq[(Integer, String)]((1, null), (2, ""), (3, "   "), (4, "one"))
+      .toDF("id", "t")
+      .select(col("id"), TextOps.tokenCount(col("t")).as("tc"))
+      .as[(Int, Int)].collect().toMap
+    assert(r(1) === 0); assert(r(2) === 0); assert(r(3) === 0); assert(r(4) === 1)
+  }
+
+  test("cosine + brute-force top-k exact on crafted vectors") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 2)
+      .orderBy("rank").select("vec_id", "rank").as[(Long, Int)].collect()
+    assert(top.toSeq === Seq((1L, 1), (2L, 2)))
+    // exact cosine value check: cos(e0, e3) = -1
+    val c = emb.filter(col("vec_id") === 0).select(col("embedding").as("a"))
+      .crossJoin(emb.filter(col("vec_id") === 3).select(col("embedding").as("b")))
+      .select(Similarity.cosine(col("a").cast("array<double>"),
+        col("b").cast("array<double>"))).as[Double].head()
+    assert(math.abs(c - (-1.0)) < 1e-12)
+  }
+
+  test("ann LSH results are a subset of correct cosine space (no wrong scores)") {
+    val emb = spark.range(200).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)),
+        i => pmod(xxhash64(col("id"), i), lit(1000)).cast("float") / 1000.0f)
+        .as("embedding"))
+    val ann = Similarity.annTopK(emb, emb.filter(col("vec_id") < 2), k = 3,
+      nBits = 4, dim = 8)
+    // every returned cos must equal the directly computed cosine
+    val joined = ann.join(emb.select(col("vec_id"), col("embedding").as("e1")), "vec_id")
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("e2")),
+        "query_id")
+      .select(abs(col("cos") - Similarity.cosine(
+        col("e1").cast("array<double>"), col("e2").cast("array<double>"))).as("d"))
+      .agg(max("d")).as[Double].head()
+    assert(joined < 1e-12)
+  }
+
+  test("embedding near-dup pairs find planted duplicate vector") {
+    val base = spark.range(100).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(16)),
+        i => pmod(xxhash64(col("id"), i), lit(1000)).cast("float") / 1000.0f)
+        .as("embedding"))
+    val clone = base.filter(col("vec_id") === 7)
+      .select(lit(1007L).as("vec_id"), col("embedding"))
+    val pairs = Similarity.cosineNearDupPairs(base.unionByName(clone),
+      threshold = 0.999, nBits = 6, dim = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((7L, 1007L)))
+  }
+
+  test("multimodal plumbing: schema, deterministic stub features, frames") {
+    val ft = Multimodal.featureTable(docs, "text", "doc_id").cache()
+    assert(ft.columns.toSet === Set("vec_id", "kind", "meta", "embedding", "frames"))
+    val row = ft.filter(col("vec_id") === 1).collect()(0)
+    assert(row.getAs[Seq[Double]]("embedding").length === 64)
+    assert(row.getAs[Seq[Any]]("frames").length === 4)
+    // identical media bytes -> identical stub features (doc 1 == doc 4 text)
+    val f = ft.filter(col("vec_id").isin(1L, 4L))
+      .select("embedding").as[Seq[Double]].collect()
+    assert(f(0) === f(1))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Stats, Validator}
+import graft.sources.TranscriptGen
+
+/** Plan-shape tests (SURVEY.md §5.5): the engine's scale claims are asserted
+  * on the physical plan, not taken on faith — broadcast vs shuffle join
+  * choice, zero UDF nodes in check plans, whole-stage codegen coverage,
+  * column pruning and partition pruning reaching the parquet scan.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private lazy val cfg = TranscriptGen.Config(nConvs = 300L)
+  private lazy val turns = TranscriptGen.transcripts(spark, cfg)
+  private lazy val convs = TranscriptGen.conversations(spark, cfg)
+
+  test("row checks: no UDF / python nodes, whole-stage codegen present") {
+    val p = plan(Validator.rowViolations(turns))
+    assert(!p.contains("BatchEvalPython"))
+    assert(!p.toLowerCase.contains("scalaudf"))
+    // formatted explain marks codegen'd operators with a leading '*'
+    assert(p.contains("* Project"), s"no codegen'd projection in:\n$p")
+  }
+
+  test("referential join: our stats-driven hint controls the strategy") {
+    // disable Spark's own auto-broadcast so the choice observed is OURS
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val small = plan(Validator.orphanViolations(turns, convs))
+      assert(small.contains("BroadcastHashJoin") || small.contains("BroadcastExchange"),
+        s"expected broadcast in:\n$small")
+      val large = plan(Validator.orphanViolations(turns, convs,
+        broadcastThresholdBytes = 0L))
+      assert(!large.contains("BroadcastHashJoin"),
+        "dim over threshold must not broadcast")
+      assert(large.contains("SortMergeJoin") || large.contains("ShuffledHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted dedup hot path stays HashAggregate (no sort-based fallback)") {
+    val p = plan(Validator.dupViolations(turns))
+    assert(p.contains("HashAggregate"))
+    // the two narrow phases must NOT demote to SortAggregate — that was the
+    // cost of carrying min(text) through the hot aggregation
+    // only the tiny post-join min(text) aggregate may sort-aggregate:
+    // partial+final = 2 operators; formatted explain mentions each twice
+    // (tree + detail section), so allow 4 mentions
+    val sortAggs = p.linesIterator.count(_.contains("SortAggregate"))
+    assert(sortAggs <= 4, s"too many SortAggregates ($sortAggs) in:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      p.contains("partial_sum") || p.contains("Partial"))
+  }
+
+  test("column pruning reaches the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    turns.write.mode("overwrite").parquet(dir)
+    val onDisk = spark.read.parquet(dir)
+    val p = plan(Stats.colStats(onDisk, Seq("role")))
+    // the stats pass over `role` alone must not read `text`
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("role"))
+    assert(!readSchema.contains("text"), s"text not pruned: $readSchema")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_push").toString
+    turns.write.mode("overwrite").parquet(dir)
+    val p = plan(spark.read.parquet(dir)
+      .filter(col("role") === "tool").select("conv_id"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo(role,tool)") || pushed.contains("role"),
+      s"filter not pushed: $pushed")
+  }
+
+  test("resume predicate prunes hive-style part_id partitions at the source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    turns.write.mode("overwrite").partitionBy("part_id").parquet(dir)
+    val p = plan(spark.read.parquet(dir)
+      .filter(!col("part_id").isin(0, 1, 2)))
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("part_id"), s"no partition filter: $pf")
+  }
+
+  test("flagship violations plan never global-sorts (sortWithinPartitions only)") {
+    val p = plan(Validator.allViolations(turns, Some(convs)))
+    // a global orderBy would show a range-partitioned Exchange
+    assert(!p.contains("rangepartitioning"),
+      "global sort detected — output ordering must be sort-within-partitions")
+  }
+}

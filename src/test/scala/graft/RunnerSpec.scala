@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Runner
+import graft.sources.TranscriptGen
+
+/** Checkpoint-resume lifecycle: manifest lineage, partition skipping,
+  * idempotent partial re-runs (SURVEY.md §7.1 M5).
+  */
+class RunnerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val cfg = TranscriptGen.Config(nConvs = 400L, parts = 8)
+  private lazy val turns = TranscriptGen.transcripts(spark, cfg).cache()
+  private lazy val convs = TranscriptGen.conversations(spark, cfg).cache()
+
+  test("full run then resume: second run validates nothing, data intact") {
+    val out = java.nio.file.Files.createTempDirectory("graft_run1").toString
+    val r1 = Runner.run(spark, turns, Some(convs), out, "run1")
+    assert(r1.validatedParts === 8)
+    assert(r1.skippedParts === 0)
+    val nViol = r1.violations.count()
+    assert(nViol > 0)
+    assert(r1.manifest.count() === 8)
+
+    val r2 = Runner.run(spark, turns, Some(convs), out, "run2")
+    assert(r2.validatedParts === 0)
+    assert(r2.skippedParts === 8)
+    assert(r2.violations.count() === nViol) // untouched by the no-op run
+    assert(r2.manifest.count() === 8)       // no new lineage rows
+  }
+
+  test("partial run then resume completes only the missing partitions") {
+    val out = java.nio.file.Files.createTempDirectory("graft_run2").toString
+    val firstHalf = turns.filter(col("part_id") < 4)
+    val r1 = Runner.run(spark, firstHalf, Some(convs), out, "run1")
+    assert(r1.validatedParts === 4)
+
+    val r2 = Runner.run(spark, turns, Some(convs), out, "run2")
+    assert(r2.validatedParts === 4) // only parts 4..7
+    assert(r2.skippedParts === 4)
+    assert(r2.manifest.count() === 8)
+    // resumed result must equal a from-scratch full run
+    val fresh = java.nio.file.Files.createTempDirectory("graft_run3").toString
+    val full = Runner.run(spark, turns, Some(convs), fresh, "full", resume = false)
+    assert(r2.violations.count() === full.violations.count())
+    val a = r2.violations.select("conv_id", "turn_idx", "rule_id")
+      .collect().map(_.toString).sorted
+    val b = full.violations.select("conv_id", "turn_idx", "rule_id")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("manifest carries lineage fields") {
+    val out = java.nio.file.Files.createTempDirectory("graft_run4").toString
+    val r = Runner.run(spark, turns, Some(convs), out, "runX", snapshot = "snapA")
+    val m = r.manifest.filter(col("run_id") === "runX")
+    assert(m.count() === 8)
+    assert(m.filter(col("snapshot") === "snapA").count() === 8)
+    assert(m.agg(sum("n_rows")).as[Long].head() === turns.count())
+    assert(m.filter(col("wall_ms") >= 0).count() === 8)
+  }
+}

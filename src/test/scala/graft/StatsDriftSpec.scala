@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Drift, Stats}
+import graft.functions.TDigestQuantiles.tdigestQuantiles
+
+class StatsDriftSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("t-digest quantiles accurate on uniform 1..100000 and merge across partitions") {
+    val df = spark.range(1, 100001).repartition(8).toDF("x")
+    val q = df.agg(tdigestQuantiles(col("x"), Seq(0.5, 0.9, 0.99)))
+      .as[Seq[Double]].head()
+    // t-digest (k=200) relative error: ~1% mid-quantiles, tighter at tails
+    assert(math.abs(q(0) - 50000) < 1000, s"p50 ${q(0)}")
+    assert(math.abs(q(1) - 90000) < 1000, s"p90 ${q(1)}")
+    assert(math.abs(q(2) - 99000) < 500, s"p99 ${q(2)}")
+  }
+
+  test("t-digest handles all-null input (returns null, not crash)") {
+    val df = Seq[Option[Double]](None, None).toDF("x")
+    val r = df.agg(tdigestQuantiles(col("x"), Seq(0.5))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("wide stats pass: exact columns, null rate, bounds") {
+    val df = Seq(
+      ("a", 1, Some(1.0)), ("b", 2, None), ("c", 3, Some(3.0)), ("a", 4, Some(4.0))
+    ).toDF("s", "i", "d")
+    val stats = Stats.colStats(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats.keySet === Set("s", "i", "d"))
+    assert(stats("d").getDouble(2) === 0.25) // null_rate
+    assert(stats("i").getString(4) === "1")  // min
+    assert(stats("i").getString(5) === "4")  // max
+    assert(stats("s").getLong(1) === 4)      // n rows
+  }
+
+  test("HLL distinct within 5% on 10k distinct values") {
+    val df = spark.range(10000).toDF("x")
+    val approx = Stats.colStats(df, Seq("x")).select("n_distinct_approx")
+      .as[Long].head()
+    assert(math.abs(approx - 10000) < 500, s"approx $approx")
+  }
+
+  test("chi-square flags a planted skewed partition and only it") {
+    // parts 0..3 uniform over 4 roles; part 9 small but heavily skewed —
+    // small enough not to move the pooled distribution (chi-square compares
+    // each partition against the pooled table, so a huge skewed partition
+    // would legitimately make *all* partitions deviate)
+    val uniform = spark.range(8000).select(
+      (col("id") % 4).cast("int").as("part_id"),
+      element_at(array(lit("a"), lit("b"), lit("c"), lit("d")),
+        ((col("id") / 4) % 4 + 1).cast("int")).as("role"))
+    val skewed = spark.range(200).select(
+      lit(9).as("part_id"),
+      when(col("id") % 100 < 97, lit("a")).otherwise(lit("b")).as("role"))
+    val out = Drift.chiSquare(uniform.unionByName(skewed), "role", threshold = 30.0)
+      .select("part_id", "drifted").as[(Int, Boolean)].collect().toMap
+    assert(out(9) === true)
+    (0 to 3).foreach(p => assert(out(p) === false, s"part $p false-flagged"))
+  }
+
+  test("chi-square includes zero cells (absent category still contributes)") {
+    // part 1 never sees role "b" — expected count must still be charged
+    val df = Seq(
+      (0, "a"), (0, "a"), (0, "b"), (0, "b"),
+      (1, "a"), (1, "a"), (1, "a"), (1, "a")
+    ).toDF("part_id", "role")
+    val chi = Drift.chiSquare(df, "role", threshold = 1000.0)
+      .filter(col("part_id") === 1).select("chi2").as[Double].head()
+    assert(chi > 0.0)
+  }
+}

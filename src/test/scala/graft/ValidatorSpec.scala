@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Validator
+import graft.sources.TranscriptGen
+
+/** End-to-end engine tests on the deterministic synthetic table: planted
+  * violation parity, verdict arithmetic, byte-identity of per-turn text, and
+  * shuffle/parallelism invariance of the full result set.
+  */
+class ValidatorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val cfg = TranscriptGen.Config(nConvs = 800L)
+  private lazy val turns = TranscriptGen.transcripts(spark, cfg).cache()
+  private lazy val convs = TranscriptGen.conversations(spark, cfg).cache()
+  private lazy val violations = Validator.allViolations(turns, Some(convs)).cache()
+
+  test("each planted family is found, nothing else exists") {
+    val found = violations.groupBy("rule_id").count()
+      .as[(String, Long)].collect().toMap
+    val expectedRules = Set(
+      "REQUIRED_NONEMPTY_text", "ENUM_MEMBER_role", "FORMAT_REGEX_tool",
+      "URL_FORMAT_text", "LENGTH_MAX_text", "MIN_VALUE_turn_idx",
+      "CROSS_FIELD_tool_role", "TS_ORDER_ts", "DUPLICATE_KEY", "ORPHAN_CONV")
+    assert(expectedRules.subsetOf(found.keySet),
+      s"missing: ${expectedRules -- found.keySet}")
+    assert(found.keySet.subsetOf(expectedRules),
+      s"unexpected: ${found.keySet -- expectedRules}")
+    expectedRules.foreach(r => assert(found(r) > 0, s"$r fired zero times"))
+  }
+
+  test("per-row violation count parity with independent predicate recount") {
+    def recount(pred: org.apache.spark.sql.Column): Long = turns.filter(pred).count()
+    val byRule = violations.groupBy("rule_id").count()
+      .as[(String, Long)].collect().toMap
+    assert(byRule("REQUIRED_NONEMPTY_text") ===
+      recount(col("text").isNull || col("text") === ""))
+    assert(byRule("ENUM_MEMBER_role") ===
+      recount(col("role").isNotNull &&
+        !col("role").isin("system", "user", "assistant", "tool")))
+    assert(byRule("LENGTH_MAX_text") === recount(length(col("text")) > 2000))
+    assert(byRule("MIN_VALUE_turn_idx") === recount(col("turn_idx") < 0))
+  }
+
+  test("duplicate-key parity with plain groupBy recount (salted == unsalted)") {
+    val expected = turns.groupBy("conv_id", "turn_idx").count()
+      .filter(col("count") > 1).count()
+    assert(Validator.dupViolations(turns, saltFactor = 16).count() === expected)
+    assert(Validator.dupViolations(turns, saltFactor = 1).count() === expected)
+    assert(Validator.dupViolations(turns, saltFactor = 64).count() === expected)
+  }
+
+  test("hot conversation carries duplicates (skew path exercised)") {
+    val hotDups = Validator.dupViolations(turns)
+      .filter(col("conv_id") === "c000000000000").count()
+    assert(hotDups > 0)
+  }
+
+  test("orphan parity with anti-join recount; every orphan conv is absent from dim") {
+    val orphans = Validator.orphanViolations(turns, convs)
+    val expected = turns.join(convs, Seq("conv_id"), "left_anti").count()
+    assert(orphans.count() === expected)
+    assert(expected > 0)
+    val orphanConvs = orphans.select("conv_id").distinct()
+    assert(orphanConvs.join(convs, Seq("conv_id"), "left_semi").count() === 0)
+  }
+
+  test("ts-order parity with window recount") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val expected = turns
+      .withColumn("prev", lag("ts", 1).over(w))
+      .filter(col("prev") > col("ts")).count()
+    assert(violations.filter(col("rule_id") === "TS_ORDER_ts").count() === expected)
+  }
+
+  test("verdicts: valid iff zero issues; counts add up (verification.py:241)") {
+    val v = Validator.verdicts(turns, violations).cache()
+    val totalViol = v.agg(sum("n_violations")).as[Long].head()
+    assert(totalViol === violations.count())
+    assert(v.filter(col("status") === "valid" && col("n_violations") > 0).count() === 0)
+    assert(v.filter(col("status") === "invalid" && col("n_violations") === 0).count() === 0)
+    val totalRows = v.agg(sum("n_rows")).as[Long].head()
+    assert(totalRows === turns.count())
+  }
+
+  test("violation text is byte-identical to the source turn text") {
+    // every per-row violation's text must equal the turn's text exactly
+    val joined = Validator.rowViolations(turns)
+      .join(turns.select(col("conv_id"), col("turn_idx"),
+        col("text").as("orig_text")).distinct(), Seq("conv_id", "turn_idx"))
+    val mismatches = joined.filter(
+      !(col("text") <=> col("orig_text")) &&
+        // duplicate keys may legitimately carry either clone's text
+        lit(true)).join(
+        turns.groupBy("conv_id", "turn_idx").count().filter(col("count") > 1),
+        Seq("conv_id", "turn_idx"), "left_anti")
+    assert(mismatches.count() === 0)
+  }
+
+  test("result set invariant under repartitioning (determinism at any parallelism)") {
+    val a = violations
+      .select("conv_id", "turn_idx", "rule_id", "message").collect()
+      .map(_.toString).sorted
+    val b = Validator.allViolations(turns.repartition(13), Some(convs.repartition(3)))
+      .select("conv_id", "turn_idx", "rule_id", "message").collect()
+      .map(_.toString).sorted
+    assert(a.length === b.length)
+    assert(a.sameElements(b))
+  }
+
+  test("generator is deterministic: same config twice gives identical bytes") {
+    def tableHash(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(xxhash64(col("conv_id"), col("turn_idx"), col("role"),
+        col("text"), col("tool"), col("ts")).as("h"))
+      .agg(expr("bit_xor(h)")).as[Long].head()
+    val h1 = tableHash(TranscriptGen.transcripts(spark, cfg))
+    val h2 = tableHash(TranscriptGen.transcripts(spark, cfg).repartition(7))
+    assert(h1 === h2)
+  }
+}
