@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.checks.Checks
+import graft.engine.Validator
+import graft.sources.TranscriptGen
+
+/** Ad-hoc stage profiler for the validation pipeline (not part of the driver
+  * contract). Times isolated variants to attribute costs.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tPath = args.headOption.getOrElse("/tmp/graft_bench/transcripts_n8000000")
+    val turns = spark.read.parquet(tPath)
+
+    def time(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val checks = Checks.transcriptChecks
+
+    time("scan all cols")(noop(turns))
+    // pure predicate cost, no array/struct/explode
+    time("predicates only")(noop(turns.select(
+      checks.map(c => coalesce(c.violated, lit(false)).cast("int"))
+        .reduce(_ + _).as("nv"))))
+    // predicates + guard + array build + HOF filter + explode (current impl)
+    time("rowViolations current")(noop(Validator.rowViolations(turns)))
+    // variant: explode all entries then relational filter (no HOF)
+    val structsAll = array(checks.map(c =>
+      when(c.violated, struct(lit(c.ruleId).as("rule_id"),
+        lit(c.field).as("field"), c.message.as("message")))): _*)
+    val anyV = checks.map(c => coalesce(c.violated, lit(false))).reduce(_ || _)
+    time("rowViolations explode+where")(noop(
+      turns
+        .where(anyV)
+        .select(col("conv_id"), col("turn_idx"), col("part_id"), col("text"),
+          explode(structsAll).as("v"))
+        .where(col("v").isNotNull)
+        .select(col("conv_id"), col("turn_idx"), col("part_id"),
+          col("v.rule_id"), col("v.field"), col("v.message"), col("text"))))
+    // variant: union of per-check filtered scans
+    time("rowViolations union-scans")(noop(
+      checks.map { c =>
+        turns.where(c.violated).select(
+          col("conv_id"), col("turn_idx"), col("part_id"),
+          lit(c.ruleId).as("rule_id"), lit(c.field).as("field"),
+          c.message.as("message"), col("text"))
+      }.reduce(_ unionByName _)))
+    time("dup current")(noop(Validator.dupViolations(turns)))
+    time("tsOrder")(noop(Validator.tsOrderViolations(turns)))
+    spark.stop()
+  }
+}

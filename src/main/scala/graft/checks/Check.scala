@@ -185,6 +185,13 @@ object Checks {
           lit(c.field).as("field"),
           c.message.as("message")))
     }
-    filter(array(structs: _*), v => v.isNotNull)
+    // Guard the allocation-heavy array/struct construction behind one cheap
+    // boolean OR: clean rows (the overwhelming majority) never build the
+    // array. Violated rows evaluate their predicates twice — a good trade.
+    val anyViolated = checks.map(c => coalesce(c.violated, lit(false)))
+      .reduce(_ || _)
+    when(anyViolated, filter(array(structs: _*), v => v.isNotNull))
+      .otherwise(array().cast(
+        "array<struct<rule_id:string,field:string,message:string>>"))
   }
 }

@@ -38,23 +38,41 @@ object Validator {
   }
 
   /** Conversation-level cross-row checks (SURVEY.md §2.6): timestamp
-    * monotonicity via `lag(ts)` over `(conv_id ordered by turn_idx)`. One
-    * shuffle on conv_id; clean rows are generated monotonic so every firing
-    * is a planted TS_ORDER row.
+    * monotonicity via `lag(ts)` over `(conv_id ordered by turn_idx)`.
+    *
+    * The window shuffles only NARROW columns (conv_id, turn_idx, part_id,
+    * ts) — `text` dominates row bytes and shuffling it made this branch the
+    * pipeline's bottleneck (measured: zero speedup 8→32 cores, IO-bound).
+    * The kept row's text is attached afterwards by joining the rare
+    * violating keys back (AQE broadcasts them), same shape as the dedup
+    * phase C. Violations are key-level: at most one TS_ORDER row per
+    * (conv_id, turn_idx), with the lexicographically first (ts, prev_ts)
+    * pair in the message for determinism under duplicate keys.
     */
   def tsOrderViolations(turns: DataFrame): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    turns
-      .select(col("conv_id"), col("turn_idx"), col("part_id"), col("text"),
-        col("ts"), lag("ts", 1).over(w).as("prev_ts"))
+    val badKeys = turns
+      .select(col("conv_id"), col("turn_idx"), col("part_id"), col("ts"))
+      .select(col("conv_id"), col("turn_idx"), col("part_id"), col("ts"),
+        lag("ts", 1).over(w).as("prev_ts"))
       .filter(col("prev_ts").isNotNull && col("prev_ts") > col("ts"))
+      .groupBy(col("conv_id"), col("turn_idx"))
+      .agg(min("part_id").as("part_id"),
+        min(struct(col("ts"), col("prev_ts"))).as("p"))
+    turns
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+      .join(badKeys, Seq("conv_id", "turn_idx"))
+      .groupBy(col("conv_id"), col("turn_idx"))
+      .agg(min("part_id").as("part_id"), min("p").as("p"),
+        min("text").as("text"))
       .select(
         col("conv_id"), col("turn_idx"), col("part_id"),
         lit("TS_ORDER_ts").as("rule_id"),
         lit("ts").as("field"),
         format_string("Non-monotonic ts in conv %s at turn %d: %s < %s",
           col("conv_id"), col("turn_idx"),
-          col("ts").cast("string"), col("prev_ts").cast("string")).as("message"),
+          col("p.ts").cast("string"), col("p.prev_ts").cast("string"))
+          .as("message"),
         col("text"))
   }
 
@@ -143,12 +161,21 @@ object Validator {
   /** Full violations table: per-row ∪ window ∪ dedup ∪ referential, in the
     * stable `(conv_id, turn_idx)` sort-within-partitions output ordering
     * mandated by the north star (no global sort — no extra shuffle).
+    *
+    * Scale note — why each branch re-scans the source instead of sharing one
+    * repartition(conv_id) exchange: the branches prune to different column
+    * subsets (dup phase A never reads `text`; the row branch never shuffles
+    * at all), so N column-pruned parquet scans cost less than N shuffle-fetch
+    * passes over one full-width reused exchange. On a 100 TB table the
+    * exchange would ship `text` (the dominant bytes) through the network
+    * once per consumer; pruned scans read it exactly once, map-side.
     */
   def allViolations(
       turns: DataFrame,
       conversations: Option[DataFrame] = None,
       checks: Seq[Check] = Checks.transcriptChecks,
-      saltFactor: Int = 16): DataFrame = {
+      saltFactor: Int = 16,
+      sortOutput: Boolean = true): DataFrame = {
     val base = rowViolations(turns, checks)
       .unionByName(tsOrderViolations(turns))
       .unionByName(dupViolations(turns, saltFactor))
@@ -156,7 +183,9 @@ object Validator {
       case Some(dim) => base.unionByName(orphanViolations(turns, dim))
       case None      => base
     }
-    all.sortWithinPartitions("conv_id", "turn_idx")
+    // sortOutput=false lets a sink that repartitions by part_id apply the
+    // stable ordering once, after its exchange, instead of sorting twice.
+    if (sortOutput) all.sortWithinPartitions("conv_id", "turn_idx") else all
   }
 
   /** Per-partition verdicts (reference `as_dict`, `verification.py:239-245`):
@@ -165,23 +194,23 @@ object Validator {
     */
   def verdicts(
       turns: DataFrame,
-      violations: DataFrame,
-      warningsDf: Option[DataFrame] = None): DataFrame = {
-    val rows = turns.groupBy("part_id").agg(count(lit(1)).as("n_rows"))
+      violations: DataFrame): DataFrame = {
+    // rows + warnings counted in ONE scan/aggregate (the warning predicate is
+    // row-local, so it folds into the same groupBy instead of a second pass)
+    val warnCond = col("text").isNotNull && length(col("text")) > 1000 &&
+      length(col("text")) <= 2000
+    val rows = turns.groupBy("part_id").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(warnCond, 1L).otherwise(0L)).as("n_warnings"))
     val viol = violations.groupBy("part_id").agg(count(lit(1)).as("n_violations"))
-    val warn = warningsDf
-      .getOrElse(warnings(turns))
-      .groupBy("part_id")
-      .agg(count(lit(1)).as("n_warnings"))
     rows
       .join(viol, Seq("part_id"), "left_outer")
-      .join(warn, Seq("part_id"), "left_outer")
       .select(
         col("part_id"),
         when(coalesce(col("n_violations"), lit(0L)) === 0, lit("valid"))
           .otherwise(lit("invalid")).as("status"),
         col("n_rows"),
         coalesce(col("n_violations"), lit(0L)).as("n_violations"),
-        coalesce(col("n_warnings"), lit(0L)).as("n_warnings"))
+        col("n_warnings"))
   }
 }

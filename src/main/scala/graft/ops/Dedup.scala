@@ -31,13 +31,33 @@ object Dedup {
           i => concat_ws(" ", slice(words, i, lit(n))))))
   }
 
-  /** MinHash signature: k independent permutations approximated by
-    * `xxhash64(shingle, seed_j)`; signature[j] = min over shingles.
+  /** MinHash signatures, relational form: explode shingles to rows, hash
+    * each shingle string ONCE, then take k codegen'd `min` aggregates of
+    * k cheap long re-hashes (`xxhash64(h, j)`) in a single HashAggregate
+    * with map-side partial combine.
+    *
+    * This deliberately avoids nested higher-order-function lambdas
+    * (`transform`/`aggregate`), which Spark evaluates interpreted — the HOF
+    * formulation measured ~30x slower and re-evaluated the shingle
+    * construction k times. The explode+groupBy shape is also the one that
+    * scales: shuffle is (id, 8-byte hash) rows, aggregation buffers are k
+    * fixed-width longs.
     */
-  def minhashSignature(shinglesCol: Column, k: Int = 64): Column =
-    transform(
-      sequence(lit(1), lit(k)),
-      j => array_min(transform(shinglesCol, s => xxhash64(s, j))))
+  def minhashSignatures(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      n: Int = 3,
+      k: Int = 64): DataFrame = {
+    val exploded = df
+      .select(col(keyCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val aggs = (1 to k).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
+    exploded
+      .groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((1 to k).map(j => col(s"m$j")): _*).as("sig"))
+  }
 
   /** LSH band keys: split the k-length signature into `bands` bands of
     * k/bands rows each; band key = hash(band slice, band index). Documents
@@ -70,51 +90,62 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.7,
-      maxBucket: Int = 1000): DataFrame = {
-    val sigs = df
-      .select(col(keyCol).as("id"),
-        minhashSignature(shingles(col(textCol), n), k).as("sig"))
-      .withColumn("band", explode(bandKeys(col("sig"), k, bands)))
-    val buckets = sigs
-      .groupBy("band")
-      .agg(collect_list(struct(col("id"), col("sig"))).as("docs"),
-        count(lit(1)).as("bn"))
-      .filter(col("bn") > 1 && col("bn") <= maxBucket)
-    // pairs within bucket (combinations via double explode on the collected
-    // list — bounded by maxBucket, so the blow-up is capped)
-    val pairs = buckets
-      .select(explode(col("docs")).as("a"), col("docs"))
-      .select(col("a"), explode(col("docs")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .select(
-        col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (size(array_intersect(col("a.sig"), col("b.sig"))).cast("double") / k)
-          .as("jaccard_est"))
-      .filter(col("jaccard_est") >= threshold)
-    pairs.groupBy("id_a", "id_b").agg(max("jaccard_est").as("jaccard"))
+      maxBucket: Int = 200): DataFrame = {
+    // Signatures persisted: they feed the band explode (both self-join
+    // sides), the bucket-size aggregate, and the verification join — without
+    // the persist the whole signature aggregation would re-run ~5 times.
+    val sigs = minhashSignatures(df, textCol, keyCol, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs
+      .select(col("id"), explode(bandKeys(col("sig"), k, bands)).as("band"))
+    // Drop pathological buckets (boilerplate bands) BEFORE the self-join —
+    // they square the candidate count and exact dedup upstream owns them.
+    val ok = banded.join(
+      banded.groupBy("band").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > 1 && col("bn") <= maxBucket),
+      Seq("band"))
+    // Candidate pairs as a NARROW band-key self-join (ids only), deduped
+    // across bands before any signature work — a pair sharing many bands
+    // is verified once, not `bands` times.
+    val cand = ok.as("a")
+      .join(ok.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sig_a"), col("sig_b"))).cast("double") / k)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over distinct whitespace tokens: bit i of the hash is
-    * the sign of the sum over tokens of (token-hash bit i ? +1 : -1). Pure
-    * column math — nested transform/aggregate over the token array; O(64·T)
-    * per document, no UDF. Column-valued shift amounts go through
-    * `call_function("shiftright", …)` (the SQL function accepts expression
-    * shift counts; the Scala helper only takes Int).
+  /** 64-bit SimHash per document, relational form: bit i of the hash is the
+    * sign of the sum over distinct tokens of (token-hash bit i ? +1 : -1).
+    * Explode tokens → hash once → 64 codegen'd `sum` aggregates with static
+    * shift amounts (the HOF formulation with column-valued shifts runs
+    * interpreted — same finding as [[minhashSignatures]]).
     */
-  def simhash(c: Column): Column = {
-    val toks = array_distinct(split(lower(trim(coalesce(c, lit("")))), "\\s+"))
-    val hashes = transform(toks, t => xxhash64(t))
-    val bitWeights = array((0 to 63).map(i =>
-      lit(if (i == 63) Long.MinValue else 1L << i)): _*)
-    val bits = transform(
-      sequence(lit(0), lit(63)),
-      i =>
-        when(
-          aggregate(hashes, lit(0L), (acc, h) =>
-            acc + call_function("shiftright", h, i).bitwiseAND(lit(1L)) * 2 - 1)
-            > 0,
-          lit(1L)).otherwise(lit(0L)))
-    aggregate(zip_with(bits, bitWeights, (b, w) => b * w), lit(0L), _ + _)
+  def simhashSignatures(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String): DataFrame = {
+    val exploded = df
+      .select(col(keyCol).as("id"),
+        explode(array_distinct(
+          split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 to 63).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$i"))
+    val weights = (0 to 63).map(i => if (i == 63) Long.MinValue else 1L << i)
+    exploded
+      .groupBy("id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 to 63).map(i =>
+          when(col(s"v$i") > 0, lit(weights(i))).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */
@@ -130,28 +161,30 @@ object Dedup {
       textCol: String,
       keyCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
-    val sims = df.select(col(keyCol).as("id"), simhash(col(textCol)).as("sim"))
+      maxBucket: Int = 200): DataFrame = {
+    val sims = simhashSignatures(df, textCol, keyCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sims.select(
-      col("id"), col("sim"),
+      col("id"),
       explode(array((0 to 3).map(bnd =>
-        struct(lit(bnd).as("bandno"),
+        concat_ws(":", lit(bnd),
           shiftrightunsigned(col("sim"), bnd * 16)
-            .bitwiseAND(lit(0xffffL)).as("bandval"))): _*)).as("band"))
-    val buckets = banded
-      .groupBy(col("band.bandno"), col("band.bandval"))
-      .agg(collect_list(struct(col("id"), col("sim"))).as("docs"),
-        count(lit(1)).as("bn"))
-      .filter(col("bn") > 1 && col("bn") <= maxBucket)
-    buckets
-      .select(explode(col("docs")).as("a"), col("docs"))
-      .select(col("a"), explode(col("docs")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hamming(col("a.sim"), col("b.sim")).as("hamming"))
+            .bitwiseAND(lit(0xffffL)))): _*)).as("band"))
+    val ok = banded.join(
+      banded.groupBy("band").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > 1 && col("bn") <= maxBucket),
+      Seq("band"))
+    val cand = ok.as("a")
+      .join(ok.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sims.select(col("id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(sims.select(col("id").as("id_b"), col("sim").as("sim_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sim_a"), col("sim_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .groupBy("id_a", "id_b")
-      .agg(min("hamming").as("hamming"))
   }
 
   /** Exact word-shingle Jaccard between two text columns — the verification

@@ -62,29 +62,37 @@ object Similarity {
       when(dot(vec, typedlit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH-bucketed approximate top-k: both sides bucketed on the same
-    * hyperplanes; candidates are the query's bucket only (single-probe;
-    * recall rises with fewer bits or multiprobe — documented tradeoff).
-    * Shuffle is an equi-join on the bucket key instead of a cross join.
+  /** LSH-bucketed approximate top-k with multiprobe: the query side probes
+    * its own bucket plus every bucket at Hamming distance 1 (each sign bit
+    * flipped), trading a (nBits+1)-way fan-out of the tiny query set for
+    * much higher recall. Candidates come from an equi-join on the bucket
+    * key instead of a cross join — per-query work is O(n·(nBits+1)/2^nBits)
+    * instead of O(n).
     */
   def annTopK(
       embeddings: DataFrame,
       queries: DataFrame,
       k: Int = 10,
       nBits: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      multiprobe: Boolean = true): DataFrame = {
     val planes = hyperplanes(dim, nBits)
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
+    val probes: Column => Column = b =>
+      if (multiprobe)
+        array((b +: (0 until nBits).map(i => b.bitwiseXOR(lit(1L << i)))): _*)
+      else array(b)
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), planes))
+      .withColumn("bucket", explode(probes(lshBucket(col("qv"), planes))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id"))
     e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("v"), col("qv")).as("cos"))
+      .distinct() // a candidate can arrive via several probes
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -101,17 +109,22 @@ object Similarity {
     val planes = hyperplanes(dim, nBits)
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
-    val buckets = e
-      .groupBy("bucket")
-      .agg(collect_list(struct(col("vec_id"), col("v"))).as("docs"),
-        count(lit(1)).as("bn"))
-      .filter(col("bn") > 1 && col("bn") <= maxBucket)
-    buckets
-      .select(explode(col("docs")).as("a"), col("docs"))
-      .select(col("a"), explode(col("docs")).as("b"))
-      .filter(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // narrow candidate generation (ids only), vectors joined back after —
+    // same shape as Dedup.minhashLshPairs, avoids shipping vectors through
+    // the quadratic part
+    val ids = e.select(col("vec_id"), col("bucket"))
+    val ok = ids.join(
+      ids.groupBy("bucket").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > 1 && col("bn") <= maxBucket),
+      Seq("bucket"))
+    ok.as("a")
+      .join(ok.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -44,7 +44,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("simhash: identical texts have distance 0, near-dups close, different far") {
-    val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+    val sims = Dedup.simhashSignatures(docs, "text", "doc_id")
       .as[(Long, Long)].collect().toMap
     assert(sims(1L) === sims(4L))
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(sims(a) ^ sims(b))

@@ -69,12 +69,13 @@ class ValidatorSpec extends AnyFunSuite {
     assert(orphanConvs.join(convs, Seq("conv_id"), "left_semi").count() === 0)
   }
 
-  test("ts-order parity with window recount") {
+  test("ts-order parity with window recount (key-level semantics)") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")
     val expected = turns
       .withColumn("prev", lag("ts", 1).over(w))
-      .filter(col("prev") > col("ts")).count()
+      .filter(col("prev") > col("ts"))
+      .select("conv_id", "turn_idx").distinct().count()
     assert(violations.filter(col("rule_id") === "TS_ORDER_ts").count() === expected)
   }
 
