@@ -246,6 +246,37 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"),
           col("rank"))
     }),
+    "q25_priority_merge" -> ((s, dir) => {
+      // reference merge_jsonld semantics (utils.py:55-62): primary wins,
+      // secondary fills absent keys — evens of customer primary, all rows
+      // secondary with masked name; merged name must keep primary's for evens
+      val c = t(s, dir, "customer")
+      val primary = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val secondary = c.select(col("c_custkey"),
+        concat(lit("llm_"), col("c_name")).as("c_name"),
+        lit(null).cast("double").as("c_acctbal"))
+      graft.ops.Merge.priorityMerge(primary, secondary, "c_custkey")
+        .select(col("c_custkey"), col("c_name"),
+          round(coalesce(col("c_acctbal"), lit(-1.0)), 2).as("acctbal"))
+    }),
+    "q26_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .rollup(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), exactSum2(col("o_totalprice")).as("revenue"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("revenue"))
+    }),
+    "q27_iso_date_format" -> ((s, dir) => {
+      // reference zod-form date -> ISO midnight Z (models.py:398-401)
+      t(s, dir, "orders")
+        .groupBy(TextOps.isoMidnightZ(col("o_orderdate")).as("iso_day"))
+        .agg(count(lit(1)).as("n"))
+    }),
     // ---- rows-only entries (xxhash64 / engine-internal — no DuckDB twin) ----
     "t01_violations" -> ((s, _) => entry(s)),
     "t02_verdicts" -> ((s, _) => {
@@ -416,6 +447,24 @@ object SparkEntry {
         | CAST(max(len(embedding)) AS BIGINT) AS max_dim,
         | count(DISTINCT label) AS n_labels
         |FROM embeddings""".stripMargin,
+    "q25_priority_merge" ->
+      """WITH p AS (SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0),
+        | s AS (SELECT c_custkey, 'llm_' || c_name AS c_name, CAST(NULL AS DOUBLE) AS c_acctbal FROM customer)
+        |SELECT COALESCE(p.c_custkey, s.c_custkey) AS c_custkey,
+        | COALESCE(p.c_name, s.c_name) AS c_name,
+        | round(COALESCE(p.c_acctbal, s.c_acctbal, -1.0), 2) AS acctbal
+        |FROM p FULL OUTER JOIN s ON p.c_custkey = s.c_custkey""".stripMargin,
+    "q26_rollup" ->
+      """SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+        | COALESCE(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY ROLLUP (c_mktsegment, o_orderpriority)""".stripMargin,
+    "q27_iso_date_format" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%dT00:00:00Z') AS iso_day,
+        | count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
     "q24_ann_brute_topk" ->
       """SELECT query_id, vec_id, round(c, 4) AS cos, rank FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS vec_id,

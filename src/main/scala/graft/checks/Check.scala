@@ -102,6 +102,34 @@ object UrlFormat {
     c.isNotNull && c.rlike("(?i)^https?://[^/?#]")
 }
 
+/** Required-substring check — reference SPDX license rule
+  * (`verification.py:49-54`): fires when the value is present but does NOT
+  * contain `needle`; skipped on falsy values (the reference's short-circuit).
+  * Message format byte-matches `verification.py:51`
+  * ("License is not a valid SPDX URL: {v}") via `msgPrefix`.
+  */
+final case class ContainsSubstring(field: String, needle: String, msgPrefix: String)
+    extends Check {
+  val ruleId = s"CONTAINS_$field"
+  def violated: Column =
+    col(field).isNotNull && (col(field) =!= "") && !col(field).contains(needle)
+  def message: Column = concat(lit(msgPrefix), pyStr(col(field)))
+}
+
+/** ISO-date fullmatch — reference `_is_date` (`verification.py:263-264`,
+  * `re.fullmatch(r"\d{4}-\d{2}-\d{2}")`), fired as "Invalid date format in
+  * {f}: {v}" (`verification.py:60`). For string-typed date fields; a
+  * TimestampType `ts` needs no format check (SURVEY.md §1.2).
+  */
+final case class DateFormat(field: String) extends Check {
+  val ruleId = s"DATE_FORMAT_$field"
+  def violated: Column =
+    col(field).isNotNull && (col(field) =!= "") &&
+      !col(field).rlike("^\\d{4}-\\d{2}-\\d{2}$")
+  def message: Column =
+    concat(lit(s"Invalid date format in $field: "), pyStr(col(field)))
+}
+
 /** Max-length cap — reference pydantic `StringConstraints(max_length=…)`
   * (`models.py:23-24`). Pydantic emits no custom message; format documented
   * in SURVEY.md §7.3 quirk notes.

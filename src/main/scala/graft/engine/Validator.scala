@@ -141,6 +141,26 @@ object Validator {
         col("text"))
   }
 
+  /** Strict mode — the reference's pydantic-constructor path
+    * (`models.py:184-266` via `api.py:32`): the first violation aborts the
+    * run with its byte-matched message instead of being collected
+    * (SURVEY.md §3.2 — same predicates, different sink handling; the HTTP
+    * 400 analog, `api.py:85-89`).
+    */
+  def validateStrict(
+      turns: DataFrame,
+      conversations: Option[DataFrame] = None,
+      checks: Seq[Check] = Checks.transcriptChecks): Unit = {
+    val first = allViolations(turns, conversations, checks).limit(1).collect()
+    if (first.nonEmpty) {
+      val r = first(0)
+      throw new IllegalStateException(
+        s"${r.getAs[String]("message")} " +
+          s"(rule=${r.getAs[String]("rule_id")}, conv_id=${r.getAs[String]("conv_id")}, " +
+          s"turn_idx=${r.getAs[Int]("turn_idx")})")
+    }
+  }
+
   /** Soft checks — the engine's deterministic stand-in for the reference's
     * warning channel (URL reachability, `verification.py:152-173`, is
     * network I/O and excluded; the issue/warning two-channel split is kept).

@@ -18,10 +18,11 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = l2norm(a) * l2norm(b)
-    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
-  }
+  /** Codegen'd fused-loop cosine (see [[graft.functions.CosineSimilarity]]);
+    * bit-identical math to the HOF form it replaced.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosineSim(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -59,7 +60,8 @@ object Similarity {
   /** Sign-of-projection LSH bucket key: bit j set iff dot(v, plane_j) > 0. */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
-      when(dot(vec, typedlit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
+      when(graft.functions.DotProduct.dotProduct(vec, typedlit(p)) > 0,
+        lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** LSH-bucketed approximate top-k with multiprobe: the query side probes

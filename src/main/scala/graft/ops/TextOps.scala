@@ -73,6 +73,21 @@ object TextOps {
         least(distinctRatio * 2, lit(1.0)) * 0.2, 4)
   }
 
+  /** Strip markdown code fences — reference `clean_json_string`
+    * (`src/utils/utils.py:20-27`): remove leading ```json / ``` fences and
+    * trailing ``` then trim.
+    */
+  def stripCodeFences(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(coalesce(c, lit("")), "^\\s*```(?:json)?\\s*", ""),
+      "\\s*```\\s*$", ""))
+
+  /** Date → ISO midnight Z string — reference zod-form conversion
+    * (`src/core/models.py:398-401`: date becomes "YYYY-MM-DDT00:00:00Z").
+    */
+  def isoMidnightZ(c: Column): Column =
+    date_format(c.cast("date").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
   /** 64-bit document fingerprint over whitespace-normalized lowercase text.
     * xxhash64 — content-defined identity for exact-dup detection at scale
     * (hash-compare instead of byte-compare in the first pass).

@@ -91,6 +91,27 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.contains("part_id"), s"no partition filter: $pf")
   }
 
+  test("cosine similarity runs as a codegen'd native expression") {
+    import graft.ops.Similarity
+    val emb = spark.range(100).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)),
+        i => pmod(xxhash64(col("id"), i), lit(1000)).cast("double") / 1000.0)
+        .as("embedding"))
+    val scored = emb.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+    val p = plan(scored)
+    assert(p.contains("cosine_similarity"))
+    assert(p.contains("* Project"), s"cosine projection not codegen'd:\n$p")
+    // and it agrees with the HOF formulation
+    val hof = emb.select(
+      (Similarity.dot(col("embedding"), col("embedding")) /
+        (Similarity.l2norm(col("embedding")) * Similarity.l2norm(col("embedding"))))
+        .as("c"))
+    val a = scored.as[Double](org.apache.spark.sql.Encoders.scalaDouble).collect()
+    val b = hof.as[Double](org.apache.spark.sql.Encoders.scalaDouble).collect()
+    assert(a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-12 })
+  }
+
   test("flagship violations plan never global-sorts (sortWithinPartitions only)") {
     val p = plan(Validator.allViolations(turns, Some(convs)))
     // a global orderBy would show a range-partitioned Exchange
