@@ -28,7 +28,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "1000000").toLong
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "2000000").toLong
     val benchRoot = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -316,6 +316,12 @@ object SparkEntry {
       Validator.rowViolations(graft.engine.Sanitizer.sanitize(turns))
         .groupBy("rule_id").agg(count(lit(1)).as("n"))
     }),
+    "t13_invalid_fields" -> ((s, _) => {
+      // reference invalid_fields map (verification.py:13) per conversation
+      val turns = TranscriptGen.transcripts(s, tCfg)
+      Validator.invalidFieldsMap(Validator.rowViolations(turns))
+        .select(col("conv_id"), map_keys(col("invalid_fields")).as("fields"))
+    }),
     "t11_multimodal_features" -> ((s, dir) =>
       Multimodal.featureTable(t(s, dir, "documents"), "text", "doc_id")
         .select(col("vec_id"), col("kind"), col("meta.byte_len").as("byte_len"),

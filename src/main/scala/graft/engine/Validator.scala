@@ -141,6 +141,21 @@ object Validator {
         col("text"))
   }
 
+  /** Per-conversation `invalid_fields` map — reference `verification.py:13`
+    * + its `invalid_fields[field] = reason` updates: field → first reason,
+    * assembled with `map_from_entries(collect_list(...))` (SURVEY.md §2.5).
+    * First = lexicographically-first message for determinism (the reference
+    * keeps the last write; rule order is fixed so both are stable).
+    */
+  def invalidFieldsMap(violations: DataFrame): DataFrame =
+    violations
+      .groupBy(col("conv_id"), col("field"))
+      .agg(min("message").as("reason"))
+      .groupBy(col("conv_id"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("field"), col("reason")))))
+        .as("invalid_fields"))
+
   /** Strict mode — the reference's pydantic-constructor path
     * (`models.py:184-266` via `api.py:32`): the first violation aborts the
     * run with its byte-matched message instead of being collected

@@ -88,6 +88,13 @@ object TextOps {
   def isoMidnightZ(c: Column): Column =
     date_format(c.cast("date").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
 
+  /** Null-dropping JSON form — the reference's zod-form conversion drops
+    * null fields recursively (`models.py:419`); columnar equivalent:
+    * `to_json(struct, ignoreNullFields=true)`.
+    */
+  def toCleanJson(s: Column): Column =
+    to_json(s, Map("ignoreNullFields" -> "true"))
+
   /** 64-bit document fingerprint over whitespace-normalized lowercase text.
     * xxhash64 — content-defined identity for exact-dup detection at scale
     * (hash-compare instead of byte-compare in the first pass).

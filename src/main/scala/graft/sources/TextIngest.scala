@@ -45,6 +45,13 @@ object TextIngest {
     * final aggregate is inherently single-row; the per-file reads stay
     * distributed.
     */
+  /** Persist combined text — reference `store_combined_text`
+    * (`genai_model.py:88-95`): `df.write.text`.
+    */
+  def writeText(combined: DataFrame, path: String): Unit =
+    combined.select(col("combined_text")).coalesce(1)
+      .write.mode("overwrite").text(path)
+
   def combine(files: DataFrame, charBudget: Int = 320000): DataFrame =
     files
       .agg(array_sort(collect_list(

@@ -72,6 +72,43 @@ class IngestMergeSpec extends AnyFunSuite {
     assert(r(1) === (("no fences", "2026-12-31T00:00:00Z")))
   }
 
+  test("invalid_fields map per conversation (verification.py:13 analog)") {
+    val cfg = TranscriptGen.Config(nConvs = 300L)
+    val turns = TranscriptGen.transcripts(spark, cfg)
+    val viol = Validator.rowViolations(turns)
+    val m = Validator.invalidFieldsMap(viol)
+    assert(m.count() === viol.select("conv_id").distinct().count())
+    val one = m.limit(1).collect()(0)
+    val fields = one.getAs[Map[String, String]]("invalid_fields")
+    assert(fields.nonEmpty)
+  }
+
+  test("combined text write + null-dropping JSON form") {
+    val dir = Files.createTempDirectory("graft_wt")
+    Files.writeString(dir.resolve("a.md"), "HELLO")
+    val combined = TextIngest.combine(TextIngest.readFiles(spark, dir.toString))
+    val out = Files.createTempDirectory("graft_wt_out").toString + "/txt"
+    TextIngest.writeText(combined, out)
+    assert(spark.read.text(out).as[String].collect().mkString === "HELLO")
+    val js = Seq((1, null: String, "x")).toDF("a", "b", "c")
+      .select(TextOps.toCleanJson(struct(col("a"), col("b"), col("c"))))
+      .as[String].head()
+    assert(js === """{"a":1,"c":"x"}""") // null field dropped (models.py:419)
+  }
+
+  test("custom expressions callable from SQL after registration") {
+    graft.functions.Registry.registerAll(spark)
+    val r = spark.sql(
+      "SELECT round(cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) c, " +
+        "dot_product(array(2.0d, 3.0d), array(4.0d, 5.0d)) d").collect()(0)
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 23.0)
+    val q = spark.range(1, 1001).selectExpr("CAST(id AS DOUBLE) x")
+      .selectExpr("tdigest_quantiles(x, array(0.5d)) q").collect()(0)
+      .getSeq[Double](0)
+    assert(math.abs(q.head - 500) < 25)
+  }
+
   test("contains-substring + date-format check kinds (license/date analogs)") {
     import graft.checks.{ContainsSubstring, DateFormat}
     val df = Seq(
