@@ -322,6 +322,17 @@ object SparkEntry {
       Validator.invalidFieldsMap(Validator.rowViolations(turns))
         .select(col("conv_id"), map_keys(col("invalid_fields")).as("fields"))
     }),
+    "t14_nested_url_list" -> ((s, _) => {
+      // list-of-URLs shape check (verification.py:76-91) on per-conversation
+      // collected fetch payloads; message embeds the Python list repr
+      val turns = TranscriptGen.transcripts(s, tCfg)
+      val convUrls = turns.filter(col("tool") === "fetch")
+        .groupBy("conv_id")
+        .agg(sort_array(collect_list(col("text"))).as("urls"))
+      val c = graft.checks.NestedChecks.UrlList("urls")
+      convUrls.filter(c.violated)
+        .select(col("conv_id"), c.message.as("message"))
+    }),
     "t11_multimodal_features" -> ((s, dir) =>
       Multimodal.featureTable(t(s, dir, "documents"), "text", "doc_id")
         .select(col("vec_id"), col("kind"), col("meta.byte_len").as("byte_len"),

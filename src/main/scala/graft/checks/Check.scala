@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * `verification.py:70`). Python renders a missing value as "None" inside
   * f-strings, so null values are rendered as the literal "None" here too.
   */
-sealed trait Check {
+trait Check {
   def ruleId: String
   def field: String
 
