@@ -277,6 +277,26 @@ object SparkEntry {
         .groupBy(TextOps.isoMidnightZ(col("o_orderdate")).as("iso_day"))
         .agg(count(lit(1)).as("n"))
     }),
+    "q28_sessionize" -> ((s, dir) => {
+      // gap-based sessionization: new session when >30 min since previous
+      // event of the same user (running sum over a flag) — the classic
+      // conversation-segmentation window pattern
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val flagged = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(unix_timestamp(col("ts")) -
+            unix_timestamp(lag("ts", 1).over(w)) > 1800, 1L)
+            .otherwise(lit(0L)).as("new_sess"))
+        .withColumn("session_id",
+          sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      flagged
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max("n_events").as("max_session_events"),
+          sum("n_events").as("n_events"))
+    }),
     // ---- rows-only entries (xxhash64 / engine-internal — no DuckDB twin) ----
     "t01_violations" -> ((s, _) => entry(s)),
     "t02_verdicts" -> ((s, _) => {
@@ -482,6 +502,22 @@ object SparkEntry {
       """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%dT00:00:00Z') AS iso_day,
         | count(*) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+    "q28_sessionize" ->
+      """WITH f AS (
+        | SELECT user_id, ts, event_id,
+        |  CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM f),
+        |per AS (SELECT user_id, session_id, count(*) AS n_events
+        |        FROM sess GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        | max(n_events) AS max_session_events,
+        | CAST(sum(n_events) AS BIGINT) AS n_events
+        |FROM per GROUP BY user_id""".stripMargin,
     "q24_ann_brute_topk" ->
       """SELECT query_id, vec_id, round(c, 4) AS cos, rank FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
