@@ -277,6 +277,15 @@ object SparkEntry {
         .groupBy(TextOps.isoMidnightZ(col("o_orderdate")).as("iso_day"))
         .agg(count(lit(1)).as("n"))
     }),
+    "q29_ngram_jaccard" -> ((s, dir) => {
+      // exact word-3-gram Jaccard over all pairs of the first 10 docs
+      val d = t(s, dir, "documents").filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text"))
+      d.as("a").crossJoin(d.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(Dedup.jaccard(col("a.text"), col("b.text"), 3), 4).as("jaccard"))
+    }),
     "q28_sessionize" -> ((s, dir) => {
       // gap-based sessionization: new session when >30 min since previous
       // event of the same user (running sum over a flag) — the classic
@@ -502,6 +511,21 @@ object SparkEntry {
       """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%dT00:00:00Z') AS iso_day,
         | count(*) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+    "q29_ngram_jaccard" ->
+      """WITH d AS (
+        | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        | FROM documents WHERE doc_id < 10),
+        |s AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |                          i -> array_to_string(toks[i:i+2], ' ')))
+        |  END AS sh
+        | FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |       / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id""".stripMargin,
     "q28_sessionize" ->
       """WITH f AS (
         | SELECT user_id, ts, event_id,
