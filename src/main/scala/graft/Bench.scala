@@ -21,7 +21,7 @@ import graft.sources.TranscriptGen
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (testdata dir for q* timings),
   * SPARK_GRAFT_CPUS (local[N] + shuffle partitions),
-  * SPARK_GRAFT_BENCH_CONVS (synthetic table size, default 3M convs ≈ 20M
+  * SPARK_GRAFT_BENCH_CONVS (synthetic table size, default 2M convs ≈ 13M
   * turns), SPARK_GRAFT_BENCH_DIR (materialization root, default /tmp).
   */
 object Bench {
@@ -51,7 +51,10 @@ object Bench {
     val cfg = TranscriptGen.Config(nConvs = nConvs, parts = 64)
     val tPath = s"$benchRoot/transcripts_n$nConvs"
     val cPath = s"$benchRoot/conversations_n$nConvs"
-    if (!Files.exists(Paths.get(s"$tPath/_SUCCESS"))) {
+    // guard on BOTH success markers: a run that died between the two writes
+    // must not leave later runs reading a missing/partial conversations table
+    if (!Files.exists(Paths.get(s"$tPath/_SUCCESS")) ||
+      !Files.exists(Paths.get(s"$cPath/_SUCCESS"))) {
       TranscriptGen.transcripts(spark, cfg)
         .write.mode("overwrite").parquet(tPath)
       TranscriptGen.conversations(spark, cfg)

@@ -291,11 +291,18 @@ object SparkEntry {
       // event of the same user (running sum over a flag) — the classic
       // conversation-segmentation window pattern
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      // fractional epoch seconds (cast to double) on BOTH sides of the gap —
+      // matches DuckDB epoch(); unix_timestamp would truncate to whole
+      // seconds and split sub-second-straddling gaps differently
       val flagged = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"),
-          when(unix_timestamp(col("ts")) -
-            unix_timestamp(lag("ts", 1).over(w)) > 1800, 1L)
-            .otherwise(lit(0L)).as("new_sess"))
+          lag("ts", 1).over(w).as("prev_ts"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          // ts is TIMESTAMP_NTZ: hop through LTZ (session tz = UTC) to get
+          // fractional epoch seconds — exactly DuckDB's epoch() on naive ts
+          when(col("ts").cast("timestamp").cast("double") -
+            col("prev_ts").cast("timestamp").cast("double") > 1800,
+            1L).otherwise(lit(0L)).as("new_sess"))
         .withColumn("session_id",
           sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
       flagged
@@ -314,7 +321,10 @@ object SparkEntry {
         turns, Some(TranscriptGen.conversations(s, tCfg))))
     }),
     "t03_col_stats" -> ((s, _) =>
-      Stats.colStats(TranscriptGen.transcripts(s, tCfg))),
+      // entry boundary: serialize the array-typed quantile column so the
+      // driver's rows-only pandas sort can hash it (typed API stays internal)
+      Stats.colStats(TranscriptGen.transcripts(s, tCfg))
+        .withColumn("q_tdigest", to_json(col("q_tdigest")))),
     "t04_dup_keys" -> ((s, _) =>
       Validator.dupViolations(TranscriptGen.transcripts(s, tCfg))),
     "t05_orphans" -> ((s, _) => {
@@ -349,7 +359,8 @@ object SparkEntry {
       // reference invalid_fields map (verification.py:13) per conversation
       val turns = TranscriptGen.transcripts(s, tCfg)
       Validator.invalidFieldsMap(Validator.rowViolations(turns))
-        .select(col("conv_id"), map_keys(col("invalid_fields")).as("fields"))
+        .select(col("conv_id"),
+          array_join(map_keys(col("invalid_fields")), ",").as("fields"))
     }),
     "t14_nested_url_list" -> ((s, _) => {
       // list-of-URLs shape check (verification.py:76-91) on per-conversation
@@ -434,7 +445,8 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q13_drift_chisq" ->
       """WITH c AS (
-        |  SELECT CAST(ts AS DATE) AS part_key, event_type AS cat, count(*) AS o
+        |  SELECT CAST(ts AS DATE) AS part_key,
+        |   COALESCE(event_type, '__null__') AS cat, count(*) AS o
         |  FROM events GROUP BY 1, 2),
         | p AS (SELECT part_key, CAST(sum(o) AS DOUBLE) AS r FROM c GROUP BY 1),
         | k AS (SELECT cat, CAST(sum(o) AS DOUBLE) AS cc FROM c GROUP BY 1),

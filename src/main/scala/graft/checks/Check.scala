@@ -63,8 +63,10 @@ final case class EnumMember(field: String, allowed: Seq[String]) extends Check {
 final case class RegexFullmatch(field: String, pattern: String, msgPrefix: String)
     extends Check {
   val ruleId = s"FORMAT_REGEX_$field"
+  // \z (not $): Java's $ matches before a trailing newline, Python
+  // re.fullmatch does not — \z pins true end-of-string parity.
   def violated: Column =
-    col(field).isNotNull && !col(field).rlike(s"^(?:$pattern)$$")
+    col(field).isNotNull && !col(field).rlike(s"^(?:$pattern)\\z")
   def message: Column = concat(lit(msgPrefix), pyStr(col(field)))
 }
 
@@ -125,7 +127,7 @@ final case class DateFormat(field: String) extends Check {
   val ruleId = s"DATE_FORMAT_$field"
   def violated: Column =
     col(field).isNotNull && (col(field) =!= "") &&
-      !col(field).rlike("^\\d{4}-\\d{2}-\\d{2}$")
+      !col(field).rlike("^\\d{4}-\\d{2}-\\d{2}\\z") // \z: fullmatch parity
   def message: Column =
     concat(lit(s"Invalid date format in $field: "), pyStr(col(field)))
 }

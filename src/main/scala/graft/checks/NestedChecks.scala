@@ -78,7 +78,8 @@ object NestedChecks {
       extends Check {
     val ruleId = s"VERSION_LIST_$field"
     private def bad: Column = filter(col(field), e =>
-      e.getField(sub).isNotNull && !e.getField(sub).rlike("^\\d+\\.\\d+\\.\\d+$"))
+      e.getField(sub).isNotNull &&
+        !e.getField(sub).rlike("^\\d+\\.\\d+\\.\\d+\\z")) // \z: fullmatch parity
     def violated: Column = col(field).isNotNull && size(bad) > 0
     def message: Column =
       concat(lit("Invalid softwareVersion: "), element_at(bad, 1).getField(sub))

@@ -60,6 +60,10 @@ class CheckSpec extends AnyFunSuite {
     // prefix-only match must fail the fullmatch
     assert(firedRules(("c1", 0, "tool", "x", "search extra", ts))
       .contains("FORMAT_REGEX_tool"))
+    // trailing newline: Python re.fullmatch rejects "search\n"; Java's $
+    // would accept it — \z anchoring must reject (ADVICE r01 parity gap)
+    assert(firedRules(("c1", 0, "tool", "x", "search\n", ts))
+      .contains("FORMAT_REGEX_tool"))
   }
 
   test("url: urllib parity cases (verification.py:249-254)") {
