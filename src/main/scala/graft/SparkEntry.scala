@@ -313,6 +313,110 @@ object SparkEntry {
           max("n_events").as("max_session_events"),
           sum("n_events").as("n_events"))
     }),
+    "q30_url_list" -> ((s, dir) => {
+      // list-of-URLs element check (verification.py:76-91) over per-row URL
+      // arrays built deterministically from documents columns; the message
+      // embeds the Python list repr of bad items, incl. None for null
+      // elements (a null lang makes element 1 null via concat propagation)
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        array(
+          concat(lit("https://example.org/"), col("lang")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit("htp:/bad/"), col("doc_id").cast("string")))
+            .otherwise(
+              concat(lit("http://ok.example/"), col("doc_id").cast("string"))),
+          when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("https://files.example/"), col("source")))
+        ).as("urls"))
+      val c = graft.checks.NestedChecks.UrlList("urls")
+      d.filter(c.violated).select(col("doc_id"), c.message.as("message"))
+    }),
+    "q31_author_shape" -> ((s, dir) => {
+      // author-object shape checks (verification.py:110-121): name present
+      // and truthy per element; orcidId a valid URL when present
+      val rec = t(s, dir, "customer").select(col("c_custkey"),
+        array(
+          struct(
+            when(col("c_custkey") % 10 === 0, lit("")).otherwise(col("c_name"))
+              .as("name"),
+            when(col("c_custkey") % 13 === 0,
+              concat(lit("orcid-"), col("c_custkey").cast("string")))
+              .otherwise(concat(lit("https://orcid.org/"),
+                col("c_custkey").cast("string"))).as("orcidId")),
+          struct(
+            when(col("c_custkey") % 17 === 0, lit(null).cast("string"))
+              .otherwise(lit("Co Author")).as("name"),
+            lit(null).cast("string").as("orcidId"))
+        ).as("author"))
+      val checks: Seq[graft.checks.Check] = Seq(
+        graft.checks.NestedChecks.AuthorName("author"),
+        graft.checks.NestedChecks.AuthorOrcid("author"))
+      rec
+        .select(col("c_custkey"),
+          explode(Checks.violationsArray(checks)).as("v"))
+        .select(col("c_custkey"), col("v.rule_id").as("rule_id"),
+          col("v.message").as("message"))
+    }),
+    "q32_version_list" -> ((s, dir) => {
+      // per-element softwareVersion fullmatch (verification.py:140-144)
+      val rec = t(s, dir, "part").select(col("p_partkey"),
+        array(
+          struct(
+            when(col("p_partkey") % 5 === 0,
+              concat(lit("v"), col("p_size").cast("string")))
+              .otherwise(concat(col("p_size").cast("string"), lit(".0.1")))
+              .as("softwareVersion")),
+          struct(
+            when(col("p_partkey") % 9 === 0, lit(null).cast("string"))
+              .otherwise(lit("2.10.3")).as("softwareVersion"))
+        ).as("images"))
+      val c = graft.checks.NestedChecks.VersionList("images")
+      rec.filter(c.violated).select(col("p_partkey"), c.message.as("message"))
+    }),
+    "q33_zod_projection" -> ((s, dir) => {
+      // end-to-end metadata-record mode (models.py:109-266, 301-425): build
+      // software-metadata-shaped records (nullable scalars + author
+      // array<struct>), rename through the zod key maps, ISO-midnight dates,
+      // null-dropped JSON output
+      import graft.model.ZodForm
+      val rec = t(s, dir, "customer").select(
+        col("c_custkey"),
+        struct(
+          col("c_name").as("name"),
+          when(col("c_custkey") % 4 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("segment "), col("c_mktsegment")))
+            .as("description"),
+          TextOps.isoMidnightZ(
+            date_add(lit("2020-01-01").cast("date"),
+              (col("c_custkey") % 1000).cast("int"))).as("dateCreated"),
+          when(col("c_custkey") % 3 === 0, lit("https://spdx.org/licenses/MIT"))
+            .otherwise(lit(null).cast("string")).as("license"),
+          array(struct(
+            col("c_name").as("name"),
+            when(col("c_custkey") % 2 === 0,
+              concat(lit("https://orcid.org/"), col("c_custkey").cast("string")))
+              .otherwise(lit(null).cast("string")).as("orcidId"))).as("author")
+        ).as("record"))
+      rec.select(col("c_custkey"),
+        ZodForm.toZodJson(ZodForm.renameStruct(
+          col("record").withField("author",
+            ZodForm.renameStructArray(col("record.author"), ZodForm.personMap)),
+          ZodForm.softwareRecordMap)).as("zod_json"))
+    }),
+    "q34_strict_first" -> ((s, dir) => {
+      // strict mode's deterministic first-violation contract (api.py:85-89
+      // analog): total order (doc_id, rule_id), TakeOrderedAndProject plan
+      val checks: Seq[graft.checks.Check] = Seq(
+        graft.checks.RequiredNonEmpty("text"),
+        graft.checks.RegexFullmatch("lang", "[a-z]{2}",
+          "Invalid lang format in lang: "),
+        graft.checks.LengthMax("text", 2000))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(Checks.violationsArray(checks)).as("v"))
+        .select(col("doc_id"), col("v.rule_id").as("rule_id"),
+          col("v.field").as("field"), col("v.message").as("message"))
+        .orderBy(col("doc_id"), col("rule_id")).limit(1)
+    }),
     // ---- rows-only entries (xxhash64 / engine-internal — no DuckDB twin) ----
     "t01_violations" -> ((s, _) => entry(s)),
     "t02_verdicts" -> ((s, _) => {
@@ -554,6 +658,99 @@ object SparkEntry {
         | max(n_events) AS max_session_events,
         | CAST(sum(n_events) AS BIGINT) AS n_events
         |FROM per GROUP BY user_id""".stripMargin,
+    "q30_url_list" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  ['https://example.org/' || lang,
+        |   CASE WHEN doc_id % 7 = 0 THEN 'htp:/bad/' || CAST(doc_id AS VARCHAR)
+        |        ELSE 'http://ok.example/' || CAST(doc_id AS VARCHAR) END,
+        |   CASE WHEN doc_id % 11 = 0 THEN NULL
+        |        ELSE 'https://files.example/' || source END] AS urls
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id,
+        |  list_filter(urls, x -> x IS NULL
+        |    OR NOT regexp_matches(x, '(?i)^https?://[^/?#]')) AS bad
+        | FROM d)
+        |SELECT doc_id,
+        | CAST(len(bad) AS VARCHAR) || ' invalid URLs in urls: [' ||
+        | array_to_string(list_transform(bad,
+        |   x -> CASE WHEN x IS NULL THEN 'None'
+        |             ELSE chr(39) || x || chr(39) END), ', ') || ']' AS message
+        |FROM b WHERE len(bad) > 0""".stripMargin,
+    "q31_author_shape" ->
+      """WITH rec AS (
+        | SELECT c_custkey,
+        |  [{'name': CASE WHEN c_custkey % 10 = 0 THEN '' ELSE c_name END,
+        |    'orcidId': CASE WHEN c_custkey % 13 = 0
+        |               THEN 'orcid-' || CAST(c_custkey AS VARCHAR)
+        |               ELSE 'https://orcid.org/' || CAST(c_custkey AS VARCHAR) END},
+        |   {'name': CASE WHEN c_custkey % 17 = 0 THEN NULL ELSE 'Co Author' END,
+        |    'orcidId': CAST(NULL AS VARCHAR)}] AS author
+        | FROM customer),
+        |badorc AS (
+        | SELECT c_custkey,
+        |  list_filter(author, a -> a.orcidId IS NOT NULL AND a.orcidId <> ''
+        |    AND NOT regexp_matches(a.orcidId, '(?i)^https?://[^/?#]')) AS bad
+        | FROM rec)
+        |SELECT c_custkey, 'AUTHOR_NAME_author' AS rule_id,
+        | 'Missing `name` in author object' AS message
+        |FROM rec
+        |WHERE len(list_filter(author, a -> a.name IS NULL OR a.name = '')) > 0
+        |UNION ALL
+        |SELECT c_custkey, 'AUTHOR_ORCID_author' AS rule_id,
+        | 'Invalid ORCID ID: ' || bad[1].orcidId AS message
+        |FROM badorc WHERE len(bad) > 0""".stripMargin,
+    "q32_version_list" ->
+      """WITH rec AS (
+        | SELECT p_partkey,
+        |  [{'softwareVersion': CASE WHEN p_partkey % 5 = 0
+        |     THEN 'v' || CAST(p_size AS VARCHAR)
+        |     ELSE CAST(p_size AS VARCHAR) || '.0.1' END},
+        |   {'softwareVersion': CASE WHEN p_partkey % 9 = 0 THEN NULL
+        |     ELSE '2.10.3' END}] AS images
+        | FROM part),
+        |b AS (
+        | SELECT p_partkey,
+        |  list_filter(images, e -> e.softwareVersion IS NOT NULL
+        |    AND NOT regexp_full_match(e.softwareVersion, '\d+\.\d+\.\d+')) AS bad
+        | FROM rec)
+        |SELECT p_partkey,
+        | 'Invalid softwareVersion: ' || bad[1].softwareVersion AS message
+        |FROM b WHERE len(bad) > 0""".stripMargin,
+    "q33_zod_projection" ->
+      """SELECT c_custkey, '{' || array_to_string(list_filter([
+        |  '"schema:name":"' || c_name || '"',
+        |  CASE WHEN c_custkey % 4 <> 0
+        |   THEN '"schema:description":"segment ' || c_mktsegment || '"' END,
+        |  '"schema:dateCreated":"' ||
+        |   strftime(DATE '2020-01-01' + CAST(c_custkey % 1000 AS INTEGER),
+        |            '%Y-%m-%dT00:00:00Z') || '"',
+        |  CASE WHEN c_custkey % 3 = 0
+        |   THEN '"schema:license":"https://spdx.org/licenses/MIT"' END,
+        |  '"schema:author":[{"schema:name":"' || c_name || '"' ||
+        |   CASE WHEN c_custkey % 2 = 0
+        |    THEN ',"md4i:orcidId":"https://orcid.org/' ||
+        |         CAST(c_custkey AS VARCHAR) || '"'
+        |    ELSE '' END || '}]'
+        | ], x -> x IS NOT NULL), ',') || '}' AS zod_json
+        |FROM customer""".stripMargin,
+    "q34_strict_first" ->
+      """WITH v AS (
+        | SELECT doc_id, 'REQUIRED_NONEMPTY_text' AS rule_id, 'text' AS field,
+        |  'Missing required field: text' AS message
+        | FROM documents WHERE text IS NULL OR text = ''
+        | UNION ALL
+        | SELECT doc_id, 'FORMAT_REGEX_lang', 'lang',
+        |  'Invalid lang format in lang: ' || COALESCE(lang, 'None')
+        | FROM documents
+        | WHERE lang IS NOT NULL AND NOT regexp_full_match(lang, '[a-z]{2}')
+        | UNION ALL
+        | SELECT doc_id, 'LENGTH_MAX_text', 'text',
+        |  'Value exceeds max_length=2000 in text: length ' ||
+        |   CAST(length(text) AS VARCHAR)
+        | FROM documents WHERE text IS NOT NULL AND length(text) > 2000)
+        |SELECT * FROM v ORDER BY doc_id, rule_id LIMIT 1""".stripMargin,
     "q24_ann_brute_topk" ->
       """SELECT query_id, vec_id, round(c, 4) AS cos, rank FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS vec_id,

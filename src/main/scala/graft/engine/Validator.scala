@@ -166,7 +166,12 @@ object Validator {
       turns: DataFrame,
       conversations: Option[DataFrame] = None,
       checks: Seq[Check] = Checks.transcriptChecks): Unit = {
-    val first = allViolations(turns, conversations, checks).limit(1).collect()
+    // Deterministic first violation: total order on (conv_id, turn_idx,
+    // rule_id). orderBy+limit(1) plans as TakeOrderedAndProject — per-
+    // partition top-1 then a driver merge of K candidate rows, NOT a global
+    // sort shuffle, so the strict gate stays cheap at scale.
+    val first = allViolations(turns, conversations, checks, sortOutput = false)
+      .orderBy("conv_id", "turn_idx", "rule_id").limit(1).collect()
     if (first.nonEmpty) {
       val r = first(0)
       throw new IllegalStateException(
