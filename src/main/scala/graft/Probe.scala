@@ -20,9 +20,6 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val tPath = args.headOption.getOrElse("/tmp/graft_bench/transcripts_n8000000")
-    val turns = spark.read.parquet(tPath)
-
     def time(name: String)(f: => Any): Unit = {
       val t0 = System.nanoTime()
       val r = f
@@ -30,6 +27,21 @@ object Probe {
     }
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+
+    // mode: `Probe q <sfDir> <name...>` times individual SparkEntry queries
+    if (args.headOption.contains("q")) {
+      val sfDir = args(1)
+      args.drop(2).foreach { name =>
+        val fn = SparkEntry.queries(name)
+        time(name)(noop(fn(spark, sfDir))) // warm
+        time(name)(noop(fn(spark, sfDir)))
+      }
+      spark.stop()
+      return
+    }
+
+    val tPath = args.headOption.getOrElse("/tmp/graft_bench/transcripts_n8000000")
+    val turns = spark.read.parquet(tPath)
 
     val checks = Checks.transcriptChecks
 

@@ -766,21 +766,24 @@ object SparkEntry {
 
 /** DuckDB twin of [[graft.ops.TextOps.langId]] — kept in its own object so
   * the CASE chain mirrors the Scala fold order (later languages win ties:
-  * fr > es > en > de, "und" when no stopword fires).
+  * fr > es > en > de, "und" when no stopword fires). Same single-pass shape:
+  * one regexp split, then len(list_intersect) per language — DuckDB's
+  * list_intersect and Spark's array_intersect both count DISTINCT common
+  * elements.
   */
 private object LangIdSql {
   private def score(lang: String): String = {
     val ws = graft.ops.TextOps.stopwords(lang)
-    ws.map(w =>
-      s"CAST((length(pt) - length(replace(pt, '$w', ''))) / ${w.length} AS BIGINT)")
-      .mkString(" + ")
+    s"CAST(len(list_intersect(tk, [${ws.map(w => s"'$w'").mkString(", ")}])) AS INT)"
   }
   val sql: String =
     s"""WITH scored AS (
        | SELECT lang,
        |  ${score("de")} AS s_de, ${score("en")} AS s_en,
        |  ${score("es")} AS s_es, ${score("fr")} AS s_fr
-       | FROM (SELECT lang, ' ' || lower(COALESCE(text, '')) || ' ' AS pt FROM documents) d),
+       | FROM (SELECT lang,
+       |   regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z]+') AS tk
+       |   FROM documents) d),
        |pred AS (
        | SELECT lang,
        |  CASE

@@ -23,25 +23,33 @@ object TextOps {
     ((length(c) - length(replace(c, lit(needle), lit("")))) / needle.length)
       .cast("long")
 
-  /** N-gram stopword-ratio language-ID heuristic: score per language =
-    * stopword hits per token; argmax wins, "und" (undetermined) when no
-    * stopword fires. Deterministic and cheap — one pass over `text`.
+  /** Stopword-set language-ID heuristic: tokenize ONCE ([^a-z]+ split over
+    * lowered text), then score per language = number of DISTINCT stopwords
+    * present (`array_intersect` against each 4-word set — codegen'd, no HOF
+    * lambdas); argmax wins, "und" (undetermined) when no stopword fires.
+    *
+    * One string pass total — the round-1 version did one `replace` pass per
+    * stopword (16 passes over `text` per row, the slowest q-entry at 2.15 s);
+    * whole-stage codegen's subexpression elimination evaluates the shared
+    * split exactly once per row.
     */
   val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq(" the ", " and ", " of ", " is "),
-    "de" -> Seq(" der ", " und ", " die ", " ist "),
-    "fr" -> Seq(" le ", " la ", " et ", " est "),
-    "es" -> Seq(" el ", " los ", " y ", " es "))
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "es" -> Seq("el", "los", "y", "es"))
 
-  def langScores(c: Column): Seq[(String, Column)] = {
-    val padded = concat(lit(" "), lower(coalesce(c, lit(""))), lit(" "))
+  /** Single tokenization pass shared by all four language scores. */
+  def langTokens(c: Column): Column =
+    split(lower(coalesce(c, lit(""))), "[^a-z]+")
+
+  def langScores(tokens: Column): Seq[(String, Column)] =
     stopwords.toSeq.sortBy(_._1).map { case (lang, ws) =>
-      lang -> ws.map(w => countOccurrences(padded, w)).reduce(_ + _)
+      lang -> size(array_intersect(tokens, array(ws.map(lit): _*)))
     }
-  }
 
   def langId(c: Column): Column = {
-    val scores = langScores(c)
+    val scores = langScores(langTokens(c))
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
       when(s > 0 && s === best, lit(lang)).otherwise(acc)
