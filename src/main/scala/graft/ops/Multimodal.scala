@@ -8,33 +8,83 @@ import org.apache.spark.sql.functions._
   * stages.
   *
   * The Spark-side plumbing is real — schema, partitioning, batch shapes, and
-  * the column wiring are exactly what a production pipeline needs. The codec
-  * itself is a **STUB**: this container has no image/audio libraries, so
-  * `fakeDecodeFeatures` derives deterministic pseudo-features from the bytes
-  * (clearly marked; swap in a real decoder UDF / mapInPandas on a cluster
-  * with the codec libs installed).
+  * the column wiring are exactly what a production pipeline needs. Header
+  * metadata (format, width, height) is decoded for REAL from the blob bytes
+  * by [[imageHeaderMeta]] — pure column expressions, no codec libraries.
+  * Only the pixel-level feature extraction is a **STUB**: this container has
+  * no image/audio libraries, so `fakeDecodeFeatures` derives deterministic
+  * pseudo-features from the bytes (clearly marked; swap in a real decoder
+  * via mapInPandas on a cluster with the codec libs installed).
   */
 object Multimodal {
 
+  /** REAL image-header decode: container format + pixel dimensions parsed
+    * from the leading bytes with pure built-in column expressions
+    * (`substring`+`hex`+`conv` — codegen'd, no UDF, no codec library):
+    *
+    *  - PNG: 8-byte signature, then IHDR — width/height are 4-byte
+    *    big-endian ints at offsets 16/20.
+    *  - GIF (87a/89a): logical-screen width/height are 2-byte
+    *    LITTLE-endian ints at offsets 6/8.
+    *  - JPEG: SOI then marker segments; dimensions live in the first SOFn
+    *    (FF C0..C3) segment — height/width big-endian at payload offsets
+    *    3/5. The marker is located via a latin-1 byte view (1:1 char↔byte)
+    *    + `instr`; a FF Cn byte pair inside a preceding segment could
+    *    false-positive, which is the standard header-sniff tradeoff.
+    *
+    * Unknown/truncated blobs → format "unknown", null dimensions.
+    */
+  def imageHeaderMeta(media: Column): Column = {
+    // big-endian unsigned int from a byte slice (1-based pos)
+    def be(pos: Int, len: Int): Column =
+      conv(hex(substring(media, pos, len)), 16, 10).cast("int")
+    val isPng = hex(substring(media, 1, 8)) === "89504E470D0A1A0A"
+    val isGif = hex(substring(media, 1, 6))
+      .isin("474946383761", "474946383961") // GIF87a / GIF89a
+    val isJpeg = hex(substring(media, 1, 2)) === "FFD8"
+    // latin-1 view: chars map 1:1 to bytes, so instr/substr address bytes
+    val s = decode(media, "ISO-8859-1")
+    def byteAt(p: Column): Column = ascii(s.substr(p, lit(1)))
+    val sofPos = Seq('À', 'Á', 'Â', 'Ã')
+      .map(m => instr(s, s"ÿ$m"))
+      .map(p => when(p > 0, p)) // least() skips nulls
+      .reduce(least(_, _))
+    val jpegH = byteAt(sofPos + 5) * 256 + byteAt(sofPos + 6)
+    val jpegW = byteAt(sofPos + 7) * 256 + byteAt(sofPos + 8)
+    val gifW = be(7, 1) + be(8, 1) * 256
+    val gifH = be(9, 1) + be(10, 1) * 256
+    struct(
+      when(isPng, "png").when(isGif, "gif").when(isJpeg, "jpeg")
+        .otherwise("unknown").as("format"),
+      when(isPng, be(17, 4)).when(isGif, gifW)
+        .when(isJpeg && sofPos.isNotNull, jpegW.cast("int"))
+        .otherwise(lit(null).cast("int")).as("width"),
+      when(isPng, be(21, 4)).when(isGif, gifH)
+        .when(isJpeg && sofPos.isNotNull, jpegH.cast("int"))
+        .otherwise(lit(null).cast("int")).as("height"))
+  }
+
   /** Wrap a text table into a media table: (key, kind, media BINARY,
     * meta STRUCT<byte_len, format, width, height>). Stands in for reading
-    * real blobs; the binary column round-trips Parquet losslessly.
+    * real blobs; the binary column round-trips Parquet losslessly. The meta
+    * struct is decoded from the actual bytes by [[imageHeaderMeta]] (text
+    * blobs honestly surface as format "unknown" with null dimensions).
     */
   def packFromText(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
     val media = coalesce(col(textCol), lit("")).cast("binary")
     val kind = element_at(
       array(lit("image"), lit("audio"), lit("video")),
       (pmod(xxhash64(col(keyCol)), lit(3)) + 1).cast("int"))
+    val hdr = imageHeaderMeta(media)
     df.select(
       col(keyCol).as("media_id"),
       kind.as("kind"),
       media.as("media"),
       struct(
         length(media).as("byte_len"),
-        lit("fake/raw").as("format"),
-        (pmod(xxhash64(col(keyCol), lit("w")), lit(1920)) + 1).cast("int").as("width"),
-        (pmod(xxhash64(col(keyCol), lit("h")), lit(1080)) + 1).cast("int").as("height"))
-        .as("meta"))
+        hdr.getField("format").as("format"),
+        hdr.getField("width").as("width"),
+        hdr.getField("height").as("height")).as("meta"))
   }
 
   /** STUB decode → feature vector: deterministic pseudo-features from the

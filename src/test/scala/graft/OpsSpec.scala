@@ -143,4 +143,36 @@ class OpsSpec extends AnyFunSuite {
       .select("embedding").as[Seq[Double]].collect()
     assert(f(0) === f(1))
   }
+
+  test("image header decode: real PNG/GIF/JPEG bytes, parquet round-trip") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // real 640x480 PNG header: signature + IHDR (len, type, w, h, depth...)
+    val png = b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // signature
+      0x00, 0x00, 0x00, 0x0D) ++ "IHDR".getBytes ++
+      b(0x00, 0x00, 0x02, 0x80, // width 640 BE
+        0x00, 0x00, 0x01, 0xE0, // height 480 BE
+        0x08, 0x02, 0x00, 0x00, 0x00, 0xAA, 0xBB, 0xCC, 0xDD) // depth+crc
+    // GIF89a logical screen 320x200 (little-endian)
+    val gif = "GIF89a".getBytes ++ b(0x40, 0x01, 0xC8, 0x00, 0xF7, 0x00, 0x00)
+    // JPEG: SOI, APP0 stub segment, SOF0 with height 480 / width 640 BE
+    val jpeg = b(0xFF, 0xD8, // SOI
+      0xFF, 0xE0, 0x00, 0x04, 0x4A, 0x46, // APP0 (len 4)
+      0xFF, 0xC0, 0x00, 0x11, 0x08, // SOF0, len, precision
+      0x01, 0xE0, // height 480
+      0x02, 0x80, // width 640
+      0x03, 0x01, 0x22, 0x00)
+    val junk = "not an image at all".getBytes
+    val dir = java.nio.file.Files.createTempDirectory("mm_hdr").toString
+    Seq((1, png), (2, gif), (3, jpeg), (4, junk)).toDF("id", "media")
+      .write.mode("overwrite").parquet(dir) // binary must survive parquet
+    val got = spark.read.parquet(dir)
+      .select(col("id"), Multimodal.imageHeaderMeta(col("media")).as("m"))
+      .select("id", "m.format", "m.width", "m.height")
+      .collect().map(r => r.getInt(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got(1) === ("png", Some(640), Some(480)))
+    assert(got(2) === ("gif", Some(320), Some(200)))
+    assert(got(3) === ("jpeg", Some(640), Some(480)))
+    assert(got(4) === ("unknown", None, None))
+  }
 }
