@@ -59,6 +59,60 @@ object Validator {
       .groupBy(col("conv_id"), col("turn_idx"))
       .agg(min("part_id").as("part_id"),
         min(struct(col("ts"), col("prev_ts"))).as("p"))
+    attachTsViolationText(badKeys, turns)
+  }
+
+  /** Skew-proof variant of [[tsOrderViolations]] for pathological hot
+    * conversations (SURVEY.md §2.6 skew note): the plain variant windows on
+    * `conv_id`, so a single conversation with tens of millions of turns
+    * serializes into ONE task. Here each conversation is range-split into
+    * `segSize`-turn segments (`seg = floor(turn_idx / segSize)`):
+    *
+    *  1. lag(ts) within (conv_id, seg) — parallelism = segments, not convs;
+    *  2. boundary stitch: per-segment first/last (turn_idx, ts) aggregates
+    *     (HashAggregate, narrow), then one tiny window over the per-segment
+    *     rows (n/segSize rows per conv) compares each segment's first ts to
+    *     the previous non-empty segment's last ts.
+    *
+    * Output is row-identical to the plain variant (spec-asserted): a turn's
+    * predecessor is either in its own segment (case 1) or is the last row of
+    * the nearest earlier non-empty segment (case 2).
+    */
+  def tsOrderViolationsSegmented(
+      turns: DataFrame, segSize: Int = 1 << 16): DataFrame = {
+    val narrow = turns
+      .select(col("conv_id"), col("turn_idx"), col("part_id"), col("ts"),
+        floor(col("turn_idx").cast("double") / segSize).as("seg"))
+    val wSeg = Window.partitionBy("conv_id", "seg").orderBy("turn_idx")
+    val inSeg = narrow
+      .select(col("conv_id"), col("turn_idx"), col("part_id"), col("ts"),
+        lag("ts", 1).over(wSeg).as("prev_ts"))
+      .filter(col("prev_ts").isNotNull && col("prev_ts") > col("ts"))
+    val segAgg = narrow
+      .groupBy(col("conv_id"), col("seg"))
+      .agg(
+        min(struct(col("turn_idx"), col("ts"), col("part_id"))).as("first"),
+        max(struct(col("turn_idx"), col("ts"))).as("last"))
+    val wConv = Window.partitionBy("conv_id").orderBy("seg")
+    val boundary = segAgg
+      .select(col("conv_id"),
+        col("first.turn_idx").as("turn_idx"),
+        col("first.part_id").as("part_id"),
+        col("first.ts").as("ts"),
+        lag("last.ts", 1).over(wConv).as("prev_ts"))
+      .filter(col("prev_ts").isNotNull && col("prev_ts") > col("ts"))
+    val badKeys = inSeg.unionByName(boundary)
+      .groupBy(col("conv_id"), col("turn_idx"))
+      .agg(min("part_id").as("part_id"),
+        min(struct(col("ts"), col("prev_ts"))).as("p"))
+    attachTsViolationText(badKeys, turns)
+  }
+
+  /** Shared tail: join violating keys back to `text` (rare keys — AQE
+    * broadcasts) and render the byte-stable message.
+    */
+  private def attachTsViolationText(
+      badKeys: DataFrame, turns: DataFrame): DataFrame = {
     turns
       .select(col("conv_id"), col("turn_idx"), col("text"))
       .join(badKeys, Seq("conv_id", "turn_idx"))

@@ -114,6 +114,38 @@ class ValidatorSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("segmented ts-order == plain on a pathological hot conversation") {
+    // one conversation with 50k turns (would serialize into a single task
+    // under the plain conv_id window) + normal convs; inversions planted
+    // inside segments AND exactly at segment boundaries (segSize=1000 ->
+    // turns 999|1000 etc.), incl. consecutive boundary-straddling pairs
+    val hot = spark.range(50000).select(
+      lit("hot_conv").as("conv_id"),
+      col("id").cast("int").as("turn_idx"),
+      lit("user").as("role"),
+      concat(lit("t"), col("id")).as("text"),
+      lit(null).cast("string").as("tool"),
+      // base: ts = id seconds; inversions: every 997th turn jumps back 10s,
+      // and turn 1000 (a segment FIRST row) dips below turn 999's ts
+      timestamp_seconds(
+        col("id") * 10 -
+          when(col("id") % 997 === 0 && col("id") > 0, 50).otherwise(0) -
+          when(col("id") === 1000 || col("id") === 32768, 15).otherwise(0))
+        .as("ts"),
+      lit(0).as("part_id"))
+    val normal = TranscriptGen.transcripts(spark, cfg)
+    val all = normal.unionByName(hot.select(normal.columns.map(col): _*))
+    val plain = Validator.tsOrderViolations(all)
+      .select("conv_id", "turn_idx", "message").collect().map(_.toString).sorted
+    val seg = Validator.tsOrderViolationsSegmented(all, segSize = 1000)
+      .select("conv_id", "turn_idx", "message").collect().map(_.toString).sorted
+    assert(plain.length === seg.length,
+      s"plain=${plain.length} seg=${seg.length}")
+    assert(plain.sameElements(seg))
+    // sanity: the planted boundary dip at turn 1000 is present in both
+    assert(plain.exists(_.contains("[hot_conv,1000,")))
+  }
+
   test("generator is deterministic: same config twice gives identical bytes") {
     def tableHash(df: org.apache.spark.sql.DataFrame): Long = df
       .select(xxhash64(col("conv_id"), col("turn_idx"), col("role"),
