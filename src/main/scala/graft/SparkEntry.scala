@@ -403,6 +403,17 @@ object SparkEntry {
             ZodForm.renameStructArray(col("record.author"), ZodForm.personMap)),
           ZodForm.softwareRecordMap)).as("zod_json"))
     }),
+    "q35_merge_stats" -> ((s, dir) => {
+      // merged-field-count metric (utils.py:57-62): per field, how many
+      // merged rows took the secondary's value — same construction as q25
+      val c = t(s, dir, "customer")
+      val primary = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val secondary = c.select(col("c_custkey"),
+        concat(lit("llm_"), col("c_name")).as("c_name"),
+        lit(null).cast("double").as("c_acctbal"))
+      graft.ops.Merge.mergeFieldCounts(primary, secondary, "c_custkey")
+    }),
     "q34_strict_first" -> ((s, dir) => {
       // strict mode's deterministic first-violation contract (api.py:85-89
       // analog): total order (doc_id, rule_id), TakeOrderedAndProject plan
@@ -735,6 +746,18 @@ object SparkEntry {
         |    ELSE '' END || '}]'
         | ], x -> x IS NOT NULL), ',') || '}' AS zod_json
         |FROM customer""".stripMargin,
+    "q35_merge_stats" ->
+      """WITH p AS (SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0),
+        | s AS (SELECT c_custkey, 'llm_' || c_name AS c_name, CAST(NULL AS DOUBLE) AS c_acctbal FROM customer),
+        | j AS (SELECT p.c_name AS pn, p.c_acctbal AS pa, s.c_name AS sn, s.c_acctbal AS sa
+        |       FROM p FULL OUTER JOIN s ON p.c_custkey = s.c_custkey)
+        |SELECT 'c_name' AS field,
+        | CAST(sum(CASE WHEN pn IS NULL AND sn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled_from_secondary
+        |FROM j
+        |UNION ALL
+        |SELECT 'c_acctbal' AS field,
+        | CAST(sum(CASE WHEN pa IS NULL AND sa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled_from_secondary
+        |FROM j""".stripMargin,
     "q34_strict_first" ->
       """WITH v AS (
         | SELECT doc_id, 'REQUIRED_NONEMPTY_text' AS rule_id, 'text' AS field,
