@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.JsonLd
+
+/** JSON-LD ingestion parity with the reference's conversion layer
+  * (`src/core/models.py:104-266`): `_get_value` @value/@id fallback and
+  * first-of-list recursion, the full 52-entry property map, and the
+  * one-projection rename.
+  */
+class JsonLdSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val nameUri = "http://schema.org/name"
+  private val orcidUri = "http://w3id.org/nfdi4ing/metadata4ing#orcidId"
+  private val affUri = "http://schema.org/affiliation"
+
+  test("_get_value: @value wins, @id fallback, first-of-list recursion") {
+    val schema = new StructType()
+      .add(nameUri, JsonLd.valueNodeSchema)
+      .add(orcidUri, JsonLd.valueNodeSchema)
+      .add(affUri, ArrayType(JsonLd.valueNodeSchema))
+    val rows = Seq(
+      // name via @value; orcid via @id fallback; affiliation list
+      s"""{"$nameUri": {"@value": "Ada"},
+          "$orcidUri": {"@id": "https://orcid.org/0001"},
+          "$affUri": [{"@value": "EPFL"}, {"@value": "ETH"}]}""",
+      // name node with both -> @value wins; empty orcid node -> null
+      s"""{"$nameUri": {"@value": "Grace", "@id": "ignored"},
+          "$orcidUri": {},
+          "$affUri": []}""")
+    val parsed = rows.toDF("j").select(from_json(col("j"), schema).as("e"))
+      .select(
+        JsonLd.valueOf(col("e").getField(nameUri)).as("name"),
+        JsonLd.valueOf(col("e").getField(orcidUri)).as("orcidId"),
+        JsonLd.firstValue(col("e").getField(affUri)).as("first_aff"))
+      .collect()
+    assert(parsed(0).getString(0) === "Ada")
+    assert(parsed(0).getString(1) === "https://orcid.org/0001")
+    assert(parsed(0).getString(2) === "EPFL")
+    assert(parsed(1).getString(0) === "Grace") // @value wins over @id
+    assert(parsed(1).isNullAt(1))              // {} node -> None
+    assert(parsed(1).isNullAt(2))              // [] -> _get_value(None)
+  }
+
+  test("renameEntity applies the full 52-entry map in one projection") {
+    assert(JsonLd.jsonldToPydantic.size === 52)
+    // a frame whose columns are ALL property URIs + one unmapped passthrough
+    val uris = JsonLd.jsonldToPydantic.map(_._1)
+    val df = spark.range(1).select(
+      (uris.map(u => lit(u).as(u)) :+ lit("keep").as("unmapped")): _*)
+    val renamed = JsonLd.renameEntity(df)
+    assert(renamed.columns.toSeq ===
+      JsonLd.jsonldToPydantic.map(_._2) :+ "unmapped")
+    // exactly one Project over the scan, not 52 (plan stays flat)
+    val projects = renamed.queryExecution.optimizedPlan.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+    }
+    assert(projects.size === 1)
+  }
+
+  test("expandEntity inverts renameEntity (utils.py:29-36 context expansion)") {
+    val uris = JsonLd.jsonldToPydantic.map(_._1)
+    val df = spark.range(1).select(uris.map(u => lit(1).as(u)): _*)
+    val roundTrip = JsonLd.expandEntity(JsonLd.renameEntity(df))
+    assert(roundTrip.columns.toSeq === uris)
+  }
+
+  test("wrapList: null array normalizes to empty (models.py:179-182)") {
+    val df = Seq((1, Seq("a")), (2, null)).toDF("id", "xs")
+    val out = df.select(col("id"), JsonLd.wrapList(col("xs")).as("xs"))
+      .orderBy("id").as[(Int, Seq[String])].collect()
+    assert(out(0)._2 === Seq("a"))
+    assert(out(1)._2 === Seq.empty[String])
+  }
+}
