@@ -414,6 +414,21 @@ object SparkEntry {
         lit(null).cast("double").as("c_acctbal"))
       graft.ops.Merge.mergeFieldCounts(primary, secondary, "c_custkey")
     }),
+    "q36_window_segmented" -> ((s, dir) => {
+      // the skew-proof segmented ts-order check, hash-oracled against a
+      // plain DuckDB window: value-derived timestamps plant real inversions,
+      // and segSize=16 over sparse per-conv turn_idx (global event_id) makes
+      // almost every violation cross a segment boundary — the stitch path
+      val ev = t(s, dir, "events").select(
+        col("user_id").cast("string").as("conv_id"),
+        col("event_id").cast("int").as("turn_idx"),
+        lit(0).as("part_id"),
+        timestamp_seconds(floor(col("value") * 1000).cast("long")).as("ts"),
+        col("props").as("text"))
+      graft.engine.Validator.tsOrderViolationsSegmented(ev, segSize = 16)
+        .select(col("conv_id"), col("turn_idx"), col("rule_id"),
+          col("message"), col("text"))
+    }),
     "q34_strict_first" -> ((s, dir) => {
       // strict mode's deterministic first-violation contract (api.py:85-89
       // analog): total order (doc_id, rule_id), TakeOrderedAndProject plan
@@ -758,6 +773,23 @@ object SparkEntry {
         |SELECT 'c_acctbal' AS field,
         | CAST(sum(CASE WHEN pa IS NULL AND sa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled_from_secondary
         |FROM j""".stripMargin,
+    "q36_window_segmented" ->
+      """WITH e AS (
+        | SELECT CAST(user_id AS VARCHAR) AS conv_id,
+        |  CAST(event_id AS INT) AS turn_idx,
+        |  make_timestamp(CAST(floor(value * 1000) AS BIGINT) * 1000000) AS ts,
+        |  props AS text
+        | FROM events),
+        |w AS (
+        | SELECT conv_id, turn_idx, ts, text,
+        |  lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts
+        | FROM e)
+        |SELECT conv_id, turn_idx, 'TS_ORDER_ts' AS rule_id,
+        | 'Non-monotonic ts in conv ' || conv_id || ' at turn ' ||
+        |  CAST(turn_idx AS VARCHAR) || ': ' || CAST(ts AS VARCHAR) ||
+        |  ' < ' || CAST(prev_ts AS VARCHAR) AS message,
+        | text
+        |FROM w WHERE prev_ts > ts""".stripMargin,
     "q34_strict_first" ->
       """WITH v AS (
         | SELECT doc_id, 'REQUIRED_NONEMPTY_text' AS rule_id, 'text' AS field,

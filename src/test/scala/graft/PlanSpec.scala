@@ -118,4 +118,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"),
       "global sort detected — output ordering must be sort-within-partitions")
   }
+
+  test("nested-check and zod entries are map-only (zero Exchange)") {
+    // q30/q33-shaped pipelines: scan -> array/struct build -> filter/project.
+    // At 100 TB these must stay pure map passes — any Exchange is a bug.
+    val d = turns.select(col("conv_id"),
+      array(col("text"), col("role")).as("urls"))
+    val c = graft.checks.NestedChecks.UrlList("urls")
+    val pNested = plan(d.filter(c.violated)
+      .select(col("conv_id"), c.message.as("message")))
+    assert(!pNested.contains("Exchange"), "nested check shuffled")
+    val zod = graft.model.ZodForm.toZodJson(graft.model.ZodForm.renameStruct(
+      struct(col("role").as("name"), col("text").as("description")),
+      Seq("name" -> "schema:name", "description" -> "schema:description")))
+    val pZod = plan(turns.select(col("conv_id"), zod.as("zod_json")))
+    assert(!pZod.contains("Exchange"), "zod projection shuffled")
+  }
+
+  test("deterministic first violation plans as TakeOrderedAndProject") {
+    // strict mode's orderBy+limit(1) must be per-partition top-1 + driver
+    // merge, never a global sort Exchange
+    val p = plan(Validator.rowViolations(turns)
+      .orderBy("conv_id", "turn_idx", "rule_id").limit(1))
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("rangepartitioning"))
+  }
+
+  test("segmented ts-order window keys include seg (skew split is real)") {
+    val p = plan(Validator.tsOrderViolationsSegmented(turns, segSize = 1000))
+    // the per-row window must partition by (conv_id, seg), not conv_id alone
+    assert(p.contains("seg"), "segment column missing from the plan")
+    assert(p.contains("Window"), "no window operator found")
+  }
 }
