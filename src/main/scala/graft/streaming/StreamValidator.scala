@@ -1,9 +1,23 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.checks.{Check, Checks}
+
+/** Typed rows for the stateful streaming path. */
+final case class StreamTurn(
+    conv_id: String, turn_idx: Int, part_id: Int, text: String,
+    ts: java.sql.Timestamp)
+
+/** Per-conversation order state carried across micro-batches. */
+final case class ConvOrderState(lastTurnIdx: Int, lastTsMicros: Long)
+
+/** Cross-batch violation row (same shape/message as the batch validator). */
+final case class StreamOrderViolation(
+    conv_id: String, turn_idx: Int, part_id: Int, rule_id: String,
+    field: String, message: String, text: String)
 
 /** Streaming validation: the identical constraint catalog applied to a
   * `readStream` of transcript appends (SURVEY.md §2.10 stance — the batch
@@ -65,4 +79,88 @@ object StreamValidator {
         col("n_violations"),
         when(col("n_violations") === 0, lit("valid")).otherwise(lit("invalid"))
           .as("status"))
+
+  /** Spark-style UTC timestamp rendering (what `cast(ts as string)` emits):
+    * no fraction for whole seconds, trailing zeros trimmed otherwise — keeps
+    * the stateful path's messages byte-identical to the batch validator's
+    * `format_string(..., col("ts").cast("string"))`.
+    */
+  private def fmtTs(micros: Long): String = {
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+    val base = ldt.format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val frac = Math.floorMod(micros, 1000000L)
+    if (frac == 0) base
+    else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+  }
+
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** STATEFUL cross-batch ts-order check — the piece the stateless stream
+    * cannot express: a conversation's turns may arrive across micro-batches,
+    * and "is this turn's ts ≥ the previous turn's" needs the previous
+    * batch's last (turn_idx, ts) per conversation. Custom state via
+    * `flatMapGroupsWithState` (the sanctioned Structured Streaming state
+    * API; the zero-row-UDF policy governs the codegen'd CHECK hot path —
+    * streaming state is the documented exception, SURVEY.md §2.10):
+    *
+    *  - state per conv_id: (lastTurnIdx, lastTsMicros) — 12 bytes of state
+    *    per live conversation, not the turns themselves;
+    *  - event-time timeout evicts conversations `stateGapMs` past the
+    *    watermark, bounding total state at (live convs in the gap window);
+    *  - messages byte-match the batch validator (spec-asserted).
+    *
+    * In-batch ordering is (turn_idx, ts) — same key-level semantics as the
+    * batch window variant for unique keys.
+    */
+  def statefulTsOrder(
+      stream: DataFrame,
+      watermark: String = "30 minutes",
+      stateGapMs: Long = 60L * 60 * 1000): Dataset[StreamOrderViolation] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .withWatermark("ts", watermark)
+      .select(col("conv_id"), col("turn_idx"), col("part_id"), col("text"),
+        col("ts"))
+      .as[StreamTurn]
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvOrderState, StreamOrderViolation](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (convId: String, rows: Iterator[StreamTurn],
+         state: GroupState[ConvOrderState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val turns = rows.toArray.sortBy(t => (t.turn_idx, tsMicros(t.ts)))
+            if (turns.isEmpty) Iterator.empty
+            else {
+              var lastTs =
+                state.getOption.map(_.lastTsMicros).getOrElse(Long.MinValue)
+              val out =
+                scala.collection.mutable.ArrayBuffer[StreamOrderViolation]()
+              turns.foreach { t =>
+                val m = tsMicros(t.ts)
+                if (lastTs != Long.MinValue && lastTs > m)
+                  out += StreamOrderViolation(
+                    t.conv_id, t.turn_idx, t.part_id, "TS_ORDER_ts", "ts",
+                    s"Non-monotonic ts in conv ${t.conv_id} at turn " +
+                      s"${t.turn_idx}: ${fmtTs(m)} < ${fmtTs(lastTs)}",
+                    t.text)
+                lastTs = m
+              }
+              state.update(ConvOrderState(turns.last.turn_idx, lastTs))
+              val maxEventMs = turns.map(_.ts.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs(), maxEventMs) + stateGapMs)
+              out.iterator
+            }
+          }
+      }
+  }
 }

@@ -49,4 +49,39 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Int, Long, Long, String)].collect().toSet
     assert(out === Set((0, 2L, 1L, "invalid"), (1, 1L, 0L, "valid")))
   }
+
+  test("stateful ts-order catches CROSS-micro-batch inversions, " +
+    "messages byte-match the batch validator") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamValidator.statefulTsOrder(input.toDF())
+      .writeStream.format("memory").queryName("order_out")
+      .outputMode("append").start()
+    // batch 1: conv c1 turns 0,1 in order — carries state (1, ts(60))
+    input.addData(
+      Turn("c1", 0, "user", "a", null, ts(0), 0),
+      Turn("c1", 1, "assistant", "b", null, ts(60), 0))
+    q.processAllAvailable()
+    // batch 2: turn 2 arrives with ts BEFORE batch 1's last — only the
+    // carried state can see the inversion (a per-batch window would not)
+    input.addData(Turn("c1", 2, "user", "c", null, ts(30), 0),
+      Turn("c2", 0, "user", "d", null, ts(0), 1)) // clean other conv
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("order_out")
+      .select("conv_id", "turn_idx", "rule_id", "message", "text")
+      .as[(String, Int, String, String, String)].collect()
+    assert(got.length === 1)
+    assert(got(0)._1 === "c1" && got(0)._2 === 2)
+    // byte-parity with the batch path on the same accumulated rows
+    val batchRows = Seq(
+      Turn("c1", 0, "user", "a", null, ts(0), 0),
+      Turn("c1", 1, "assistant", "b", null, ts(60), 0),
+      Turn("c1", 2, "user", "c", null, ts(30), 0),
+      Turn("c2", 0, "user", "d", null, ts(0), 1)).toDF()
+    val batch = graft.engine.Validator.tsOrderViolations(batchRows)
+      .select("conv_id", "turn_idx", "rule_id", "message", "text")
+      .as[(String, Int, String, String, String)].collect()
+    assert(batch.length === 1)
+    assert(got(0) === batch(0))
+  }
 }
