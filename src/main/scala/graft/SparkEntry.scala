@@ -414,6 +414,21 @@ object SparkEntry {
         lit(null).cast("double").as("c_acctbal"))
       graft.ops.Merge.mergeFieldCounts(primary, secondary, "c_custkey")
     }),
+    "q37_invalid_fields" -> ((s, dir) => {
+      // the invalid_fields map operator (verification.py:13) hash-oracled:
+      // field -> first reason per doc, rendered as a sorted-key JSON object
+      val checks: Seq[graft.checks.Check] = Seq(
+        graft.checks.RequiredNonEmpty("text"),
+        graft.checks.RegexFullmatch("lang", "[a-z]{2}",
+          "Invalid lang format in lang: "),
+        graft.checks.LengthMax("text", 2000))
+      val viol = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Checks.violationsArray(checks)).as("v"))
+        .select(col("doc_id"), col("v.field").as("field"),
+          col("v.message").as("message"))
+      graft.engine.Validator.invalidFieldsMap(viol, keyCol = "doc_id")
+        .select(col("doc_id"), to_json(col("invalid_fields")).as("invalid_json"))
+    }),
     "q36_window_segmented" -> ((s, dir) => {
       // the skew-proof segmented ts-order check, hash-oracled against a
       // plain DuckDB window: value-derived timestamps plant real inversions,
@@ -773,6 +788,23 @@ object SparkEntry {
         |SELECT 'c_acctbal' AS field,
         | CAST(sum(CASE WHEN pa IS NULL AND sa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled_from_secondary
         |FROM j""".stripMargin,
+    "q37_invalid_fields" ->
+      """WITH v AS (
+        | SELECT doc_id, 'text' AS field, 'Missing required field: text' AS message
+        | FROM documents WHERE text IS NULL OR text = ''
+        | UNION ALL
+        | SELECT doc_id, 'lang', 'Invalid lang format in lang: ' || COALESCE(lang, 'None')
+        | FROM documents
+        | WHERE lang IS NOT NULL AND NOT regexp_full_match(lang, '[a-z]{2}')
+        | UNION ALL
+        | SELECT doc_id, 'text', 'Value exceeds max_length=2000 in text: length ' ||
+        |  CAST(length(text) AS VARCHAR)
+        | FROM documents WHERE text IS NOT NULL AND length(text) > 2000),
+        |f AS (SELECT doc_id, field, min(message) AS reason FROM v GROUP BY 1, 2)
+        |SELECT doc_id,
+        | '{' || string_agg('"' || field || '":"' || reason || '"', ','
+        |        ORDER BY field) || '}' AS invalid_json
+        |FROM f GROUP BY doc_id""".stripMargin,
     "q36_window_segmented" ->
       """WITH e AS (
         | SELECT CAST(user_id AS VARCHAR) AS conv_id,

@@ -201,11 +201,12 @@ object Validator {
     * First = lexicographically-first message for determinism (the reference
     * keeps the last write; rule order is fixed so both are stable).
     */
-  def invalidFieldsMap(violations: DataFrame): DataFrame =
+  def invalidFieldsMap(
+      violations: DataFrame, keyCol: String = "conv_id"): DataFrame =
     violations
-      .groupBy(col("conv_id"), col("field"))
+      .groupBy(col(keyCol), col("field"))
       .agg(min("message").as("reason"))
-      .groupBy(col("conv_id"))
+      .groupBy(col(keyCol))
       .agg(map_from_entries(
         array_sort(collect_list(struct(col("field"), col("reason")))))
         .as("invalid_fields"))
