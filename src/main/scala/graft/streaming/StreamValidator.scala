@@ -80,6 +80,20 @@ object StreamValidator {
         when(col("n_violations") === 0, lit("valid")).otherwise(lit("invalid"))
           .as("status"))
 
+  /** Streaming uniqueness — the DUPLICATE_KEY check's streaming face:
+    * first-writer-wins dedup on (conv_id, turn_idx) with watermark-bounded
+    * state (`dropDuplicatesWithinWatermark`: a duplicate arriving within the
+    * watermark window of its first occurrence is dropped; state for keys
+    * older than the watermark is evicted, so state size is bounded by keys
+    * in the watermark window, not the whole history).
+    */
+  def dedupKeys(
+      stream: DataFrame,
+      watermark: String = "30 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+
   /** Spark-style UTC timestamp rendering (what `cast(ts as string)` emits):
     * no fraction for whole seconds, trailing zeros trimmed otherwise — keeps
     * the stateful path's messages byte-identical to the batch validator's

@@ -50,6 +50,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === Set((0, 2L, 1L, "invalid"), (1, 1L, 0L, "valid")))
   }
 
+  test("streaming dedup drops cross-batch duplicate keys, state watermark-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamValidator.dedupKeys(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData(
+      Turn("c1", 0, "user", "first", null, ts(0), 0),
+      Turn("c1", 0, "user", "dup-in-batch", null, ts(1), 0))
+    q.processAllAvailable()
+    input.addData( // same key again in a LATER micro-batch
+      Turn("c1", 0, "user", "dup-cross-batch", null, ts(2), 0),
+      Turn("c1", 1, "user", "new-key", null, ts(3), 0))
+    q.processAllAvailable(); q.stop()
+    val texts = spark.table("dedup_out")
+      .select("text").as[String].collect().sorted
+    assert(texts.toSeq === Seq("first", "new-key"))
+  }
+
   test("stateful ts-order catches CROSS-micro-batch inversions, " +
     "messages byte-match the batch validator") {
     implicit val sqlCtx = spark.sqlContext
