@@ -414,6 +414,16 @@ object SparkEntry {
         lit(null).cast("double").as("c_acctbal"))
       graft.ops.Merge.mergeFieldCounts(primary, secondary, "c_custkey")
     }),
+    "q38_minhash_exact" -> ((s, dir) => {
+      // MinHash-LSH candidates + EXACT jaccard verify, hash-oracled against
+      // the full exact pair set (the corpus's near-dup gap makes LSH recall
+      // exactly 1 here — see Dedup.minhashLshPairsExact scaladoc); the
+      // oracle certifies candidate generation AND verification
+      Dedup.minhashLshPairsExact(
+        t(s, dir, "documents").filter(col("doc_id") < 1000),
+        "text", "doc_id", threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
     "q37_invalid_fields" -> ((s, dir) => {
       // the invalid_fields map operator (verification.py:13) hash-oracled:
       // field -> first reason per doc, rendered as a sorted-key JSON object
@@ -788,6 +798,23 @@ object SparkEntry {
         |SELECT 'c_acctbal' AS field,
         | CAST(sum(CASE WHEN pa IS NULL AND sa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled_from_secondary
         |FROM j""".stripMargin,
+    "q38_minhash_exact" ->
+      """WITH d AS (
+        | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        | FROM documents WHERE doc_id < 1000),
+        |s AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |                          i -> array_to_string(toks[i:i+2], ' ')))
+        |  END AS sh
+        | FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |       / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      >= 0.7 * len(list_distinct(list_concat(a.sh, b.sh)))""".stripMargin,
     "q37_invalid_fields" ->
       """WITH v AS (
         | SELECT doc_id, 'text' AS field, 'Missing required field: text' AS message

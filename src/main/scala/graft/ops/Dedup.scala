@@ -82,6 +82,29 @@ object Dedup {
     * |sig∩|/k) instead of re-joining full shingle sets, keeping the verify
     * stage O(pairs·k).
     */
+  /** LSH candidate pairs from persisted signatures: banded bucket self-join
+    * (ids only), pathological buckets dropped, pairs deduped across bands.
+    */
+  private def lshCandidates(
+      sigs: DataFrame, k: Int, bands: Int, maxBucket: Int): DataFrame = {
+    val banded = sigs
+      .select(col("id"), explode(bandKeys(col("sig"), k, bands)).as("band"))
+    // Drop pathological buckets (boilerplate bands) BEFORE the self-join —
+    // they square the candidate count and exact dedup upstream owns them.
+    val ok = banded.join(
+      banded.groupBy("band").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > 1 && col("bn") <= maxBucket),
+      Seq("band"))
+    // Candidate pairs as a NARROW band-key self-join (ids only), deduped
+    // across bands before any signature work — a pair sharing many bands
+    // is verified once, not `bands` times.
+    ok.as("a")
+      .join(ok.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   def minhashLshPairs(
       df: DataFrame,
       textCol: String,
@@ -96,28 +119,40 @@ object Dedup {
     // the persist the whole signature aggregation would re-run ~5 times.
     val sigs = minhashSignatures(df, textCol, keyCol, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs
-      .select(col("id"), explode(bandKeys(col("sig"), k, bands)).as("band"))
-    // Drop pathological buckets (boilerplate bands) BEFORE the self-join —
-    // they square the candidate count and exact dedup upstream owns them.
-    val ok = banded.join(
-      banded.groupBy("band").agg(count(lit(1)).as("bn"))
-        .filter(col("bn") > 1 && col("bn") <= maxBucket),
-      Seq("band"))
-    // Candidate pairs as a NARROW band-key self-join (ids only), deduped
-    // across bands before any signature work — a pair sharing many bands
-    // is verified once, not `bands` times.
-    val cand = ok.as("a")
-      .join(ok.as("b"),
-        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    cand
+    lshCandidates(sigs, k, bands, maxBucket)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sig_a"), col("sig_b"))).cast("double") / k)
           .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash-LSH candidates verified by EXACT word-shingle Jaccard (text
+    * joined back to the candidate ids): output is a strict subset of the
+    * exact-Jaccard pair set, differing only by LSH recall. With the default
+    * 16 bands × 4 rows, a true-Jaccard-0.9 pair is missed with probability
+    * (1 − 0.9⁴)¹⁶ ≈ 4·10⁻⁸ — so on corpora whose near-dups sit well above
+    * `threshold` (the synthetic documents table has a clean gap: nothing
+    * between ~0.1 and 0.9) the output EQUALS the exact pair set, which is
+    * what the q38 DuckDB oracle certifies, recall included.
+    */
+  def minhashLshPairsExact(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      n: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucket: Int = 200): DataFrame = {
+    val sigs = minhashSignatures(df, textCol, keyCol, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lshCandidates(sigs, k, bands, maxBucket)
+      .join(df.select(col(keyCol).as("id_a"), col(textCol).as("text_a")), "id_a")
+      .join(df.select(col(keyCol).as("id_b"), col(textCol).as("text_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("text_a"), col("text_b"), n).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
