@@ -414,6 +414,19 @@ object SparkEntry {
         lit(null).cast("double").as("c_acctbal"))
       graft.ops.Merge.mergeFieldCounts(primary, secondary, "c_custkey")
     }),
+    "q39_cosine_neardup" -> ((s, dir) => {
+      // embedding-cosine near-dup pairs, hash-oracled: plant scaled copies
+      // (cos(v, 1.01v) = 1 and the sign-LSH bucket is scale-invariant, so
+      // recall is structurally 1); background pairs all sit below 0.9, far
+      // from the 0.95 threshold — the oracle certifies bucketing, candidate
+      // dedup, exact verify, and the threshold filter
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val copies = e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+      Similarity.cosineNearDupPairs(e.unionByName(copies), threshold = 0.95)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    }),
     "q38_minhash_exact" -> ((s, dir) => {
       // MinHash-LSH candidates + EXACT jaccard verify, hash-oracled against
       // the full exact pair set (the corpus's near-dup gap makes LSH recall
@@ -798,6 +811,17 @@ object SparkEntry {
         |SELECT 'c_acctbal' AS field,
         | CAST(sum(CASE WHEN pa IS NULL AND sa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled_from_secondary
         |FROM j""".stripMargin,
+    "q39_cosine_neardup" ->
+      """WITH base AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cp AS (
+        | SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x * 1.01) AS v
+        | FROM base WHERE vec_id % 25 = 0),
+        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM cp)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin,
     "q38_minhash_exact" ->
       """WITH d AS (
         | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
