@@ -31,16 +31,18 @@ object Dedup {
           i => concat_ws(" ", slice(words, i, lit(n))))))
   }
 
-  /** MinHash signatures, relational form: explode shingles to rows, hash
-    * each shingle string ONCE, then take k codegen'd `min` aggregates of
-    * k cheap long re-hashes (`xxhash64(h, j)`) in a single HashAggregate
-    * with map-side partial combine.
+  /** MinHash signatures: explode shingles to rows, hash each shingle string
+    * ONCE, then compute all k running minima in a single native
+    * [[graft.functions.MinHashSignature]] aggregate (one buffer of k longs,
+    * map-side partial combine, outer hash mixed once per row).
     *
-    * This deliberately avoids nested higher-order-function lambdas
-    * (`transform`/`aggregate`), which Spark evaluates interpreted — the HOF
-    * formulation measured ~30x slower and re-evaluated the shingle
-    * construction k times. The explode+groupBy shape is also the one that
-    * scales: shuffle is (id, 8-byte hash) rows, aggregation buffers are k
+    * History of this shape (both alternatives measured): nested
+    * higher-order-function lambdas run interpreted (~30x slower, re-built
+    * the shingles k times); k separate `min(xxhash64(h, j))` column
+    * aggregates were bit-identical but JIT-compiled a k-branch generated
+    * method for seconds on first use and re-folded the hash from the seed k
+    * times per row. The explode+groupBy shape is the one that scales:
+    * shuffle is (id, 8-byte hash) rows, the aggregation buffer is k
     * fixed-width longs.
     */
   def minhashSignatures(
@@ -49,14 +51,11 @@ object Dedup {
       keyCol: String,
       n: Int = 3,
       k: Int = 64): DataFrame = {
-    val exploded = df
+    df
       .select(col(keyCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
       .select(col("id"), xxhash64(col("sh")).as("h"))
-    val aggs = (1 to k).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
-    exploded
       .groupBy("id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), array((1 to k).map(j => col(s"m$j")): _*).as("sig"))
+      .agg(graft.functions.MinHashSignature.minhashSig(col("h"), k).as("sig"))
   }
 
   /** LSH band keys: split the k-length signature into `bands` bands of

@@ -144,6 +144,24 @@ class OpsSpec extends AnyFunSuite {
     assert(f(0) === f(1))
   }
 
+  test("native minhash aggregate is bit-identical to min(xxhash64(h, j))") {
+    // the k-column relational form the native agg replaced — parity anchor
+    val exploded = docs
+      .select(col("doc_id").as("id"),
+        explode(Dedup.shingles(col("text"), 3)).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val k = 64
+    val aggs = (1 to k).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
+    val relational = exploded.groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((1 to k).map(j => col(s"m$j")): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val native = Dedup.minhashSignatures(docs, "text", "doc_id", 3, k)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native.keySet === relational.keySet)
+    native.keys.foreach(id => assert(native(id) === relational(id), s"id=$id"))
+  }
+
   test("image header decode: real PNG/GIF/JPEG bytes, parquet round-trip") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     // real 640x480 PNG header: signature + IHDR (len, type, w, h, depth...)
