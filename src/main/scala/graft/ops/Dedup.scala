@@ -155,31 +155,25 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash per document, relational form: bit i of the hash is the
-    * sign of the sum over distinct tokens of (token-hash bit i ? +1 : -1).
-    * Explode tokens → hash once → 64 codegen'd `sum` aggregates with static
-    * shift amounts (the HOF formulation with column-valued shifts runs
-    * interpreted — same finding as [[minhashSignatures]]).
+  /** 64-bit SimHash per document: bit i of the hash is the sign of the sum
+    * over distinct tokens of (token-hash bit i ? +1 : -1). Explode tokens →
+    * hash once → one native [[graft.functions.SimHash64]] aggregate (64
+    * vote counters in one buffer; the earlier 64-sum relational form was
+    * bit-identical but JIT-heavy, and the HOF formulation with
+    * column-valued shifts runs interpreted — same findings as
+    * [[minhashSignatures]]).
     */
   def simhashSignatures(
       df: DataFrame,
       textCol: String,
       keyCol: String): DataFrame = {
-    val exploded = df
+    df
       .select(col(keyCol).as("id"),
         explode(array_distinct(
           split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"))).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
-    val votes = (0 to 63).map(i =>
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$i"))
-    val weights = (0 to 63).map(i => if (i == 63) Long.MinValue else 1L << i)
-    exploded
       .groupBy("id")
-      .agg(votes.head, votes.tail: _*)
-      .select(col("id"),
-        (0 to 63).map(i =>
-          when(col(s"v$i") > 0, lit(weights(i))).otherwise(lit(0L)))
-          .reduce(_ + _).as("sim"))
+      .agg(graft.functions.SimHash64.simhash64(col("h")).as("sim"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */

@@ -162,6 +162,27 @@ class OpsSpec extends AnyFunSuite {
     native.keys.foreach(id => assert(native(id) === relational(id), s"id=$id"))
   }
 
+  test("native simhash aggregate is bit-identical to the 64-sum form") {
+    val exploded = docs
+      .select(col("doc_id").as("id"),
+        explode(array_distinct(
+          split(lower(trim(coalesce(col("text"), lit("")))), "\\s+"))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 to 63).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$i"))
+    val weights = (0 to 63).map(i => if (i == 63) Long.MinValue else 1L << i)
+    val relational = exploded.groupBy("id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 to 63).map(i =>
+          when(col(s"v$i") > 0, lit(weights(i))).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    val native = Dedup.simhashSignatures(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(native === relational)
+  }
+
   test("image header decode: real PNG/GIF/JPEG bytes, parquet round-trip") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     // real 640x480 PNG header: signature + IHDR (len, type, w, h, depth...)
