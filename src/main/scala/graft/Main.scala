@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.SparkConf
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.{Runner, Validator}
+
+/** spark-submit entrypoint for the validation engine (the north rule's
+  * "launched by spark-submit on a multi-executor cluster" surface):
+  *
+  * {{{
+  * spark-submit --class graft.Main --master <cluster> graft.jar \
+  *   --input  /data/transcripts \
+  *   --conversations /data/conversations \
+  *   --out    /runs/2026-08-16 \
+  *   --run-id nightly [--mode audit|strict] [--no-resume]
+  * }}}
+  *
+  * Master/executor topology comes entirely from spark-submit (no `.master()`
+  * override here — a bare JVM launch falls back to `local[*]`). Audit mode
+  * runs the full checkpoint-resumable [[Runner]] (violations + verdicts +
+  * manifest sinks, per-partition lineage); strict mode aborts on the
+  * deterministic first violation with exit code 2, the reference's
+  * HTTP-400 analog (`api.py:85-89`).
+  */
+object Main {
+
+  private case class Opts(
+      input: String = "",
+      conversations: Option[String] = None,
+      out: String = "",
+      runId: String = "run",
+      mode: String = "audit",
+      resume: Boolean = true)
+
+  private def parse(args: List[String], o: Opts = Opts()): Opts = args match {
+    case "--input" :: v :: rest         => parse(rest, o.copy(input = v))
+    case "--conversations" :: v :: rest => parse(rest, o.copy(conversations = Some(v)))
+    case "--out" :: v :: rest           => parse(rest, o.copy(out = v))
+    case "--run-id" :: v :: rest        => parse(rest, o.copy(runId = v))
+    case "--mode" :: v :: rest          => parse(rest, o.copy(mode = v))
+    case "--no-resume" :: rest          => parse(rest, o.copy(resume = false))
+    case Nil                            => o
+    case other :: _ =>
+      throw new IllegalArgumentException(s"unknown argument: $other")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val o = parse(args.toList)
+    require(o.input.nonEmpty, "--input is required")
+    require(o.mode == "audit" || o.mode == "strict",
+      s"--mode must be audit or strict, got ${o.mode}")
+    if (o.mode == "audit") require(o.out.nonEmpty, "--out is required in audit mode")
+
+    val builder = SparkSession.builder()
+      .appName("graft-validate")
+      .config("spark.sql.session.timeZone", "UTC")
+    // spark-submit supplies the master; bare JVM launches fall back local.
+    // Stop the session on exit only if this main created it (embedded
+    // callers — tests, notebooks — keep theirs).
+    val preExisting = SparkSession.getDefaultSession.isDefined
+    val spark =
+      if (new SparkConf().contains("spark.master")) builder.getOrCreate()
+      else builder.master("local[*]").getOrCreate()
+    try {
+      val turns = spark.read.parquet(o.input)
+      val convs = o.conversations.map(spark.read.parquet(_))
+      o.mode match {
+        case "strict" =>
+          try Validator.validateStrict(turns, convs)
+          catch {
+            case e: IllegalStateException =>
+              System.err.println(s"STRICT VALIDATION FAILED: ${e.getMessage}")
+              if (!preExisting) spark.stop()
+              sys.exit(2)
+          }
+          println("""{"status":"valid","mode":"strict"}""")
+        case _ =>
+          val r = Runner.run(spark, turns, convs, o.out, o.runId,
+            resume = o.resume)
+          val nViol = r.verdicts
+            .agg(org.apache.spark.sql.functions.sum("n_violations"))
+            .collect()(0).getLong(0)
+          println(
+            s"""{"status":"done","mode":"audit","run_id":"${o.runId}",""" +
+              s""""validated_parts":${r.validatedParts},""" +
+              s""""skipped_parts":${r.skippedParts},"n_violations":$nViol}""")
+      }
+    } finally if (!preExisting) spark.stop()
+  }
+}

@@ -54,6 +54,32 @@ class RunnerSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("spark-submit Main: audit end-to-end + resume; strict passes clean data") {
+    val in = java.nio.file.Files.createTempDirectory("graft_main_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_main_out").toString
+    turns.write.mode("overwrite").parquet(s"$in/turns")
+    convs.write.mode("overwrite").parquet(s"$in/convs")
+    Main.main(Array("--input", s"$in/turns", "--conversations", s"$in/convs",
+      "--out", out, "--run-id", "cli1"))
+    assert(spark.read.parquet(s"$out/violations").count() > 0)
+    assert(spark.read.parquet(s"$out/verdicts").count() === 8)
+    // resume: a second CLI run validates nothing new, appends lineage
+    Main.main(Array("--input", s"$in/turns", "--conversations", s"$in/convs",
+      "--out", out, "--run-id", "cli2"))
+    val runs = spark.read.parquet(s"$out/manifest")
+      .select("run_id").distinct().as[String].collect().toSet
+    assert(runs === Set("cli1")) // cli2 skipped every partition, no new rows
+    // strict mode on CLEAN data returns normally
+    val clean = spark.range(10).select(
+      concat(lit("c"), col("id")).as("conv_id"),
+      lit(0).as("turn_idx"), lit("user").as("role"),
+      lit("hello").as("text"), lit(null).cast("string").as("tool"),
+      lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"),
+      lit(0).as("part_id"))
+    clean.write.mode("overwrite").parquet(s"$in/clean")
+    Main.main(Array("--input", s"$in/clean", "--mode", "strict"))
+  }
+
   test("manifest carries lineage fields") {
     val out = java.nio.file.Files.createTempDirectory("graft_run4").toString
     val r = Runner.run(spark, turns, Some(convs), out, "runX", snapshot = "snapA")
