@@ -512,6 +512,14 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 3), k = 5)
     }),
+    "t15_ann_ivf" -> ((s, dir) => {
+      // IVF-flat ANN (deterministic hash-sampled centroids, nProbe inverted
+      // lists) — approximate by design, so rows-only like t09
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), k = 5)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"),
+          col("rank"))
+    }),
     "t10_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))

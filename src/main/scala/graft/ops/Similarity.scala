@@ -99,6 +99,64 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic IVF-flat coarse quantizer: centroids are the `nCentroids`
+    * vectors with the smallest `xxhash64(vec_id)` (a deterministic uniform
+    * sample — no k-means iterations, no RNG). Index build collects ONLY the
+    * centroid vectors to the driver (nCentroids × dim doubles — bytes, not
+    * data) and broadcasts them as literals; assignment is a codegen'd
+    * argmax over nCentroids fused-loop cosines, one map pass.
+    */
+  def ivfCentroids(
+      embeddings: DataFrame, nCentroids: Int = 16): Seq[Seq[Double]] =
+    embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .orderBy(xxhash64(col("vec_id")))
+      .limit(nCentroids)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+
+  /** Nearest-centroid id (argmax cosine; first index wins ties). */
+  def ivfAssign(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, typedlit(c)).as("s"), lit(i).as("i"))
+    }.reduce((a, b) =>
+      when(b.getField("s") > a.getField("s"), b).otherwise(a)).getField("i")
+
+  /** IVF-flat approximate top-k: vectors are bucketed by nearest centroid
+    * (one narrow map pass); each query probes its `nProbe` nearest
+    * centroids' inverted lists via an equi-join on centroid id — per-query
+    * work is O(n · nProbe / nCentroids) instead of O(n). The list-ranking
+    * array ops run only on the (tiny, broadcast) query side.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(embeddings, nCentroids)
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("cid", ivfAssign(col("v"), cents))
+    val probeList = {
+      // top nProbe centroid ids by cosine: sort struct(-cos, i) ascending
+      val scoredArr = array(cents.zipWithIndex.map { case (c, i) =>
+        struct((-cosine(col("qv"), typedlit(c))).as("neg"), lit(i).as("i"))
+      }: _*)
+      transform(slice(array_sort(scoredArr), 1, nProbe), x => x.getField("i"))
+    }
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+      .withColumn("cid", explode(probeList))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucket self-join then exact cosine
     * verify — the embedding-space member of the dedup family.
     */

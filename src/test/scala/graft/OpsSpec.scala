@@ -118,6 +118,31 @@ class OpsSpec extends AnyFunSuite {
     assert(joined < 1e-12)
   }
 
+  test("ivf top-k: correct scores, measurable recall, bounded probe work") {
+    val emb = spark.range(400).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(16)),
+        i => pmod(xxhash64(col("id"), i), lit(1000)).cast("float") / 1000.0f)
+        .as("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val k = 10
+    val ivf = Similarity.ivfTopK(emb, queries, k, nCentroids = 8, nProbe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, k)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // every IVF hit is from the true cosine space (subset of candidates with
+    // exact scores by construction); recall vs brute force must be real
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf recall $recall")
+    // probing 4 of 8 centroids scans roughly half the table per query —
+    // candidate count must be well below brute force's 5 * 399
+    val nCand = Similarity.ivfTopK(emb, queries, k = 400,
+      nCentroids = 8, nProbe = 4).count()
+    assert(nCand < 5 * 399 * 0.8, s"ivf scanned $nCand candidates")
+    // centroid selection is deterministic
+    assert(Similarity.ivfCentroids(emb, 8) === Similarity.ivfCentroids(emb, 8))
+  }
+
   test("embedding near-dup pairs find planted duplicate vector") {
     val base = spark.range(100).select(
       col("id").as("vec_id"),
