@@ -115,12 +115,19 @@ object Similarity {
       .select("v").collect()
       .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
 
-  /** Nearest-centroid id (argmax cosine; first index wins ties). */
+  /** Nearest-centroid id (argmax cosine; first index wins ties).
+    *
+    * Implemented as ONE `array_min` over (−cos, i) structs — struct
+    * ordering is lexicographic, so the minimum is the highest cosine with
+    * the smallest index breaking ties. A fold of `when(b > a, b)
+    * .otherwise(a)` would reference the accumulator twice per step and
+    * DOUBLE the expression tree per centroid (2^n blowup: 16 centroids
+    * froze analysis for minutes — measured).
+    */
   def ivfAssign(vec: Column, centroids: Seq[Seq[Double]]): Column =
-    centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(vec, typedlit(c)).as("s"), lit(i).as("i"))
-    }.reduce((a, b) =>
-      when(b.getField("s") > a.getField("s"), b).otherwise(a)).getField("i")
+    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-cosine(vec, typedlit(c))).as("neg"), lit(i).as("i"))
+    }: _*)).getField("i")
 
   /** IVF-flat approximate top-k: vectors are bucketed by nearest centroid
     * (one narrow map pass); each query probes its `nProbe` nearest
