@@ -48,6 +48,14 @@ object TextOps {
       lang -> size(array_intersect(tokens, array(ws.map(lit): _*)))
     }
 
+  /** Argmax as a linear when-chain (later language wins ties: fr > es > en >
+    * de; "und" when no stopword fired). The chain repeats each score a
+    * constant number of times — fine (subexpression elimination runs them
+    * once; an array_min-over-structs variant was measured SLOWER warm, the
+    * per-row struct allocation costs more than the smaller codegen saves).
+    * Never fold argmax as `when(b > a, b).otherwise(a)` over Columns — that
+    * doubles the tree per step (see PLANS.md, IVF assignment).
+    */
   def langId(c: Column): Column = {
     val scores = langScores(langTokens(c))
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
