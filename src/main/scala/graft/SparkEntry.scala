@@ -168,6 +168,14 @@ object SparkEntry {
         .select(col("part_id").as("part_key"), round(col("chi2"), 4).as("chi2"),
           col("n"))
     }),
+    "q40_drift_psi" -> ((s, dir) => {
+      // PSI drift per day vs pooled distribution (chi-square's sibling)
+      val byDay = t(s, dir, "events")
+        .select(to_date(col("ts")).as("part_id"), col("event_type"))
+      Drift.psi(byDay, "event_type")
+        .select(col("part_id").as("part_key"), round(col("psi"), 6).as("psi"),
+          col("n"))
+    }),
     "q14_topk" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy("o_custkey")
@@ -633,6 +641,25 @@ object SparkEntry {
         |FROM p CROSS JOIN k CROSS JOIN g
         | LEFT JOIN c ON c.part_key = p.part_key AND c.cat = k.cat
         |GROUP BY p.part_key""".stripMargin,
+    "q40_drift_psi" ->
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS part_key,
+        |   COALESCE(event_type, '__null__') AS cat, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        | p AS (SELECT part_key, CAST(sum(o) AS DOUBLE) AS r FROM c GROUP BY 1),
+        | k AS (SELECT cat, CAST(sum(o) AS DOUBLE) AS cc FROM c GROUP BY 1),
+        | g AS (SELECT CAST(sum(o) AS DOUBLE) AS gg FROM c),
+        | t AS (
+        |  SELECT p.part_key,
+        |   greatest(COALESCE(c.o, 0) / p.r, 1e-6) AS pp,
+        |   greatest(k.cc / g.gg, 1e-6) AS qq,
+        |   p.r
+        |  FROM p CROSS JOIN k CROSS JOIN g
+        |   LEFT JOIN c ON c.part_key = p.part_key AND c.cat = k.cat)
+        |SELECT part_key,
+        | round(sum((pp - qq) * ln(pp / qq)), 6) AS psi,
+        | CAST(max(r) AS BIGINT) AS n
+        |FROM t GROUP BY part_key""".stripMargin,
     "q14_topk" ->
       """SELECT o_custkey, count(*) AS n_orders,
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total

@@ -100,6 +100,25 @@ class StatsDriftSpec extends AnyFunSuite {
     (0 to 3).foreach(p => assert(out(p) === false, s"part $p false-flagged"))
   }
 
+  test("PSI flags the same planted skew; stable partitions read < 0.1") {
+    val uniform = spark.range(8000).select(
+      (col("id") % 4).cast("int").as("part_id"),
+      element_at(array(lit("a"), lit("b"), lit("c"), lit("d")),
+        ((col("id") / 4) % 4 + 1).cast("int")).as("role"))
+    val skewed = spark.range(200).select(
+      lit(9).as("part_id"),
+      when(col("id") % 100 < 97, lit("a")).otherwise(lit("b")).as("role"))
+    val out = Drift.psi(uniform.unionByName(skewed), "role")
+      .select("part_id", "psi", "drifted")
+      .as[(Int, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(9)._2 === true, s"psi=${out(9)._1}")
+    (0 to 3).foreach { p =>
+      assert(out(p)._2 === false, s"part $p false-flagged psi=${out(p)._1}")
+      assert(out(p)._1 < 0.1)
+    }
+  }
+
   test("chi-square includes zero cells (absent category still contributes)") {
     // part 1 never sees role "b" — expected count must still be charged
     val df = Seq(
