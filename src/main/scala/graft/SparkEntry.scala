@@ -235,6 +235,19 @@ object SparkEntry {
         .groupBy(col("lang"), TextOps.langId(col("text")).as("predicted"))
         .agg(count(lit(1)).as("n"))
     }),
+    "q41_bpe_truncate" -> ((s, dir) => {
+      // BPE-ish token counting + token-budget truncation (reduce_input_size
+      // analog): per lang, total tokens and the char length of the
+      // 50-token prefix — proves the truncation boundary lands identically
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          sum(TextOps.bpeTokenCount(col("text")).cast("long"))
+            .as("total_bpe_tokens"),
+          sum(length(TextOps.truncateToTokens(col("text"), 50)).cast("long"))
+            .as("trunc50_chars"),
+          count(lit(1)).as("n_docs"))
+    }),
     "q22_quality_score" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy("lang")
@@ -702,6 +715,12 @@ object SparkEntry {
         |FROM documents GROUP BY lang""".stripMargin,
     "q21_lang_id" -> LangIdSql.sql,
     "q22_quality_score" -> QualitySql.sql,
+    "q41_bpe_truncate" ->
+      s"""SELECT lang,
+         | CAST(sum(len(regexp_extract_all(COALESCE(text, ''), '${graft.ops.TextOps.bpeTokenRe}'))) AS BIGINT) AS total_bpe_tokens,
+         | CAST(sum(length(array_to_string(regexp_extract_all(COALESCE(text, ''), '${graft.ops.TextOps.bpeTokenRe}')[1:50], ''))) AS BIGINT) AS trunc50_chars,
+         | count(*) AS n_docs
+         |FROM documents GROUP BY lang""".stripMargin,
     "q23_embedding_integrity" ->
       """SELECT count(*) AS n_vecs,
         | CAST(min(len(embedding)) AS BIGINT) AS min_dim,

@@ -89,6 +89,34 @@ object TextOps {
         least(distinctRatio * 2, lit(1.0)) * 0.2, 4)
   }
 
+  /** BPE-ish pre-tokenizer regex — the RE2-compatible core of the GPT-2 /
+    * cl100k pre-tokenization pattern (word / number / punctuation runs, each
+    * carrying its leading space; no contraction or lookahead branches, which
+    * RE2 — and therefore the DuckDB oracle — cannot express). Every
+    * character lands in exactly one token, so concatenating the tokens
+    * reconstructs the input byte-for-byte (spec-asserted).
+    */
+  val bpeTokenRe: String = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  private def bpeTokens(c: Column): Column =
+    regexp_extract_all(coalesce(c, lit("")), lit(bpeTokenRe), lit(0))
+
+  /** BPE-ish token count (the scale stand-in for the reference's tiktoken
+    * `len(encode(text))`, `genai_model.py:27-34` — the real BPE merge table
+    * only shrinks counts further; this is the deterministic, codegen'd
+    * upper-bound variant).
+    */
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
+  /** Token-budget truncation — reference `reduce_input_size`
+    * (`genai_model.py:27-40`: encode, keep first max_tokens, decode). Tokens
+    * carry their leading whitespace, so joining the kept slice reconstructs
+    * the exact character prefix — a pure column expression, no tokenizer
+    * library.
+    */
+  def truncateToTokens(c: Column, maxTokens: Int): Column =
+    array_join(slice(bpeTokens(c), 1, maxTokens), "")
+
   /** Strip markdown code fences — reference `clean_json_string`
     * (`src/utils/utils.py:20-27`): remove leading ```json / ``` fences and
     * trailing ``` then trim.

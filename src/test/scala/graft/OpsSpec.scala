@@ -169,6 +169,29 @@ class OpsSpec extends AnyFunSuite {
     assert(f(0) === f(1))
   }
 
+  test("bpe tokenizer: lossless partition, truncation is an exact prefix") {
+    val texts = Seq(
+      "Hello, world! x2  spaces\tand\nnewlines 42abc",
+      "  leading ws", "no-trailing!", "", "éàü unicode 123")
+    val df = texts.toDF("t")
+    val r = df.select(
+      col("t"),
+      TextOps.bpeTokenCount(col("t")).as("n"),
+      TextOps.truncateToTokens(col("t"), 1000000).as("all"),
+      TextOps.truncateToTokens(col("t"), 3).as("p3"))
+      .collect()
+    r.foreach { row =>
+      val (t, all, p3) = (row.getString(0), row.getString(2), row.getString(3))
+      assert(all === t, s"reconstruction failed for '$t'") // lossless
+      assert(t.startsWith(p3), s"'$p3' not a prefix of '$t'")
+      assert(row.getInt(1) >= 0)
+    }
+    // token-boundary sanity: "Hello, world!" -> [Hello][,][ world][!] = 4
+    val n = Seq("Hello, world!").toDF("t")
+      .select(TextOps.bpeTokenCount(col("t"))).as[Int].head()
+    assert(n === 4)
+  }
+
   test("native minhash aggregate is bit-identical to min(xxhash64(h, j))") {
     // the k-column relational form the native agg replaced — parity anchor
     val exploded = docs
