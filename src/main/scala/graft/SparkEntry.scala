@@ -416,7 +416,8 @@ object SparkEntry {
             col("c_name").as("name"),
             when(col("c_custkey") % 2 === 0,
               concat(lit("https://orcid.org/"), col("c_custkey").cast("string")))
-              .otherwise(lit(null).cast("string")).as("orcidId"))).as("author")
+              .otherwise(lit(null).cast("string")).as("orcidId"),
+            lit(null).cast("array<string>").as("affiliation"))).as("author")
         ).as("record"))
       rec.select(col("c_custkey"),
         ZodForm.toZodJson(ZodForm.renameStruct(

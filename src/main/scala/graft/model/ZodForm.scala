@@ -25,7 +25,8 @@ object ZodForm {
     */
   val personMap: Seq[(String, String)] = Seq(
     "name" -> "schema:name",
-    "orcidId" -> "md4i:orcidId")
+    "orcidId" -> "md4i:orcidId",
+    "affiliation" -> "schema:affiliation")
 
   /** Software-record key map (subset) — reference
     * `PYDANTIC_TO_ZOD_MAPPING["SoftwareApplication"]`-style top-level

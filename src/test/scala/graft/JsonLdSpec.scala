@@ -63,6 +63,39 @@ class JsonLdSpec extends AnyFunSuite {
     assert(projects.size === 1)
   }
 
+  test("end-to-end Person parity with the reference's own test sample") {
+    // The Person node from /root/reference/src/test/test_conversion.py
+    // (sample_jsonld_data[2]); expected zod output captured by running the
+    // reference's convert_jsonld_to_pydantic →
+    // convert_pydantic_to_zod_form_dict on it (2026-08-16; the test file's
+    // own import is stale, the conversion functions are the live API path):
+    //   {"schema:name":"Quentin",
+    //    "schema:affiliation":["https://github.com/Imaging-Plaza"]}
+    // — name via @value, affiliation via @id reference, orcidId null-dropped.
+    val node =
+      s"""{"$nameUri": [{"@value": "Quentin"}],
+          "$orcidUri": [],
+          "$affUri": [{"@id": "https://github.com/Imaging-Plaza"}]}"""
+    val schema = new StructType()
+      .add(nameUri, ArrayType(JsonLd.valueNodeSchema))
+      .add(orcidUri, ArrayType(JsonLd.valueNodeSchema))
+      .add(affUri, ArrayType(JsonLd.valueNodeSchema))
+    val person = Seq(node).toDF("j")
+      .select(from_json(col("j"), schema).as("e"))
+      .select(struct(
+        JsonLd.firstValue(col("e").getField(nameUri)).as("name"),
+        JsonLd.firstValue(col("e").getField(orcidUri)).as("orcidId"),
+        // _get_list + per-element _get_value, empty list -> null ("or None")
+        when(size(col("e").getField(affUri)) > 0,
+          transform(col("e").getField(affUri), v => JsonLd.valueOf(v)))
+          .otherwise(lit(null)).as("affiliation")).as("p"))
+    val zod = person.select(graft.model.ZodForm.toZodJson(
+      graft.model.ZodForm.renameStruct(col("p"),
+        graft.model.ZodForm.personMap))).as[String].head()
+    assert(zod ===
+      """{"schema:name":"Quentin","schema:affiliation":["https://github.com/Imaging-Plaza"]}""")
+  }
+
   test("expandEntity inverts renameEntity (utils.py:29-36 context expansion)") {
     val uris = JsonLd.jsonldToPydantic.map(_._1)
     val df = spark.range(1).select(uris.map(u => lit(1).as(u)): _*)
