@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   * `src/core/genai_model.py:72-86`), `sort_files_by_priority` (stable sort by
   * (extension priority, path): docs=0 < code=1 < other=2, reference
   * `genai_model.py:42-70`), and `reduce_input_size` (truncate to a budget,
-  * reference `genai_model.py:27-40`; character proxy for the token budget,
-  * tokenizer parity not required per SURVEY.md §2.9).
+  * reference `genai_model.py:27-40`: both a character-budget form and the
+  * call site's token-budget form via [[graft.ops.TextOps.truncateToTokens]]).
   */
 object TextIngest {
 
@@ -60,5 +60,23 @@ object TextIngest {
         substring(
           array_join(transform(col("fs"), f => f.getField("content")), "\n"),
           1, charBudget).as("combined_text"),
+        size(col("fs")).as("n_files"))
+
+  /** Token-budget variant — the reference's ACTUAL call site truncates the
+    * combined text at `max_tokens=80000` BPE tokens (`genai_model.py:131` →
+    * `reduce_input_size`, `:27-40`: encode, keep first N, decode).
+    * [[graft.ops.TextOps.truncateToTokens]] reproduces the
+    * keep-first-N-tokens-then-reassemble shape with the RE2-compatible
+    * pre-tokenizer (tokens carry their whitespace, so the output is an
+    * exact character prefix, like tiktoken's decode of a token prefix).
+    */
+  def combineTokenBudget(files: DataFrame, tokenBudget: Int = 80000): DataFrame =
+    files
+      .agg(array_sort(collect_list(
+        struct(col("priority"), col("path"), col("content")))).as("fs"))
+      .select(
+        graft.ops.TextOps.truncateToTokens(
+          array_join(transform(col("fs"), f => f.getField("content")), "\n"),
+          tokenBudget).as("combined_text"),
         size(col("fs")).as("n_files"))
 }

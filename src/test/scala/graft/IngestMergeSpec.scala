@@ -34,6 +34,13 @@ class IngestMergeSpec extends AnyFunSuite {
     // reduce_input_size analog: budget cuts the tail
     val cut = TextIngest.combine(files, charBudget = 7).collect()(0)
     assert(cut.getAs[String]("combined_text") === "DOC_A\nD")
+    // token-budget form (genai_model.py:131 call site): cuts on TOKEN
+    // boundaries — "DOC_A\nDOC_Z..." tokenizes [DOC][_][A][\n][DOC]…, so a
+    // 5-token budget keeps exactly "DOC_A\nDOC" and never splits a token
+    val tok = TextIngest.combineTokenBudget(files, tokenBudget = 5).collect()(0)
+    assert(tok.getAs[String]("combined_text") === "DOC_A\nDOC")
+    val full = TextIngest.combineTokenBudget(files, tokenBudget = 1000).collect()(0)
+    assert(full.getAs[String]("combined_text") === "DOC_A\nDOC_Z\nCODE_A\nOTHER_B")
   }
 
   test("priority merge: primary wins, secondary fills absent keys (utils.py:55-62)") {
