@@ -503,6 +503,130 @@ object SparkEntry {
           col("v.field").as("field"), col("v.message").as("message"))
         .orderBy(col("doc_id"), col("rule_id")).limit(1)
     }),
+    "q42_repetition" -> ((s, dir) => {
+      // Gopher-style repetition signals: duplicate-line and duplicate-token
+      // fractions per doc, averaged per lang via exact DECIMAL sums
+      def exactAvg(frac: Column): Column =
+        round(sum(round(frac, 6).cast("decimal(12,6)")).cast("double") /
+          count(lit(1)), 4)
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          exactAvg(TextOps.dupLineFraction(col("text"))).as("avg_dup_line_frac"),
+          exactAvg(TextOps.dupTokenFraction(col("text"))).as("avg_dup_token_frac"),
+          count(lit(1)).as("n_docs"))
+    }),
+    "q43_hash_sample" -> ((s, dir) => {
+      // deterministic md5-threshold sample (~10%): partitioning-independent
+      // membership, byte-identical across engines and cluster sizes
+      graft.ops.Sampling.hashSample(t(s, dir, "documents"), "doc_id", "1999")
+        .select(col("doc_id"), col("lang"))
+    }),
+    "q44_stratified_sample" -> ((s, dir) => {
+      // deterministic stratified sample: 3 docs per lang by md5 order
+      graft.ops.Sampling.stratifiedSample(
+        t(s, dir, "documents"), "lang", "doc_id", k = 3)
+        .select(col("lang"), col("doc_id"))
+    }),
+    "q45_exact_quantiles" -> ((s, dir) => {
+      // exact interpolated quantiles (Spark `percentile` == DuckDB
+      // quantile_cont) — the small-data cross-check for the t-digest path
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("n"))
+    }),
+    "q46_asof_join" -> ((s, dir) => {
+      // as-of join (latest click at-or-before each purchase, per user) via
+      // the union + running-last-value window — one narrow shuffle, no
+      // per-key cross product; oracled against DuckDB's native ASOF JOIN
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      def epochD(c: Column): Column = c.cast("timestamp").cast("double")
+      graft.ops.AsOf.asofJoin(purchases, clicks, "user_id", "ts",
+        payload = "event_id", tieBreak = "event_id")
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          count(col("asof_ts")).as("n_matched"),
+          round(sum(coalesce(
+            round(epochD(col("ts")) - epochD(col("asof_ts")), 3), lit(0.0))
+            .cast("decimal(18,3)")).cast("double"), 3).as("total_gap_sec"))
+    }),
+    "q47_range_join" -> ((s, dir) => {
+      // banded interval join: views in the 6h before each purchase, same
+      // user — time-bucketed equi-join (no theta-join, hot keys spread
+      // across their time range), exact range predicate trims candidates
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"))
+      graft.ops.RangeJoin.pastWindowJoin(
+        purchases, views, "user_id", "ts", windowSec = 21600L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("event_id")).as("n_purchases_with_view"))
+    }),
+    "q48_pivot" -> ((s, dir) => {
+      // pivot: event-type counts as columns per day (the drift table's
+      // wide form); fixed value list so the plan needs no discovery pass
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("day") +: types.map(tp =>
+        coalesce(col(tp), lit(0L)).as(tp)): _*)
+    }),
+    "q49_setops" -> ((s, dir) => {
+      // set operators with SQL DISTINCT semantics: (lang, source) pairs of
+      // the even-doc slice vs the every-third-doc slice
+      val d = t(s, dir, "documents")
+      val a = d.filter(col("doc_id") % 2 === 0).select("lang", "source").distinct()
+      val b = d.filter(col("doc_id") % 3 === 0).select("lang", "source").distinct()
+      a.intersect(b).select(lit("intersect").as("op"), col("lang"), col("source"))
+        .unionByName(
+          a.except(b).select(lit("except").as("op"), col("lang"), col("source")))
+    }),
+    "q50_rank_windows" -> ((s, dir) => {
+      // ranking window functions: dense_rank/percent_rank over coarse price
+      // buckets (real ties), row_number/ntile over a fully-deterministic
+      // order — rows in the top-2 buckets per priority
+      val coarse = floor(col("o_totalprice") / 1000)
+      val wC = Window.partitionBy("o_orderpriority").orderBy(coarse.desc)
+      val wF = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          coarse.cast("long").as("kbucket"),
+          dense_rank().over(wC).as("drank"),
+          round(percent_rank().over(wC), 6).as("prank"),
+          row_number().over(wF).as("rn"),
+          ntile(4).over(wF).as("quartile"))
+        .filter(col("drank") <= 2)
+    }),
+    "q51_url_parse" -> ((s, dir) => {
+      // URL component extraction (parse_url — the checks' urlparse-parity
+      // primitive surfaced as an operator): protocol/host frequency table
+      // over deterministically constructed URLs incl. a scheme-only bad form
+      val url = when(col("doc_id") % 7 === 0,
+        concat(lit("htp:/bad/"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("https://files."), col("source"),
+          lit(".example/x?y=1")))
+      t(s, dir, "documents")
+        .select(
+          parse_url(url, lit("PROTOCOL")).as("protocol"),
+          coalesce(parse_url(url, lit("HOST")), lit("__none__")).as("host"))
+        .groupBy("protocol", "host")
+        .agg(count(lit(1)).as("n"))
+    }),
     // ---- rows-only entries (xxhash64 / engine-internal — no DuckDB twin) ----
     "t01_violations" -> ((s, _) => entry(s)),
     "t02_verdicts" -> ((s, _) => {
@@ -944,6 +1068,104 @@ object SparkEntry {
         |   CAST(length(text) AS VARCHAR)
         | FROM documents WHERE text IS NOT NULL AND length(text) > 2000)
         |SELECT * FROM v ORDER BY doc_id, rule_id LIMIT 1""".stripMargin,
+    "q42_repetition" ->
+      """WITH f AS (SELECT lang, COALESCE(text, '') AS t FROM documents),
+        |g AS (
+        | SELECT lang,
+        |  CASE WHEN t = '' THEN 0.0 ELSE
+        |   CAST(len(string_split_regex(t, '\n'))
+        |        - len(list_distinct(string_split_regex(t, '\n'))) AS DOUBLE)
+        |   / len(string_split_regex(t, '\n')) END AS dlf,
+        |  CASE WHEN trim(t) = '' THEN 0.0 ELSE
+        |   CAST(len(regexp_split_to_array(trim(t), '\s+'))
+        |        - len(list_distinct(regexp_split_to_array(trim(t), '\s+'))) AS DOUBLE)
+        |   / len(regexp_split_to_array(trim(t), '\s+')) END AS dtf
+        | FROM f)
+        |SELECT lang,
+        | round(CAST(sum(CAST(round(dlf, 6) AS DECIMAL(12,6))) AS DOUBLE) / count(*), 4)
+        |   AS avg_dup_line_frac,
+        | round(CAST(sum(CAST(round(dtf, 6) AS DECIMAL(12,6))) AS DOUBLE) / count(*), 4)
+        |   AS avg_dup_token_frac,
+        | count(*) AS n_docs
+        |FROM g GROUP BY lang""".stripMargin,
+    "q43_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'""".stripMargin,
+    "q44_stratified_sample" ->
+      """SELECT lang, doc_id FROM (
+        | SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents) t
+        |WHERE rn <= 3""".stripMargin,
+    "q45_exact_quantiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | round(quantile_cont(value, 0.99), 4) AS p99,
+        | count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q46_asof_join" ->
+      """WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        | c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        | j AS (
+        |  SELECT p.user_id, p.ts, c.ts AS asof_ts
+        |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts)
+        |SELECT user_id, count(*) AS n_purchases,
+        | count(asof_ts) AS n_matched,
+        | round(CAST(sum(CAST(COALESCE(round(epoch(ts) - epoch(asof_ts), 3), 0.0)
+        |   AS DECIMAL(18,3))) AS DOUBLE), 3) AS total_gap_sec
+        |FROM j GROUP BY user_id""".stripMargin,
+    "q47_range_join" ->
+      """SELECT p.user_id, count(*) AS n_pairs,
+        | count(DISTINCT p.event_id) AS n_purchases_with_view
+        |FROM events p JOIN events v ON p.user_id = v.user_id
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND epoch(v.ts) >= epoch(p.ts) - 21600 AND v.ts < p.ts
+        |GROUP BY p.user_id""".stripMargin,
+    "q48_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "q49_setops" ->
+      """SELECT 'intersect' AS op, lang, source FROM (
+        | SELECT DISTINCT lang, source FROM documents WHERE doc_id % 2 = 0
+        | INTERSECT
+        | SELECT DISTINCT lang, source FROM documents WHERE doc_id % 3 = 0) a
+        |UNION ALL
+        |SELECT 'except' AS op, lang, source FROM (
+        | SELECT DISTINCT lang, source FROM documents WHERE doc_id % 2 = 0
+        | EXCEPT
+        | SELECT DISTINCT lang, source FROM documents WHERE doc_id % 3 = 0) b""".stripMargin,
+    "q50_rank_windows" ->
+      """SELECT * FROM (
+        | SELECT o_orderpriority, o_orderkey,
+        |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS kbucket,
+        |  CAST(dense_rank() OVER wc AS INT) AS drank,
+        |  round(percent_rank() OVER wc, 6) AS prank,
+        |  CAST(row_number() OVER wf AS INT) AS rn,
+        |  CAST(ntile(4) OVER wf AS INT) AS quartile
+        | FROM orders
+        | WINDOW wc AS (PARTITION BY o_orderpriority
+        |               ORDER BY floor(o_totalprice / 1000) DESC),
+        |        wf AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey)) t
+        |WHERE drank <= 2""".stripMargin,
+    "q51_url_parse" ->
+      """WITH u AS (
+        | SELECT CASE WHEN doc_id % 7 = 0
+        |   THEN 'htp:/bad/' || CAST(doc_id AS VARCHAR)
+        |   ELSE 'https://files.' || source || '.example/x?y=1' END AS url
+        | FROM documents)
+        |SELECT regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1) AS protocol,
+        | COALESCE(NULLIF(regexp_extract(url,
+        |   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), ''), '__none__') AS host,
+        | count(*) AS n
+        |FROM u GROUP BY 1, 2""".stripMargin,
     "q24_ann_brute_topk" ->
       """SELECT query_id, vec_id, round(c, 4) AS cos, rank FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS vec_id,

@@ -139,6 +139,28 @@ object TextOps {
   def toCleanJson(s: Column): Column =
     to_json(s, Map("ignoreNullFields" -> "true"))
 
+  /** Duplicate-line fraction (Gopher-style repetition signal): share of
+    * lines that are repeats of an earlier line. 0 for empty/null text.
+    * One split pass; `array_distinct` is codegen'd — no shuffle, no UDF.
+    */
+  def dupLineFraction(c: Column): Column = {
+    val lines = split(coalesce(c, lit("")), "\n")
+    val n = size(lines).cast("double")
+    when(coalesce(c, lit("")) === "", lit(0.0))
+      .otherwise((n - size(array_distinct(lines)).cast("double")) / n)
+  }
+
+  /** Duplicate-token fraction: share of whitespace tokens that repeat an
+    * earlier token — high values mark boilerplate / keyword-stuffed docs.
+    */
+  def dupTokenFraction(c: Column): Column = {
+    val t = coalesce(c, lit(""))
+    val toks = split(trim(t), "\\s+")
+    val n = size(toks).cast("double")
+    when(length(trim(t)) === 0, lit(0.0))
+      .otherwise((n - size(array_distinct(toks)).cast("double")) / n)
+  }
+
   /** 64-bit document fingerprint over whitespace-normalized lowercase text.
     * xxhash64 — content-defined identity for exact-dup detection at scale
     * (hash-compare instead of byte-compare in the first pass).

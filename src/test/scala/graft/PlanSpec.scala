@@ -150,4 +150,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("seg"), "segment column missing from the plan")
     assert(p.contains("Window"), "no window operator found")
   }
+
+  test("asofJoin: one window, no join operator at all (union formulation)") {
+    import spark.implicits._
+    val l = Seq(("a", new java.sql.Timestamp(1000L), 1L)).toDF("k", "ts", "pid")
+    val r = Seq(("a", new java.sql.Timestamp(500L), 2L)).toDF("k", "ts", "cid")
+    val p = plan(graft.ops.AsOf.asofJoin(l, r, "k", "ts", "cid", "cid"))
+    assert(!p.contains("Join"), "as-of must not plan any join operator")
+    assert(p.contains("Window"), "running-last-value window missing")
+    // exactly one shuffle: the window's hash partitioning on the key
+    // (formatted mode lists operators as "(N) Exchange")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p)
+  }
+
+  test("pastWindowJoin plans as an equi-join (never BroadcastNestedLoop)") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val l = Seq(("a", new java.sql.Timestamp(1000L), 1L)).toDF("k", "ts", "pid")
+      val r = Seq(("a", new java.sql.Timestamp(500L))).toDF("k", "ts")
+      val p = plan(graft.ops.RangeJoin.pastWindowJoin(l, r, "k", "ts", 300L))
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        "range join degenerated to a nested-loop join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("hashSample is map-only: filter pushed at the scan, zero Exchange") {
+    val df = spark.range(0, 1000).select(col("id").cast("string").as("doc_id"))
+    val p = plan(graft.ops.Sampling.hashSample(df, "doc_id", "1999"))
+    assert(!p.contains("Exchange"), "deterministic sample must not shuffle")
+  }
 }
