@@ -466,7 +466,7 @@ object SparkEntry {
         graft.checks.RequiredNonEmpty("text"),
         graft.checks.RegexFullmatch("lang", "[a-z]{2}",
           "Invalid lang format in lang: "),
-        graft.checks.LengthMax("text", 2000))
+        graft.checks.LengthMax("text", 400))
       val viol = t(s, dir, "documents")
         .select(col("doc_id"), explode(Checks.violationsArray(checks)).as("v"))
         .select(col("doc_id"), col("v.field").as("field"),
@@ -496,7 +496,7 @@ object SparkEntry {
         graft.checks.RequiredNonEmpty("text"),
         graft.checks.RegexFullmatch("lang", "[a-z]{2}",
           "Invalid lang format in lang: "),
-        graft.checks.LengthMax("text", 2000))
+        graft.checks.LengthMax("text", 400))
       t(s, dir, "documents")
         .select(col("doc_id"), explode(Checks.violationsArray(checks)).as("v"))
         .select(col("doc_id"), col("v.rule_id").as("rule_id"),
@@ -1027,9 +1027,9 @@ object SparkEntry {
         | FROM documents
         | WHERE lang IS NOT NULL AND NOT regexp_full_match(lang, '[a-z]{2}')
         | UNION ALL
-        | SELECT doc_id, 'text', 'Value exceeds max_length=2000 in text: length ' ||
+        | SELECT doc_id, 'text', 'Value exceeds max_length=400 in text: length ' ||
         |  CAST(length(text) AS VARCHAR)
-        | FROM documents WHERE text IS NOT NULL AND length(text) > 2000),
+        | FROM documents WHERE text IS NOT NULL AND length(text) > 400),
         |f AS (SELECT doc_id, field, min(message) AS reason FROM v GROUP BY 1, 2)
         |SELECT doc_id,
         | '{' || string_agg('"' || field || '":"' || reason || '"', ','
@@ -1064,9 +1064,9 @@ object SparkEntry {
         | WHERE lang IS NOT NULL AND NOT regexp_full_match(lang, '[a-z]{2}')
         | UNION ALL
         | SELECT doc_id, 'LENGTH_MAX_text', 'text',
-        |  'Value exceeds max_length=2000 in text: length ' ||
+        |  'Value exceeds max_length=400 in text: length ' ||
         |   CAST(length(text) AS VARCHAR)
-        | FROM documents WHERE text IS NOT NULL AND length(text) > 2000)
+        | FROM documents WHERE text IS NOT NULL AND length(text) > 400)
         |SELECT * FROM v ORDER BY doc_id, rule_id LIMIT 1""".stripMargin,
     "q42_repetition" ->
       """WITH f AS (SELECT lang, COALESCE(text, '') AS t FROM documents),
