@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Fixed heap + pre-touch: on virtualized hosts (measured on this
+  // sandbox's Firecracker VM) G1 heap expansion faults pages in on first
+  // touch inside allocation-heavy stages — 50-90% system CPU and negative
+  // thread scaling (32-thread regex microbench: 28.3 s growing heap vs
+  // 2.9 s pre-touched). Paying the fault-in once at JVM start restores
+  // linear scaling; same flags belong in spark-submit conf on a cluster.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
 ) ++ sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq

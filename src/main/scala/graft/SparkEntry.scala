@@ -627,6 +627,43 @@ object SparkEntry {
         .groupBy("protocol", "host")
         .agg(count(lit(1)).as("n"))
     }),
+    "q52_dup_clusters" -> ((s, dir) => {
+      // connected components (alternating large-star/small-star) resolving
+      // a deterministic edge list into duplicate clusters: chain edges
+      // within each (source, lang) group + cross-links doc_id%100==0 →
+      // doc_id/2 force genuine multi-hop reachability (the DuckDB twin is a
+      // recursive CTE, not a groupBy)
+      val docs = t(s, dir, "documents")
+      val w = Window.partitionBy("source", "lang").orderBy("doc_id")
+      val chain = docs
+        .select(col("doc_id").as("id_a"),
+          lead(col("doc_id"), 1).over(w).as("id_b"))
+        .filter(col("id_b").isNotNull)
+      val cross = docs
+        .filter(col("doc_id") % 100 === 0 && col("doc_id") > 0)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") / 2).cast("long").as("id_b"))
+      graft.ops.Connected
+        .dedupClusters(docs, chain.unionAll(cross), "doc_id")
+        .select(col("id").as("doc_id"), col("cluster_id"), col("is_keeper"))
+    }),
+    "q53_decontam" -> ((s, dir) => {
+      // benchmark decontamination: docs sharing any word 8-gram with the
+      // "eval set" (every 50th doc); corpus side broadcast-joins the small
+      // benchmark gram set — hash-matched counts vs DuckDB string matching
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontam.contaminated(
+          docs, docs.filter(col("doc_id") % 50 === 0), "text", "doc_id", n = 8)
+        .select(col("id").as("doc_id"), col("n_hit_grams"))
+    }),
+    "q54_tfidf_terms" -> ((s, dir) => {
+      // TF-IDF top-3 characteristic terms per doc (deterministic rounded-
+      // score tie-break); restricted to doc_id < 100 to keep the oracle fast
+      graft.ops.Tfidf.topTerms(
+          t(s, dir, "documents").filter(col("doc_id") < 100),
+          "text", "doc_id", k = 3, minTokenLen = 5)
+        .select(col("id").as("doc_id"), col("term"), col("score"), col("rank"))
+    }),
     // ---- rows-only entries (xxhash64 / engine-internal — no DuckDB twin) ----
     "t01_violations" -> ((s, _) => entry(s)),
     "t02_verdicts" -> ((s, _) => {
@@ -1166,6 +1203,60 @@ object SparkEntry {
         |   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), ''), '__none__') AS host,
         | count(*) AS n
         |FROM u GROUP BY 1, 2""".stripMargin,
+    "q52_dup_clusters" ->
+      """WITH RECURSIVE
+        | chain AS (
+        |  SELECT doc_id AS a,
+        |   lead(doc_id) OVER (PARTITION BY source, lang ORDER BY doc_id) AS b
+        |  FROM documents),
+        | e0 AS (
+        |  SELECT a, b FROM chain WHERE b IS NOT NULL
+        |  UNION
+        |  SELECT doc_id, doc_id // 2 FROM documents
+        |  WHERE doc_id % 100 = 0 AND doc_id > 0),
+        | und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        | reach(n, m) AS (
+        |  SELECT a, a FROM und
+        |  UNION
+        |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+        | comp AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n)
+        |SELECT d.doc_id,
+        | COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+        | d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_keeper
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.n""".stripMargin,
+    "q53_decontam" ->
+      """WITH d AS (
+        | SELECT doc_id, regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\s+') AS toks
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(toks) - 6),
+        |                          i -> array_to_string(toks[i:i+7], ' ')))
+        |  END AS sh
+        | FROM d),
+        |b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 50 = 0),
+        |c AS (SELECT doc_id, unnest(sh) AS g FROM s)
+        |SELECT c.doc_id, count(DISTINCT c.g) AS n_hit_grams
+        |FROM c JOIN b ON c.g = b.g
+        |GROUP BY 1""".stripMargin,
+    "q54_tfidf_terms" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(list_filter(
+        |   regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z]+'),
+        |   t -> len(t) >= 5)) AS term
+        | FROM documents WHERE doc_id < 100),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS dft FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents WHERE doc_id < 100),
+        |sc AS (
+        | SELECT tf.doc_id, tf.term,
+        |  round(tf.tf * ln((n.n + 1.0) / (dfq.dft + 1.0)), 4) AS score
+        | FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS INT) AS rank FROM sc)
+        |SELECT doc_id, term, score, rank FROM r WHERE rank <= 3""".stripMargin,
     "q24_ann_brute_topk" ->
       """SELECT query_id, vec_id, round(c, 4) AS cos, rank FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS vec_id,

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Connected
+
+/** Connected components (alternating large-star/small-star) — duplicate
+  * cluster resolution over near-dup pair lists.
+  */
+class ConnectedSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def comps(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Connected.components(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+
+  /** Driver-side union-find oracle for the tests. */
+  private def ufOracle(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("chain graph collapses to one component (log-round worst case)") {
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val r = comps(chain)
+    assert(r.size === 64)
+    assert(r.values.toSet === Set(0L))
+  }
+
+  test("matches union-find on a deterministic pseudo-random graph") {
+    // hash-derived edges: deterministic, mixes chains, stars and cycles
+    val edges = (0 until 300).map { i =>
+      val a = (i * 2654435761L) % 97
+      val b = (i * 40503L + 7) % 97
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    assert(comps(edges) === ufOracle(edges))
+  }
+
+  test("disconnected components keep distinct labels; self-loops/dups ignored") {
+    val edges = Seq((5L, 3L), (3L, 5L), (4L, 4L), (10L, 11L), (11L, 12L))
+    val r = comps(edges)
+    assert(r === Map(3L -> 3L, 5L -> 3L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("dedupClusters: singletons self-cluster, keeper = min id") {
+    val corpus = (0L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 4L), (4L, 6L)).toDF("id_a", "id_b")
+    val r = Connected.dedupClusters(corpus, pairs, "doc_id")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(r === Set(
+      (0L, 0L, true), (1L, 1L, true), (2L, 2L, true), (3L, 3L, true),
+      (4L, 1L, false), (5L, 5L, true), (6L, 1L, false)))
+  }
+
+  test("result is invariant under input partitioning") {
+    val edges = (0L until 40L).map(i => (i, (i * 7 + 3) % 40)).filter(e => e._1 != e._2)
+    val df1 = edges.toDF("a", "b").repartition(1)
+    val df7 = edges.toDF("a", "b").repartition(7)
+    val r1 = Connected.components(df1).as[(Long, Long)].collect().toSet
+    val r7 = Connected.components(df7).as[(Long, Long)].collect().toSet
+    assert(r1 === r7)
+    assert(r1 === ufOracle(edges).toSet)
+  }
+}

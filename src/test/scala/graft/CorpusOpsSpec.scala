@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Decontam, Tfidf}
+
+/** Decontamination (n-gram overlap vs a benchmark set) and TF-IDF keyword
+  * extraction.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("decontam: flags exactly the docs sharing an n-gram, with hit counts") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "a completely different sentence with no overlap at all here"),
+      (3L, "quick brown fox jumps over the lazy dog sleeps now"),
+      (4L, "short text")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val r = Decontam.contaminated(corpus, bench, "text", "doc_id", n = 5)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 contains all 5 benchmark 5-grams; doc 3 starts at "quick" so it
+    // shares every benchmark gram except "the quick brown fox jumps";
+    // docs 2/4 share none
+    assert(r(1L) === 5L)
+    assert(r(3L) === 4L)
+    assert(!r.contains(2L) && !r.contains(4L))
+  }
+
+  test("decontam: sub-n-word docs compare as a single whole-text gram") {
+    val corpus = Seq((1L, "tiny doc"), (2L, "other words")).toDF("doc_id", "text")
+    val bench = Seq((9L, "tiny doc")).toDF("doc_id", "text")
+    val r = Decontam.contaminated(corpus, bench, "text", "doc_id", n = 13)
+      .as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 1L))
+  }
+
+  test("tfidf: corpus-wide terms score zero-ish, rare terms rank first") {
+    // "common" appears in all 3 docs -> idf = ln(4/4) = 0; each doc's
+    // distinctive term appears once -> tf=1, idf = ln(4/2)
+    val docs = Seq(
+      (1L, "common alpha alpha"),
+      (2L, "common bravo"),
+      (3L, "common charlie")
+    ).toDF("doc_id", "text")
+    val r = Tfidf.topTerms(docs, "text", "doc_id", k = 1, minTokenLen = 4)
+      .select(col("id"), col("term"), col("score"))
+      .as[(Long, String, Double)].collect()
+      .map { case (id, t, s) => id -> ((t, s)) }.toMap
+    assert(r(1L)._1 === "alpha") // tf=2 beats common's idf=0
+    assert(r(2L)._1 === "bravo")
+    assert(r(3L)._1 === "charlie")
+    val lnHalf = math.round(math.log(4.0 / 2.0) * 10000) / 10000.0
+    assert(r(2L)._2 === lnHalf)
+    assert(r(1L)._2 === math.round(2 * math.log(4.0 / 2.0) * 10000) / 10000.0)
+  }
+
+  test("tfidf: equal-score ties break alphabetically (rounded-score order)") {
+    val docs = Seq(
+      (1L, "zebra apple"),
+      (2L, "filler words")
+    ).toDF("doc_id", "text")
+    val r = Tfidf.topTerms(docs, "text", "doc_id", k = 2, minTokenLen = 4)
+      .filter(col("id") === 1L)
+      .orderBy("rank")
+      .select(col("term")).as[String].collect()
+    assert(r.toSeq === Seq("apple", "zebra"))
+  }
+}
