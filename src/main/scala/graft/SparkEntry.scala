@@ -664,6 +664,13 @@ object SparkEntry {
           "text", "doc_id", k = 3, minTokenLen = 5)
         .select(col("id").as("doc_id"), col("term"), col("score"), col("rank"))
     }),
+    "q55_freq_items" -> ((s, dir) => {
+      // heavy-hitters sketch in its exact regime (distinct counts far under
+      // maxMapSize → counts exact, order deterministic) — hash-matched
+      // against DuckDB's exact groupBy top-5
+      Stats.topValues(t(s, dir, "documents"), Seq("source", "lang"), k = 5)
+        .select(col("column").as("col_name"), col("item"), col("est"))
+    }),
     // ---- rows-only entries (xxhash64 / engine-internal — no DuckDB twin) ----
     "t01_violations" -> ((s, _) => entry(s)),
     "t02_verdicts" -> ((s, _) => {
@@ -1257,6 +1264,16 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY doc_id
         |    ORDER BY score DESC, term) AS INT) AS rank FROM sc)
         |SELECT doc_id, term, score, rank FROM r WHERE rank <= 3""".stripMargin,
+    "q55_freq_items" ->
+      """WITH u AS (
+        | SELECT 'source' AS col_name, source AS item, count(*) AS est
+        | FROM documents GROUP BY 2
+        | UNION ALL
+        | SELECT 'lang', lang, count(*) FROM documents GROUP BY 2),
+        |r AS (SELECT col_name, item, est,
+        |  row_number() OVER (PARTITION BY col_name
+        |    ORDER BY est DESC, item) AS rn FROM u)
+        |SELECT col_name, item, est FROM r WHERE rn <= 5""".stripMargin,
     "q24_ann_brute_topk" ->
       """SELECT query_id, vec_id, round(c, 4) AS cos, rank FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS vec_id,

@@ -3,6 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.FreqItems.freqItems
 import graft.functions.TDigestQuantiles.tdigestQuantiles
 
 /** Single-pass wide column-stats aggregate (SURVEY.md §2.5 engine row):
@@ -60,5 +61,29 @@ object Stats {
     wide
       .select(explode(array(perCol: _*)).as("s"))
       .select(col("s.*"))
+  }
+
+  /** Approximate per-column top-k values via the frequent-items sketch
+    * ([[graft.functions.FreqItems]]): one scan, one shuffle-free
+    * partial+final aggregation regardless of column cardinality — the
+    * 100 TB replacement for `groupBy(col).count().orderBy(...).limit(k)`
+    * when the distinct domain is too large to shuffle. Exact (and fully
+    * deterministic) while a column's distinct count stays under
+    * `maxMapSize`; beyond that, estimates carry the sketch's
+    * no-false-negative guarantee. Returns (column, item, est) rows.
+    */
+  def topValues(
+      df: DataFrame,
+      columns: Seq[String],
+      k: Int = 10,
+      maxMapSize: Int = 256): DataFrame = {
+    val aggs = columns.map(c => freqItems(col(c), k, maxMapSize).as(s"${c}__top"))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = columns.map(c =>
+      struct(lit(c).as("column"), col(s"${c}__top").as("top")))
+    wide
+      .select(explode(array(perCol: _*)).as("s"))
+      .select(col("s.column").as("column"), explode(col("s.top")).as("t"))
+      .select(col("column"), col("t.item").as("item"), col("t.est").as("est"))
   }
 }

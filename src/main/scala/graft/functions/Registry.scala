@@ -33,5 +33,10 @@ object Registry {
           e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
             .toDoubleArray().toSeq).getOrElse(Seq(0.5, 0.9, 0.99)))
         .toAggregateExpression())
+    Bridge.registerFunction(classic, "freq_items",
+      es => FreqItems(
+        es.head,
+        es.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(10))
+        .toAggregateExpression())
   }
 }
