@@ -6,13 +6,18 @@ import org.apache.spark.sql.functions._
 
 /** TF-IDF keyword extraction: the top-k characteristic terms per document.
   *
-  * Scale shape: one tokenize pass feeds both the term-frequency aggregate
-  * (groupBy doc, term) and the document-frequency aggregate (groupBy term);
-  * idf comes back via an equi-join on term (vocabulary rows are narrow);
+  * Scale shape: ONE tokenize pass of the corpus feeds the term-frequency
+  * aggregate (groupBy doc, term); document frequency is a window count over
+  * tf's own output partitioned by term (tf already has one row per
+  * (doc, term)) — no second scan, no join, structurally single-pipeline;
   * the corpus row count joins as a broadcast one-row aggregate, never a
   * driver-side collect. Top-k per document is a bounded window (rank ≤ k)
   * over the per-doc term rows — skew-bounded because a document has at most
-  * |tokens| distinct terms, independent of corpus size.
+  * |tokens| distinct terms, independent of corpus size. (A term shared by
+  * a large fraction of all documents makes its df-window partition hot; at
+  * that scale the fix is a pre-aggregated vocabulary join — noted, not
+  * needed below ~10^9-doc vocabularies since the window rows are 3 narrow
+  * fields.)
   *
   * Determinism: rank orders by the ROUNDED score (then term) so the
   * tie-break never depends on sub-ulp float differences between engines —
@@ -32,9 +37,12 @@ object Tfidf {
         .as("term"))
       .filter(length(col("term")) >= minTokenLen)
     val tf = tok.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dfT = tok.groupBy("term").agg(count_distinct(col("id")).as("dft"))
+    // document frequency as a window over tf's own output (one row per
+    // (id, term) already) — no second tokenize scan, no self-join
+    val wTerm = Window.partitionBy("term")
     val total = df.agg(count(lit(1)).cast("double").as("n_docs"))
-    val scored = tf.join(dfT, "term")
+    val scored = tf
+      .withColumn("dft", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(total))
       .select(col("id"), col("term"),
         round(col("tf") * log((col("n_docs") + 1.0) / (col("dft") + 1.0)), 4)

@@ -182,4 +182,25 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.ops.Sampling.hashSample(df, "doc_id", "1999"))
     assert(!p.contains("Exchange"), "deterministic sample must not shuffle")
   }
+
+  test("decontam: benchmark gram set broadcasts; corpus never shuffles by content") {
+    import spark.implicits._
+    val corpus = (0 until 50).map(i => (i.toLong, s"w$i x y z a b c d e"))
+      .toDF("doc_id", "text")
+    val bench = Seq((0L, "x y z a b c d e f")).toDF("doc_id", "text")
+    val p = plan(graft.ops.Decontam.contaminated(corpus, bench, "text", "doc_id", n = 5))
+    assert(p.contains("BroadcastHashJoin"), "gram match must broadcast the benchmark side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(400))
+  }
+
+  test("tfidf: single corpus tokenize scan — df is a window, not a join") {
+    import spark.implicits._
+    val docs = (0 until 50).map(i => (i.toLong, s"alpha bravo charlie$i delta"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.ops.Tfidf.topTerms(docs, "text", "doc_id", k = 2, minTokenLen = 4))
+    // one Generate (explode) = one tokenize pass; the only join is the
+    // broadcast of the one-row corpus count
+    assert("""\(\d+\) Generate""".r.findAllIn(p).size == 1, "corpus tokenized more than once")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(400))
+  }
 }
