@@ -671,6 +671,79 @@ object SparkEntry {
       Stats.topValues(t(s, dir, "documents"), Seq("source", "lang"), k = 5)
         .select(col("column").as("col_name"), col("item"), col("est"))
     }),
+    "q56_boilerplate" -> ((s, dir) => {
+      // frequent-bigram boilerplate coverage: gram occurrences shuffle as
+      // (doc_id, xxhash64) pairs; the ≥40-count frequent set broadcasts;
+      // counts are string-grouping-identical (oracle groups the strings)
+      graft.ops.Boilerplate.coverage(
+          t(s, dir, "documents"), "text", "doc_id", n = 2, minCount = 40L)
+        .select(col("id").as("doc_id"), col("n_grams"),
+          col("n_boiler"), col("boiler_frac"))
+    }),
+    "q57_json_extract" -> ((s, dir) => {
+      // semi-structured extraction (the reference's JSON-LD parse analog as
+      // a columnar op): pull props.$.k out of the JSON string, aggregate per
+      // event type — get_json_object is codegen'd, no UDF
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("k")).as("n_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          sum(col("k").cast("long")).as("sum_k"))
+    }),
+    "q58_length_hist" -> ((s, dir) => {
+      // corpus length histogram (fixed-width bins, share of total via a
+      // single-partition window over the tiny binned aggregate)
+      val binned = t(s, dir, "documents")
+        .groupBy((floor(col("n_chars") / 100) * 100).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+      binned.withColumn("share",
+        round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy()), 4))
+    }),
+    "q59_outliers" -> ((s, dir) => {
+      // group-wise z-score anomaly screen: broadcast per-type moments from
+      // exact decimal sums, map-only scoring — no window, no wide shuffle
+      graft.ops.Outliers.zOutliers(t(s, dir, "events"),
+          "event_type", "value", zThreshold = 4.0)
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))
+    }),
+    "q60_mixture" -> ((s, dir) => {
+      // weighted corpus mixing: per-source deterministic hash-sample rates
+      // (even-numbered sources ~60%, default ~15%), summarized per source
+      val rates = (0 until 20 by 2).map(i => s"src$i" -> "9999").toMap
+      graft.ops.Sampling.weightedMixture(
+          t(s, dir, "documents"), "source", "doc_id", rates, "2666")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+    }),
+    "q61_split" -> ((s, dir) => {
+      // deterministic 80/10/10 train/val/test assignment (md5 bands),
+      // disjoint + exhaustive by construction, summarized per (lang, split)
+      t(s, dir, "documents")
+        .withColumn("split", graft.ops.Sampling.splitColumn(col("doc_id"),
+          Seq("cccc" -> "train", "e666" -> "val"), "test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q62_mad_outliers" -> ((s, dir) => {
+      // robust median/MAD outlier screen beside q59's μ/σ one — resistant
+      // to the outliers inflating their own detection scale
+      graft.ops.Outliers.madOutliers(t(s, dir, "events"),
+          "event_type", "value", threshold = 6.0)
+        .select(col("event_id"), col("event_type"), col("value"), col("rz"))
+    }),
+    "q63_new_keys" -> ((s, dir) => {
+      // first-seen-day cohorts: how many keys does each partition introduce
+      // (the "did this batch invent unexpected new keys" validation check)
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min(col("ts").cast("date")).as("first_day"))
+        .groupBy("first_day")
+        .agg(count(lit(1)).as("n_new_users"))
+    }),
     // ---- rows-only entries (xxhash64 / engine-internal — no DuckDB twin) ----
     "t01_violations" -> ((s, _) => entry(s)),
     "t02_verdicts" -> ((s, _) => {
@@ -709,6 +782,14 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), k = 5)
         .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"),
           col("rank"))
+    }),
+    "t16_bloom_decontam" -> ((s, dir) => {
+      // bloom-screened decontamination (superset-of-exact contract is
+      // spec-gated in BloomSpec; bloom bit patterns aren't DuckDB-expressible)
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontam.contaminatedBloom(
+          docs, docs.filter(col("doc_id") % 50 === 0), "text", "doc_id", n = 8)
+        .select(col("id").as("doc_id"), col("n_hit_grams"))
     }),
     "t10_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1274,6 +1355,94 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY col_name
         |    ORDER BY est DESC, item) AS rn FROM u)
         |SELECT col_name, item, est FROM r WHERE rn <= 5""".stripMargin,
+    "q56_boilerplate" ->
+      """WITH d AS (
+        | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        | FROM documents),
+        |gl AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_transform(range(1, len(toks)),
+        |                           i -> array_to_string(toks[i:i+1], ' '))
+        |  END AS grams
+        | FROM d),
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM gl),
+        |f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 40),
+        |j AS (
+        | SELECT g.doc_id, CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END AS hit
+        | FROM g LEFT JOIN f USING (gram))
+        |SELECT doc_id, count(*) AS n_grams,
+        | CAST(sum(hit) AS BIGINT) AS n_boiler,
+        | round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS boiler_frac
+        |FROM j GROUP BY doc_id""".stripMargin,
+    "q57_json_extract" ->
+      """WITH e AS (
+        | SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+        | FROM events)
+        |SELECT event_type, count(*) AS n, count(k) AS n_k,
+        | min(k) AS min_k, max(k) AS max_k,
+        | CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM e GROUP BY event_type""".stripMargin,
+    "q58_length_hist" ->
+      """WITH b AS (
+        | SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bin,
+        |  count(*) AS n
+        | FROM documents GROUP BY 1)
+        |SELECT bin, n,
+        | round(CAST(n AS DOUBLE) / sum(n) OVER (), 4) AS share
+        |FROM b""".stripMargin,
+    "q59_outliers" ->
+      """WITH m AS (
+        | SELECT event_type,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        | FROM events GROUP BY 1),
+        |s AS (
+        | SELECT event_type, s1 / n AS mu,
+        |  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sigma
+        | FROM m)
+        |SELECT e.event_id, e.event_type, e.value,
+        | round((e.value - s.mu) / s.sigma, 3) AS z
+        |FROM events e JOIN s USING (event_type)
+        |WHERE abs((e.value - s.mu) / s.sigma) > 4.0""".stripMargin,
+    "q60_mixture" ->
+      """WITH thr AS (
+        | SELECT source,
+        |  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |       THEN '9999' ELSE '2666' END AS t
+        | FROM (SELECT DISTINCT source FROM documents))
+        |SELECT d.source, count(*) AS n_kept,
+        | CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+        |FROM documents d JOIN thr ON d.source = thr.source
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.t
+        |GROUP BY d.source""".stripMargin,
+    "q61_split" ->
+      """WITH s AS (
+        | SELECT lang,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,4) < 'cccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM documents)
+        |SELECT lang, split, count(*) AS n FROM s GROUP BY 1, 2""".stripMargin,
+    "q62_mad_outliers" ->
+      """WITH m AS (
+        | SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+        |d AS (
+        | SELECT e.event_type, median(abs(e.value - m.med)) AS mad,
+        |  max(m.med) AS med
+        | FROM events e JOIN m USING (event_type) GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        | round((e.value - d.med) / (1.4826 * d.mad), 3) AS rz
+        |FROM events e JOIN d USING (event_type)
+        |WHERE abs((e.value - d.med) / (1.4826 * d.mad)) > 6.0""".stripMargin,
+    "q63_new_keys" ->
+      """WITH f AS (
+        | SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        | FROM events GROUP BY 1)
+        |SELECT first_day, count(*) AS n_new_users
+        |FROM f GROUP BY 1""".stripMargin,
     "q24_ann_brute_topk" ->
       """SELECT query_id, vec_id, round(c, 4) AS cos, rank FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS vec_id,

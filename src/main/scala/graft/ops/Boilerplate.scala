@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Boilerplate n-gram detection: find word n-grams that repeat across the
+  * corpus far more often than natural text allows (headers, footers,
+  * licenses, navigation chrome) and score every document by how much of it
+  * is made of them — the C4/RefinedWeb-style "frequent line/gram" cleanup
+  * generalized to grams, which also works on corpora with no line structure.
+  *
+  * Scale shape: gram occurrences shuffle as narrow (doc_id, 8-byte xxhash64)
+  * rows — the gram STRINGS never leave the map side. The frequent set is
+  * tiny by construction (true boilerplate is a few thousand grams even at
+  * 100 TB — the threshold scales with corpus size while the number of
+  * distinct above-threshold grams doesn't), so it broadcasts and the
+  * per-document scoring join is map-side. Grouping by the 64-bit hash gives
+  * counts identical to grouping by the gram string short of a 64-bit
+  * collision inside one corpus, which is what lets the DuckDB oracle (q56)
+  * group by the strings and still hash-match.
+  */
+object Boilerplate {
+
+  /** All word n-gram occurrences (NON-distinct, unlike
+    * [[Dedup.shingles]] — coverage needs every occurrence): same
+    * tokenization contract as the dedup family (lower, trim, split \s+).
+    */
+  def gramsAll(c: Column, n: Int): Column = {
+    val words = split(lower(trim(coalesce(c, lit("")))), "\\s+")
+    when(size(words) < n, array(concat_ws(" ", words)))
+      .otherwise(transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", slice(words, i, lit(n)))))
+  }
+
+  /** Per-document boilerplate coverage: (id, n_grams, n_boiler,
+    * boiler_frac) where n_boiler counts gram occurrences whose corpus-wide
+    * frequency is ≥ `minCount`. Downstream filters on boiler_frac drop
+    * template-dominated documents.
+    */
+  def coverage(
+      corpus: DataFrame,
+      textCol: String,
+      keyCol: String,
+      n: Int,
+      minCount: Long): DataFrame = {
+    val grams = corpus
+      .select(col(keyCol).as("id"),
+        explode(gramsAll(col(textCol), n)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+    val frequent = grams
+      .groupBy("gh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("gh"), lit(1).as("hit"))
+    grams
+      .join(broadcast(frequent), Seq("gh"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        coalesce(sum("hit"), lit(0L)).cast("long").as("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler").cast("double") / col("n_grams"), 4))
+  }
+}

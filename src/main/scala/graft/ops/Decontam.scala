@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.{BloomFilterAgg, BloomMightContainLong}
+
 /** Benchmark decontamination: flag training documents that share any word
   * n-gram with an evaluation/benchmark set (the GPT-3-style 13-gram
   * exact-overlap method; `n` is a parameter because useful values depend on
@@ -39,6 +41,50 @@ object Decontam {
         explode(Dedup.shingles(col(textCol), n)).as("g"))
       .select(col("id"), xxhash64(col("g")).as("gh"))
       .join(broadcast(benchGrams), Seq("gh"))
+      .groupBy("id")
+      .agg(count_distinct(col("gh")).as("n_hit_grams"))
+  }
+
+  /** Bloom-screened variant of [[contaminated]] for benchmark-gram sets too
+    * large to broadcast as an exact join relation: the gram-hash set
+    * compresses to a bloom filter (built distributed via
+    * [[graft.functions.BloomFilterAgg]], OR-merged in partial aggregation),
+    * and the corpus side tests membership map-side inside codegen — no join
+    * operator at all on the corpus.
+    *
+    * One-sided error: the result is a SUPERSET of [[contaminated]] — every
+    * truly contaminated document appears with at-least-exact hit counts
+    * (bloom has no false negatives); ~`fpp` of clean grams also hit.
+    * Decontamination drops flagged docs, so over-flagging only costs a
+    * little extra data; pipelines needing exactness re-verify the (rare)
+    * flagged set with the exact operator.
+    *
+    * The two small driver-side actions (`count()` to size the filter,
+    * `head()` to fetch its bytes) run on the BENCH side only — bounded by
+    * the eval-set size, never the corpus (same boundedness argument as
+    * `Runner.completedParts`).
+    */
+  def contaminatedBloom(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      keyCol: String,
+      n: Int = 13,
+      fpp: Double = 0.01): DataFrame = {
+    val benchGrams = bench
+      .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(xxhash64(col("g")).as("gh"))
+      .distinct()
+    val expected = math.max(benchGrams.count(), 1L)
+    val bytes = benchGrams
+      .agg(BloomFilterAgg.bloomFilterAgg(col("gh"), expected, fpp).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val filter = BloomFilterAgg.fromBytes(bytes)
+    corpus
+      .select(col(keyCol).as("id"),
+        explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+      .filter(BloomMightContainLong.bloomMightContain(col("gh"), filter))
       .groupBy("id")
       .agg(count_distinct(col("gh")).as("n_hit_grams"))
   }

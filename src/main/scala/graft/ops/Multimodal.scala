@@ -64,6 +64,44 @@ object Multimodal {
         .otherwise(lit(null).cast("int")).as("height"))
   }
 
+  /** REAL audio-header decode, same pure-column-expression approach as
+    * [[imageHeaderMeta]] (no codec libraries):
+    *
+    *  - WAV: RIFF container ("RIFF" @1, "WAVE" @9); in the canonical
+    *    fmt-chunk-first layout ("fmt " @13) channels / sample rate / bits
+    *    per sample are little-endian ints at offsets 23 / 25 / 35. A
+    *    non-canonical chunk order (rare: LIST before fmt) surfaces nulls —
+    *    the standard header-sniff tradeoff, as with JPEG SOFn.
+    *  - OGG ("OggS") and MP3 ("ID3" tag or FFEx/FFFx frame sync): format
+    *    identified; rate extraction needs frame bit-unpacking, left null.
+    *
+    * Unknown/truncated blobs → format "unknown", null fields.
+    */
+  def audioHeaderMeta(media: Column): Column = {
+    // little-endian unsigned int from a byte slice (1-based pos)
+    def le(pos: Int, len: Int): Column =
+      (0 until len).map(i =>
+        conv(hex(substring(media, pos + i, 1)), 16, 10).cast("long") *
+          (1L << (8 * i))).reduce(_ + _)
+    val isWav = (hex(substring(media, 1, 4)) === "52494646") && // "RIFF"
+      (hex(substring(media, 9, 4)) === "57415645")              // "WAVE"
+    val fmtFirst = hex(substring(media, 13, 4)) === "666D7420" // "fmt "
+    val isOgg = hex(substring(media, 1, 4)) === "4F676753"     // "OggS"
+    val isId3 = hex(substring(media, 1, 3)) === "494433"       // "ID3"
+    val isSync = (hex(substring(media, 1, 1)) === "FF") &&
+      substring(hex(substring(media, 2, 1)), 1, 1).isin("E", "F")
+    val isMp3 = isId3 || isSync
+    val wavField = (pos: Int, len: Int) =>
+      when(isWav && fmtFirst, le(pos, len).cast("int"))
+        .otherwise(lit(null).cast("int"))
+    struct(
+      when(isWav, "wav").when(isOgg, "ogg").when(isMp3, "mp3")
+        .otherwise("unknown").as("format"),
+      wavField(23, 2).as("channels"),
+      wavField(25, 4).as("sample_rate"),
+      wavField(35, 2).as("bits_per_sample"))
+  }
+
   /** Wrap a text table into a media table: (key, kind, media BINARY,
     * meta STRUCT<byte_len, format, width, height>). Stands in for reading
     * real blobs; the binary column round-trips Parquet losslessly. The meta

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Group-wise z-score outlier detection: flag rows whose numeric value sits
+  * more than `zThreshold` sample standard deviations from their group mean —
+  * the standard per-slice anomaly screen a validation engine runs over
+  * metric columns (here events.value per event_type; in the transcript
+  * engine, e.g. turn length per role).
+  *
+  * Scale shape: one narrow aggregation computes per-group moments (count,
+  * Σx, Σx²) — group count is tiny (distinct event types / roles), so the
+  * moments table broadcasts and the scoring pass is map-only over the full
+  * table: no wide shuffle, no window. Moments accumulate as exact DECIMALs
+  * (values carry fixed decimal precision), so mean/stddev — and therefore
+  * every z-score — are bit-identical regardless of partitioning, executor
+  * count, or engine: the DuckDB oracle (q59) replays the same decimal sums
+  * and gets the same doubles.
+  */
+object Outliers {
+
+  /** Rows of `df` where |value - mean(group)| / stddev_samp(group) >
+    * `zThreshold`, with the z-score attached (rounded to 3 decimals).
+    */
+  def zOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      zThreshold: Double): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,2)")
+    val moments = df
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(v).cast("double").as("s1"),
+        sum(v * v).cast("double").as("s2"))
+      // single-row groups have no sample variance (n−1 = 0): no outlier
+      // can be defined there, and ANSI mode (Spark 4 default) makes the
+      // division an error rather than a NaN — drop them before dividing
+      .filter(col("n") > 1)
+      .select(col(groupCol),
+        (col("s1") / col("n")).as("mu"),
+        // sample variance from exact sums: (Σx² − (Σx)²/n) / (n−1)
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("sigma"))
+    df.join(broadcast(moments), Seq(groupCol))
+      // sigma = 0 (constant group) admits no outliers; guarding inside the
+      // expression also keeps ANSI division happy
+      .withColumn("z",
+        when(col("sigma") > 0, (col(valueCol) - col("mu")) / col("sigma")))
+      .filter(abs(col("z")) > zThreshold)
+      .withColumn("z", round(col("z"), 3))
+      .drop("mu", "sigma")
+  }
+
+  /** Robust (median/MAD) variant of [[zOutliers]]: flags rows where
+    * |value − median| / (1.4826·MAD) > `threshold`. Median-based scoring
+    * doesn't let the outliers themselves inflate the scale the way μ/σ does
+    * (a heavy-tailed metric column shifts z-scores; it barely moves MAD).
+    *
+    * Exact `percentile` is a sort-based aggregate — fine when the GROUP
+    * count is small and per-group rows fit a partition's sort (event types,
+    * roles); for high-cardinality groups use the t-digest sketch quantiles
+    * in `engine/Stats` instead. Two narrow aggregation passes (median, then
+    * median-of-deviations), both broadcast back; scoring is map-only.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      threshold: Double): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    val scale = df.join(broadcast(med), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(percentile(abs(col(valueCol) - col("med")), lit(0.5)).as("mad"),
+        max("med").as("med"))
+    df.join(broadcast(scale), Seq(groupCol))
+      .withColumn("rz",
+        when(col("mad") > 0,
+          (col(valueCol) - col("med")) / (lit(1.4826) * col("mad"))))
+      .filter(abs(col("rz")) > threshold)
+      .withColumn("rz", round(col("rz"), 3))
+      .drop("med", "mad")
+  }
+}

@@ -39,4 +39,41 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Weighted corpus mixture: per-stratum hashSample rates (training-data
+    * mixing — upsample curated sources, downsample crawl). `rates` maps
+    * stratum value → 4-hex-char threshold; strata absent from the map fall
+    * back to `defaultHex4`. Still map-only and partitioning-independent:
+    * membership depends only on (md5(key), stratum), so the same mixture
+    * reproduces on any cluster — and in the DuckDB oracle (q60).
+    */
+  def weightedMixture(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      rates: Map[String, String],
+      defaultHex4: String): DataFrame = {
+    require((rates.values.toSeq :+ defaultHex4)
+      .forall(_.matches("[0-9a-f]{4}")), "thresholds = 4 lowercase hex chars")
+    val thr = rates.foldLeft(lit(defaultHex4)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(substring(md5(col(keyCol).cast("string")), 1, 4) < thr)
+  }
+
+  /** Deterministic train/val/test (or any n-way) split assignment: label by
+    * which md5-prefix band the key falls in. `cuts` are (upperHex4, label)
+    * pairs in ascending order; keys above every cut get `elseLabel`. Pure
+    * column expression — map-only, partitioning-independent, and the exact
+    * same split reproduces anywhere (including the DuckDB oracle, q61).
+    * Disjointness and coverage are by construction, not by bookkeeping.
+    */
+  def splitColumn(key: Column, cuts: Seq[(String, String)], elseLabel: String): Column = {
+    require(cuts.nonEmpty && cuts.map(_._1).forall(_.matches("[0-9a-f]{4}")),
+      "cuts = ascending 4-hex-char upper bounds")
+    val pfx = substring(md5(key.cast("string")), 1, 4)
+    cuts.foldRight(lit(elseLabel): Column) { case ((hex, label), acc) =>
+      when(pfx < hex, lit(label)).otherwise(acc)
+    }
+  }
 }

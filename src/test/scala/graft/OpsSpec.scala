@@ -262,4 +262,36 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3) === ("jpeg", Some(640), Some(480)))
     assert(got(4) === ("unknown", None, None))
   }
+
+  test("audio header decode: real WAV/OGG/MP3 bytes, parquet round-trip") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // canonical 44-byte WAV header: stereo, 44100 Hz, 16-bit PCM
+    val wav = "RIFF".getBytes ++ b(0x24, 0x08, 0x00, 0x00) ++
+      "WAVE".getBytes ++ "fmt ".getBytes ++
+      b(0x10, 0x00, 0x00, 0x00, // fmt chunk size 16 LE
+        0x01, 0x00,             // PCM
+        0x02, 0x00,             // channels 2 LE
+        0x44, 0xAC, 0x00, 0x00, // sample rate 44100 LE
+        0x10, 0xB1, 0x02, 0x00, // byte rate
+        0x04, 0x00,             // block align
+        0x10, 0x00) ++          // bits per sample 16 LE
+      "data".getBytes ++ b(0x00, 0x08, 0x00, 0x00)
+    val ogg = "OggS".getBytes ++ b(0x00, 0x02, 0x00, 0x00)
+    val mp3Id3 = "ID3".getBytes ++ b(0x03, 0x00, 0x00, 0x00)
+    val mp3Sync = b(0xFF, 0xFB, 0x90, 0x00) // bare frame sync
+    val junk = "definitely not audio".getBytes
+    val dir = java.nio.file.Files.createTempDirectory("mm_audio").toString
+    Seq((1, wav), (2, ogg), (3, mp3Id3), (4, mp3Sync), (5, junk))
+      .toDF("id", "media").write.mode("overwrite").parquet(dir)
+    val got = spark.read.parquet(dir)
+      .select(col("id"), Multimodal.audioHeaderMeta(col("media")).as("m"))
+      .select("id", "m.format", "m.channels", "m.sample_rate", "m.bits_per_sample")
+      .collect().map(r => r.getInt(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(got(1) === ("wav", Some(2), Some(44100), Some(16)))
+    assert(got(2) === ("ogg", None, None, None))
+    assert(got(3) === ("mp3", None, None, None))
+    assert(got(4) === ("mp3", None, None, None))
+    assert(got(5) === ("unknown", None, None, None))
+  }
 }

@@ -203,4 +203,32 @@ class PlanSpec extends AnyFunSuite {
     assert("""\(\d+\) Generate""".r.findAllIn(p).size == 1, "corpus tokenized more than once")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(400))
   }
+
+  test("boilerplate: frequent-gram set broadcasts back onto the gram stream") {
+    import spark.implicits._
+    val docs = (0 until 50).map(i => (i.toLong, s"the end w$i the end"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.ops.Boilerplate.coverage(docs, "text", "doc_id", 2, 4L))
+    assert(p.contains("BroadcastHashJoin"), "scoring join must broadcast the frequent set")
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+    // gram strings are hashed before any exchange: no shuffle carries 'g'
+    assert(!"""Exchange hashpartitioning\(g[#,]""".r.findFirstIn(p).isDefined,
+      "gram strings must not shuffle — only their 64-bit hashes")
+  }
+
+  test("outliers: moments broadcast, scoring is map-side (no window, no SMJ)") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (s"t${i % 3}", i.toDouble)).toDF("g", "v")
+    val p = plan(graft.ops.Outliers.zOutliers(df, "g", "v", 2.0))
+    assert(p.contains("BroadcastHashJoin"), "moments table must broadcast")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p.take(400))
+  }
+
+  test("weightedMixture is map-only: zero Exchange, filter at the scan") {
+    val df = spark.range(0, 1000)
+      .select(col("id"), concat(lit("s"), (col("id") % 4)).as("src"))
+    val p = plan(graft.ops.Sampling.weightedMixture(
+      df, "src", "id", Map("s0" -> "8000"), "1000"))
+    assert(!p.contains("Exchange"), "mixture membership must not shuffle")
+  }
 }
