@@ -32,7 +32,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // thread scaling (32-thread regex microbench: 28.3 s growing heap vs
   // 2.9 s pre-touched). Paying the fault-in once at JVM start restores
   // linear scaling; same flags belong in spark-submit conf on a cluster.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  //
+  // Default 12g, not larger: this VM's memory is fast only up to ~14 GB
+  // (measured: -Xms12g pre-touches in 1.8 s, 16g in 24 s, 24g in 70-270 s
+  // — the region beyond is slow-backed host memory at ~100 MB/s first
+  // touch, which also poisons shuffle/window stages that land in it). 12g
+  // comfortably fits the driver-default bench (13.2M turns; 8g sufficed);
+  // export SPARK_DRIVER_MEM=24g explicitly for the 52.8M-turn table.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   "-XX:+AlwaysPreTouch",
 ) ++ sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq

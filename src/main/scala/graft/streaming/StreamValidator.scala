@@ -80,6 +80,51 @@ object StreamValidator {
         when(col("n_violations") === 0, lit("valid")).otherwise(lit("invalid"))
           .as("status"))
 
+  /** Windowed distribution-drift stream — the chi-square drift check's
+    * streaming face. Batch drift compares partitions against the pooled
+    * whole-table distribution; a stream has no "whole table", so the
+    * comparison target is an explicit REFERENCE distribution (the batch
+    * profile of accepted data — exactly how production drift monitors work).
+    *
+    * Single stateful aggregation (append-safe, no chained stateful ops):
+    * per-category counts are conditional sums inside one windowed `agg` —
+    * categories are a small fixed enum (roles), so the row stays narrow.
+    * Chi-square against expected `n·p_cat` is then pure Column math on the
+    * aggregate output, identical in spirit to `engine/Drift`. Categories
+    * outside `refProps` pool into an `__other__` cell with the leftover
+    * reference mass (floored at 1e-6 to keep the division ANSI-safe).
+    */
+  def windowedDrift(
+      stream: DataFrame,
+      categoryCol: String,
+      refProps: Map[String, Double],
+      window_ : String = "10 minutes",
+      watermark: String = "30 minutes",
+      chi2Threshold: Double = 50.0): DataFrame = {
+    require(refProps.nonEmpty && refProps.values.forall(p => p > 0 && p < 1),
+      "refProps: category -> expected proportion in (0,1)")
+    val cats = refProps.keys.toSeq.sorted
+    val counts = cats.map(c =>
+      sum(when(col(categoryCol) === c, 1L).otherwise(0L)).as(s"n_$c"))
+    val agged = stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(count(lit(1)).as("n"), counts: _*)
+    val otherP = math.max(1.0 - refProps.values.sum, 1e-6)
+    val otherN = col("n") - cats.map(c => col(s"n_$c")).reduce(_ + _)
+    def cell(obs: org.apache.spark.sql.Column, p: Double) = {
+      val exp = col("n").cast("double") * p
+      (obs.cast("double") - exp) * (obs.cast("double") - exp) / exp
+    }
+    val chi2 = cats.map(c => cell(col(s"n_$c"), refProps(c)))
+      .reduce(_ + _) + cell(otherN, otherP)
+    agged.select(
+      col("window.start").as("window_start"),
+      col("n"),
+      round(chi2, 4).as("chi2"),
+      (chi2 > chi2Threshold).as("drifted"))
+  }
+
   /** Streaming uniqueness — the DUPLICATE_KEY check's streaming face:
     * first-writer-wins dedup on (conv_id, turn_idx) with watermark-bounded
     * state (`dropDuplicatesWithinWatermark`: a duplicate arriving within the

@@ -69,6 +69,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(texts.toSeq === Seq("first", "new-key"))
   }
 
+  test("windowed drift: skewed window fires chi2, conforming window stays quiet") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    // reference profile: half user / half assistant
+    val ref = Map("user" -> 0.5, "assistant" -> 0.5)
+    // window 1 (minute 0-9): 10 user + 10 assistant — conforming
+    val w1 = (0 until 10).flatMap(i => Seq(
+      Turn(s"a$i", 0, "user", "x", null, ts(i), 0),
+      Turn(s"b$i", 0, "assistant", "y", null, ts(i + 30), 0)))
+    // window 2 (minute 10-19): 20 user, 0 assistant — all mass on one cell
+    val w2 = (0 until 20).map(i =>
+      Turn(s"c$i", 0, "user", "z", null, ts(600 + i), 0))
+    input.addData(w1 ++ w2: _*)
+    val q = StreamValidator
+      .windowedDrift(input.toDF(), "role", ref, "10 minutes", "1 hour",
+        chi2Threshold = 10.0)
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("drift_out")
+      .select("n", "chi2", "drifted")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._2)
+    assert(out.length === 2)
+    assert(out(0) === ((20L, 0.0, false)))         // perfectly conforming
+    val (n2, chi2, drifted2) = out(1)
+    assert(n2 === 20L && drifted2)
+    // exact chi2: obs (20,0), exp (10,10) -> 100/10 + 100/10 = 20 (+ ~0 other)
+    assert(math.abs(chi2 - 20.0) < 0.01)
+  }
+
   test("stateful ts-order catches CROSS-micro-batch inversions, " +
     "messages byte-match the batch validator") {
     implicit val sqlCtx = spark.sqlContext
