@@ -73,7 +73,34 @@ object Probe {
           lit(c.ruleId).as("rule_id"), lit(c.field).as("field"),
           c.message.as("message"), col("text"))
       }.reduce(_ unionByName _)))
-    time("dup current")(noop(Validator.dupViolations(turns)))
+    // variant: shuffle only xxhash64(conv_id, turn_idx) — 8-byte keys both
+    // phases; candidate hashes re-verified exactly (and text attached) at
+    // the rare join-back, so 64-bit collisions cannot emit false duplicates
+    def dupHashed(): DataFrame = {
+      val kh = xxhash64(col("conv_id"), col("turn_idx"))
+      val salted = turns
+        .groupBy(kh.as("kh"),
+          pmod(xxhash64(col("role"), col("text"), col("ts")), lit(16))
+            .as("salt"))
+        .agg(count(lit(1)).as("c"))
+      val candidates = salted
+        .groupBy("kh").agg(sum("c").as("n")).filter(col("n") > 1)
+        .select("kh")
+      turns
+        .select(col("conv_id"), col("turn_idx"), col("part_id"), col("text"),
+          kh.as("kh"))
+        .join(candidates, Seq("kh"))
+        .groupBy(col("conv_id"), col("turn_idx"))
+        .agg(count(lit(1)).as("n"), min("text").as("text"),
+          min("part_id").as("part_id"))
+        .filter(col("n") > 1)
+    }
+    // alternate the variants: host speed drifts run to run, so only
+    // same-round adjacency is comparable
+    (1 to 3).foreach { r =>
+      time(s"dup current   r$r")(noop(Validator.dupViolations(turns)))
+      time(s"dup hashed    r$r")(noop(dupHashed()))
+    }
     time("tsOrder")(noop(Validator.tsOrderViolations(turns)))
     spark.stop()
   }
