@@ -21,13 +21,17 @@ import graft.engine.{Runner, Validator}
   * runs the full checkpoint-resumable [[Runner]] (violations + verdicts +
   * manifest sinks, per-partition lineage); strict mode aborts on the
   * deterministic first violation with exit code 2, the reference's
-  * HTTP-400 analog (`api.py:85-89`).
+  * HTTP-400 analog (`api.py:85-89`); corpus mode runs the
+  * [[graft.ops.CorpusPipeline]] construction funnel over a documents table
+  * (`--input` docs, optional `--bench` eval set) and writes the surviving
+  * corpus split-partitioned under `--out` plus a per-stage funnel report.
   */
 object Main {
 
   private case class Opts(
       input: String = "",
       conversations: Option[String] = None,
+      bench: Option[String] = None,
       out: String = "",
       runId: String = "run",
       mode: String = "audit",
@@ -36,6 +40,7 @@ object Main {
   private def parse(args: List[String], o: Opts = Opts()): Opts = args match {
     case "--input" :: v :: rest         => parse(rest, o.copy(input = v))
     case "--conversations" :: v :: rest => parse(rest, o.copy(conversations = Some(v)))
+    case "--bench" :: v :: rest         => parse(rest, o.copy(bench = Some(v)))
     case "--out" :: v :: rest           => parse(rest, o.copy(out = v))
     case "--run-id" :: v :: rest        => parse(rest, o.copy(runId = v))
     case "--mode" :: v :: rest          => parse(rest, o.copy(mode = v))
@@ -48,9 +53,9 @@ object Main {
   def main(args: Array[String]): Unit = {
     val o = parse(args.toList)
     require(o.input.nonEmpty, "--input is required")
-    require(o.mode == "audit" || o.mode == "strict",
-      s"--mode must be audit or strict, got ${o.mode}")
-    if (o.mode == "audit") require(o.out.nonEmpty, "--out is required in audit mode")
+    require(Set("audit", "strict", "corpus").contains(o.mode),
+      s"--mode must be audit, strict, or corpus, got ${o.mode}")
+    if (o.mode != "strict") require(o.out.nonEmpty, s"--out is required in ${o.mode} mode")
 
     val builder = SparkSession.builder()
       .appName("graft-validate")
@@ -63,6 +68,29 @@ object Main {
       if (new SparkConf().contains("spark.master")) builder.getOrCreate()
       else builder.master("local[*]").getOrCreate()
     try {
+      if (o.mode == "corpus") {
+        // corpus-construction funnel over a documents table
+        // (doc_id, text, source[, …]); --bench points at the eval set to
+        // decontaminate against (defaults to the input itself sampled 1/50,
+        // which keeps the smoke path self-contained)
+        import org.apache.spark.sql.functions.col
+        val docs = spark.read.parquet(o.input)
+        val bench = o.bench.map(spark.read.parquet(_))
+          .getOrElse(docs.filter(col("doc_id") % 50 === 0))
+        val ann = graft.ops.CorpusPipeline
+          .annotate(docs, bench, "text", "doc_id", "source")
+        ann.filter(col("drop_stage").isNull).drop("drop_stage")
+          .write.mode("overwrite").partitionBy("split")
+          .parquet(s"${o.out}/corpus")
+        val funnel = graft.ops.CorpusPipeline.funnel(ann)
+          .orderBy("stage").collect()
+        funnel.foreach(r => System.err.println(s"FUNNEL ${r.mkString("\t")}"))
+        val kept = funnel.filter(_.getString(0).startsWith("kept:"))
+          .map(_.getLong(1)).sum
+        println(s"""{"status":"done","mode":"corpus","kept":$kept,""" +
+          s""""total":${funnel.map(_.getLong(1)).sum}}""")
+        return // finally handles spark.stop()
+      }
       val turns = spark.read.parquet(o.input)
       val convs = o.conversations.map(spark.read.parquet(_))
       o.mode match {

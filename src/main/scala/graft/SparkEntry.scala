@@ -783,6 +783,19 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"),
           col("rank"))
     }),
+    "t17_corpus_funnel" -> ((s, dir) => {
+      // composed corpus-construction funnel over the documents table
+      // (xxhash64-based minhash inside — no DuckDB twin); rows-only +
+      // CorpusPipelineSpec stage-accounting gate
+      val docs = t(s, dir, "documents")
+      val ann = graft.ops.CorpusPipeline.annotate(
+        docs, docs.filter(col("doc_id") % 50 === 0), "text", "doc_id",
+        "source",
+        graft.ops.CorpusPipeline.Config(
+          langs = Set("en", "de", "fr", "es"), minQuality = 0.2,
+          decontamN = 8, boilerMinCount = 400L))
+      graft.ops.CorpusPipeline.funnel(ann).orderBy("stage")
+    }),
     "t16_bloom_decontam" -> ((s, dir) => {
       // bloom-screened decontamination (superset-of-exact contract is
       // spec-gated in BloomSpec; bloom bit patterns aren't DuckDB-expressible)

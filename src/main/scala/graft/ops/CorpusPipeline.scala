@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus construction: the library's cleaning operators
+  * composed in the canonical order (C4/RefinedWeb-style funnel):
+  *
+  *   language → quality → exact dedup → near-dup clusters → benchmark
+  *   decontamination → boilerplate → weighted mixture → split assignment
+  *
+  * Design: ANNOTATE, don't filter-in-sequence. Every document gets a
+  * `drop_stage` column naming the FIRST stage that rejects it (null =
+  * survivor), so
+  *  - the funnel report (docs lost per stage — the number every corpus-build
+  *    review asks for) is ONE `groupBy(drop_stage).count` over the annotated
+  *    frame instead of a count-action per stage;
+  *  - the expensive stage inputs (near-dup pairs, decontamination,
+  *    boilerplate) are computed on the ALREADY-REDUCED survivor set of the
+  *    cheap map-only stages, exactly as a sequential pipeline would, so
+  *    annotation costs no extra passes over dropped data;
+  *  - all stage verdicts join back on the key as narrow (id, flag) frames —
+  *    rare sides stay broadcastable, `text` never re-shuffles.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      langs: Set[String] = Set("en"),
+      minQuality: Double = 0.3,
+      nearDupShingle: Int = 3,
+      nearDupThreshold: Double = 0.9,
+      decontamN: Int = 8,
+      boilerN: Int = 2,
+      boilerMinCount: Long = 40L,
+      maxBoilerFrac: Double = 0.8,
+      mixtureRates: Map[String, String] = Map.empty,
+      mixtureDefault: String = "ffff", // keep everything unless configured
+      splitCuts: Seq[(String, String)] = Seq("cccc" -> "train", "e666" -> "val"),
+      splitElse: String = "test")
+
+  /** Annotated corpus: all input rows with `drop_stage` (null = kept) and,
+    * for survivors, the `split` label. `bench` is the eval/benchmark set to
+    * decontaminate against.
+    */
+  def annotate(
+      docs: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      keyCol: String,
+      stratumCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val id = col(keyCol)
+
+    // ---- stage 1+2: map-only gates (no joins needed) ----
+    val langOk = TextOps.langId(col(textCol)).isin(cfg.langs.toSeq: _*)
+    val qualOk = TextOps.qualityScore(col(textCol)) >= cfg.minQuality
+    val base = docs.withColumn("__drop_early",
+      when(!langOk, "lang").when(!qualOk, "quality"))
+    // the expensive stages only ever see early survivors
+    val early = base.filter(col("__drop_early").isNull)
+
+    // ---- stage 3: exact dedup (keeper = min key per content hash) ----
+    val exactKeep = Dedup.exactGroups(early, textCol, keyCol)
+      .select(col("keep_id").as("id"), lit(true).as("__exact_keep"))
+
+    // ---- stage 4: near-dup clusters over exact keepers ----
+    val exactKept = early.join(
+      exactKeep.withColumnRenamed("id", keyCol), Seq(keyCol), "left_semi")
+    val pairs = Dedup.minhashLshPairsExact(exactKept, textCol, keyCol,
+      n = cfg.nearDupShingle, threshold = cfg.nearDupThreshold)
+    val clusters = Connected.dedupClusters(exactKept, pairs, keyCol)
+      .select(col("id"), col("is_keeper").as("__near_keep"))
+
+    // ---- stage 5: decontamination (flag = drop) ----
+    val contaminated = Decontam
+      .contaminated(exactKept, bench, textCol, keyCol, cfg.decontamN)
+      .select(col("id"), lit(true).as("__contam"))
+
+    // ---- stage 6: boilerplate coverage (flag = drop) ----
+    val boiler = Boilerplate
+      .coverage(exactKept, textCol, keyCol, cfg.boilerN, cfg.boilerMinCount)
+      .filter(col("boiler_frac") > cfg.maxBoilerFrac)
+      .select(col("id"), lit(true).as("__boiler"))
+
+    // ---- stage 7+8: deterministic mixture + split (map-only columns) ----
+    val mixThr = cfg.mixtureRates.foldLeft(lit(cfg.mixtureDefault)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val inMixture = substring(md5(id.cast("string")), 1, 4) < mixThr
+    val split = Sampling.splitColumn(id, cfg.splitCuts, cfg.splitElse)
+
+    def flag(df: DataFrame): DataFrame = df.withColumnRenamed("id", keyCol)
+    val dropStage = coalesce(
+      col("__drop_early"),
+      when(col("__exact_keep").isNull, "exact_dup"),
+      when(!col("__near_keep"), "near_dup"),
+      when(col("__contam"), "contaminated"),
+      when(col("__boiler"), "boilerplate"),
+      when(!inMixture, "mixture"))
+
+    base
+      .join(flag(exactKeep), Seq(keyCol), "left")
+      .join(flag(clusters), Seq(keyCol), "left")
+      .join(flag(contaminated), Seq(keyCol), "left")
+      .join(flag(boiler), Seq(keyCol), "left")
+      .withColumn("drop_stage", dropStage)
+      .withColumn("split", when(col("drop_stage").isNull, split))
+      .drop("__drop_early", "__exact_keep", "__near_keep", "__contam", "__boiler")
+  }
+
+  /** The surviving corpus with split labels. */
+  def build(
+      docs: DataFrame, bench: DataFrame, textCol: String, keyCol: String,
+      stratumCol: String, cfg: Config = Config()): DataFrame =
+    annotate(docs, bench, textCol, keyCol, stratumCol, cfg)
+      .filter(col("drop_stage").isNull)
+      .drop("drop_stage")
+
+  /** Funnel report: docs dropped per stage + survivors per split — ONE
+    * aggregate over the annotated frame.
+    */
+  def funnel(annotated: DataFrame): DataFrame =
+    annotated
+      .groupBy(coalesce(col("drop_stage"),
+        concat(lit("kept:"), col("split"))).as("stage"))
+      .agg(count(lit(1)).as("n_docs"))
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.CorpusPipeline
+
+/** End-to-end corpus construction funnel: every stage rejects exactly one
+  * planted document, survivors get split labels, and the funnel report
+  * accounts for every input row exactly once.
+  */
+class CorpusPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val good1 =
+    "the quick brown fox jumps over the lazy dog tonight here is the end"
+  private val docs = Seq(
+    (1L, good1, "a"),                    // survivor (cluster keeper)
+    (2L, good1, "a"),                    // exact duplicate of 1
+    (3L, good1 + " extra", "a"),         // near-dup of 1 (3-gram j ≈ 0.92)
+    (4L, "der die das und nicht sind wir heute hier zusammen", "a"), // lang
+    (5L, "the !!! !!! !!! !!! ???? ####", "a"), // quality (score ~0.73)
+    (6L, "zebra yak xylophone walrus vulture and the other random words here",
+      "a"),                              // shares a 5-gram with bench
+    (7L, "the end the end the end the end", "a"), // boilerplate (4/7 frac)
+    (8L, "the completely ordinary unique sentence about nothing in particular today",
+      "mix"),                            // mixture-dropped stratum
+    (9L, "another perfectly reasonable document with the usual plenty of varied words",
+      "a"),                              // survivor
+    (10L, "final good document containing many distinct tokens and proper text",
+      "a")                               // survivor
+  ).toDF("doc_id", "text", "src")
+  private val bench = Seq(
+    (100L, "zebra yak xylophone walrus vulture tiger snake rhino")
+  ).toDF("doc_id", "text")
+
+  private val cfg = CorpusPipeline.Config(
+    langs = Set("en"),
+    minQuality = 0.8,
+    nearDupThreshold = 0.9,
+    decontamN = 5,
+    boilerN = 2,
+    boilerMinCount = 5L,
+    maxBoilerFrac = 0.5,
+    mixtureRates = Map("mix" -> "0000"),
+    mixtureDefault = "ffff")
+
+  test("each stage rejects its planted doc; funnel accounts for every row") {
+    val ann = CorpusPipeline
+      .annotate(docs, bench, "text", "doc_id", "src", cfg)
+    val stages = ann.select(col("doc_id"), col("drop_stage"))
+      .as[(Long, String)].collect().toMap
+    assert(stages(1L) === null)
+    assert(stages(2L) === "exact_dup")
+    assert(stages(3L) === "near_dup")
+    assert(stages(4L) === "lang")
+    assert(stages(5L) === "quality")
+    assert(stages(6L) === "contaminated")
+    assert(stages(7L) === "boilerplate")
+    assert(stages(8L) === "mixture")
+    assert(stages(9L) === null && stages(10L) === null)
+
+    val funnel = CorpusPipeline.funnel(ann)
+      .as[(String, Long)].collect().toMap
+    assert(funnel.values.sum === 10L) // every row exactly once
+    assert(funnel.filter(_._1.startsWith("kept:")).values.sum === 3L)
+    assert(funnel("exact_dup") === 1L && funnel("near_dup") === 1L)
+  }
+
+  test("build returns survivors with valid split labels only") {
+    val out = CorpusPipeline
+      .build(docs, bench, "text", "doc_id", "src", cfg)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect()
+    assert(out.map(_._1).toSet === Set(1L, 9L, 10L))
+    assert(out.forall(r => Set("train", "val", "test").contains(r._2)))
+  }
+}
