@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sampling
+
+/** Randomized-law tests for the deterministic sampling family (seeded, so
+  * reproducible). These are the invariants 100 TB reproducibility rests on,
+  * checked over 200 generated threshold/cut combinations rather than the
+  * fixed examples in PipelineOpsSpec. The Spark column expressions are
+  * pinned against a driver-side md5 replica once; the law loops then run on
+  * the replica so 200 cases don't launch 200 Spark jobs.
+  */
+class SamplingLawsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private def hex4(): String =
+    (1 to 4).map(_ => "0123456789abcdef"(rnd.nextInt(16))).mkString
+
+  // driver-side md5-prefix replica of the Column expression — equality with
+  // the Spark side is pinned by the first test, the laws then run on it
+  private def pfx(id: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    d.take(2).map(b => f"$b%02x").mkString
+  }
+  private val ids = (0L until 500L).toVector
+  private val prefixes = ids.map(i => i -> pfx(i)).toMap
+
+  test("driver-side md5 prefix replica matches the Spark column expression") {
+    val sparkSide = ids.toDF("id")
+      .select(col("id"), substring(md5(col("id").cast("string")), 1, 4).as("p"))
+      .as[(Long, String)].collect().toMap
+    ids.foreach(i => assert(sparkSide(i) === prefixes(i), s"id $i"))
+  }
+
+  test("law: hashSample membership is monotone in the threshold (nesting)") {
+    (1 to 200).foreach { _ =>
+      val (a, b) = (hex4(), hex4())
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      val inLo = ids.filter(prefixes(_) < lo).toSet
+      val inHi = ids.filter(prefixes(_) < hi).toSet
+      assert(inLo.subsetOf(inHi), s"sample at $lo must nest inside $hi")
+    }
+  }
+
+  test("law: splitColumn partitions — every key gets exactly one label") {
+    def label(cuts: Seq[(String, String)], p: String): String =
+      cuts.find(c => p < c._1).map(_._2).getOrElse("else")
+    (1 to 200).foreach { _ =>
+      val cuts = (1 to (1 + rnd.nextInt(4))).map(_ => hex4())
+        .distinct.sorted.zipWithIndex.map { case (h, i) => h -> s"s$i" }
+      val byLabel = ids.groupBy(i => label(cuts, prefixes(i)))
+      assert(byLabel.values.map(_.size).sum === ids.size) // exhaustive
+      // band membership: everything labeled s_i hashes below cut i
+      cuts.foreach { case (hex, lab) =>
+        byLabel.getOrElse(lab, Vector.empty)
+          .foreach(i => assert(prefixes(i) < hex))
+      }
+    }
+    // the Spark expression agrees with the replica on representative cuts
+    val cuts = Seq("4000" -> "s0", "c000" -> "s1")
+    val sparkSide = ids.toDF("id")
+      .select(col("id"),
+        Sampling.splitColumn(col("id"), cuts, "else").as("s"))
+      .as[(Long, String)].collect().toMap
+    ids.foreach(i => assert(sparkSide(i) === label(cuts, prefixes(i))))
+  }
+
+  test("law: weightedMixture equals per-stratum hashSample (no cross-talk)") {
+    (1 to 200).foreach { _ =>
+      val (ra, rb) = (hex4(), hex4())
+      val strata = ids.map(i => i -> (if (i % 2 == 0) "x" else "y")).toMap
+      val kept = ids.filter { i =>
+        val thr = if (strata(i) == "x") ra else rb
+        prefixes(i) < thr
+      }.toSet
+      val keptX = ids.filter(i => strata(i) == "x" && prefixes(i) < ra).toSet
+      val keptY = ids.filter(i => strata(i) == "y" && prefixes(i) < rb).toSet
+      assert(kept === (keptX ++ keptY))
+    }
+    // Spark side agrees on one representative rate pair
+    val m = Sampling.weightedMixture(
+        ids.map(i => (i, if (i % 2 == 0) "x" else "y")).toDF("id", "st"),
+        "st", "id", Map("x" -> "8000"), "2000")
+      .select("id").as[Long].collect().toSet
+    val expect = ids.filter { i =>
+      prefixes(i) < (if (i % 2 == 0) "8000" else "2000")
+    }.toSet
+    assert(m === expect)
+  }
+}
