@@ -2,11 +2,14 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.engine.{Runner, Stats, Validator}
 import graft.sources.TranscriptGen
+import graft.streaming.StreamValidator
 
 /** Benchmark main. Prints ONE JSON line:
   * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
@@ -25,6 +28,30 @@ import graft.sources.TranscriptGen
   * turns), SPARK_GRAFT_BENCH_DIR (materialization root, default /tmp).
   */
 object Bench {
+
+  /** Per-block max task duration — the number that shows a skew fix
+    * working: a hot partition keeps wall-clock roughly flat on a 32-core
+    * box (31 idle cores hide it) but its single straggler task is directly
+    * visible here.
+    */
+  private final class MaxTaskListener extends SparkListener {
+    @volatile var maxMs = 0L
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null) maxMs = math.max(maxMs, t.taskInfo.duration)
+  }
+
+  /** Run `action`, returning (wall sec, max task ms, action result). */
+  private def timed(spark: SparkSession)(action: => Long): (Double, Long, Long) = {
+    val l = new MaxTaskListener
+    spark.sparkContext.addSparkListener(l)
+    val t0 = System.nanoTime()
+    val n = action
+    val sec = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(300) // listener bus is async; let the last TaskEnd land
+    spark.sparkContext.removeSparkListener(l)
+    (sec, l.maxMs, n)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -89,6 +116,68 @@ object Bench {
     Stats.colStats(turns).collect()
     val statsSec = (System.nanoTime() - s0) / 1e9
 
+    // ---- skew entries: one planted hot conversation (~1/13 of all turns
+    // remapped onto a single conv_id ≈ 1M turns at the default size) ----
+    // Materialized once so every variant reads identical bytes. The metric
+    // pair is (wall sec, MAX TASK ms): on a 32-core box a single straggler
+    // barely moves wall-clock, but the skew-proof paths must flatten the
+    // task-time distribution — max task is where that shows.
+    // hot conversation (window + dedup key) AND hot stratum (sampling key),
+    // plus a deterministic per-row uid for the stratified sort order
+    val skewPath = s"$benchRoot/transcripts_skew_v2_n$nConvs"
+    if (!Files.exists(Paths.get(s"$skewPath/_SUCCESS"))) {
+      turns.withColumn("conv_id",
+        when(pmod(xxhash64(col("conv_id")), lit(13)) === 0, lit("HOTCONV"))
+          .otherwise(col("conv_id")))
+        .withColumn("stratum",
+          when(col("conv_id") === "HOTCONV", lit("HOTSRC"))
+            .otherwise(concat(lit("src"),
+              pmod(xxhash64(col("conv_id")), lit(997)))))
+        .withColumn("uid", xxhash64(col("conv_id"), col("turn_idx"), col("ts")))
+        .write.mode("overwrite").parquet(skewPath)
+    }
+    val skewTurns = spark.read.parquet(skewPath)
+    val hotTurns = skewTurns.filter(col("conv_id") === "HOTCONV").count()
+    val (wPlainSec, wPlainMax, _) =
+      timed(spark)(Validator.tsOrderViolations(skewTurns).count())
+    val (wSegSec, wSegMax, _) =
+      timed(spark)(Validator.tsOrderViolationsSegmented(skewTurns,
+        segSize = 1 << 13).count())
+    // unsalted uniqueness baseline: same phases minus the salt spread
+    def unsaltedDup(): Long = skewTurns
+      .groupBy(col("conv_id"), col("turn_idx"))
+      .agg(count(lit(1)).as("n"), min("part_id").as("part_id"))
+      .filter(col("n") > 1).count()
+    val (dUnsaltSec, dUnsaltMax, _) = timed(spark)(unsaltedDup())
+    val (dSaltSec, dSaltMax, _) =
+      timed(spark)(Validator.dupViolations(skewTurns).count())
+    // stratified top-k over the hot stratum: plain per-stratum window vs
+    // the salted two-phase (row-identical output, spec-asserted)
+    val (ssPlainSec, ssPlainMax, _) = timed(spark)(
+      graft.ops.Sampling.stratifiedSample(skewTurns, "stratum", "uid", 1000)
+        .count())
+    val (ssSaltSec, ssSaltMax, _) = timed(spark)(
+      graft.ops.Sampling
+        .stratifiedSampleSalted(skewTurns, "stratum", "uid", 1000, 32)
+        .count())
+
+    // ---- streaming throughput: the stateless violation stream and the
+    // stateful cross-batch ts-order check, driven by Trigger.AvailableNow
+    // over the SAME materialized bench table (batch-comparable turns/sec) ----
+    def runStream(build: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Dataset[_]): Double = {
+      val ck = Files.createTempDirectory("graft_bench_ck").toString
+      val src = spark.readStream.schema(turns.schema).parquet(tPath)
+      val t0 = System.nanoTime()
+      val q = build(src).writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val streamViolSec = runStream(df => StreamValidator.violations(df))
+    val streamOrderSec = runStream(df => StreamValidator.statefulTsOrder(df))
+
     // ---- per-query timings on the driver testdata ----
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
     val results = (if (skipQueries) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
@@ -101,8 +190,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + wallSec + statsSec
     val vruns = runSecs.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
+    val skewJson =
+      f"""{"hot_conv_turns":$hotTurns,"window_plain_sec":$wPlainSec%.3f,"window_plain_max_task_ms":$wPlainMax,"window_seg_sec":$wSegSec%.3f,"window_seg_max_task_ms":$wSegMax,"dedup_unsalted_sec":$dUnsaltSec%.3f,"dedup_unsalted_max_task_ms":$dUnsaltMax,"dedup_salted_sec":$dSaltSec%.3f,"dedup_salted_max_task_ms":$dSaltMax,"strat_plain_sec":$ssPlainSec%.3f,"strat_plain_max_task_ms":$ssPlainMax,"strat_salted_sec":$ssSaltSec%.3f,"strat_salted_max_task_ms":$ssSaltMax}"""
+    val streamJson =
+      f"""{"viol_sec":$streamViolSec%.3f,"viol_turns_per_sec":${nTurns / streamViolSec}%.0f,"order_sec":$streamOrderSec%.3f,"order_turns_per_sec":${nTurns / streamOrderSec}%.0f}"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"violations":$nViol,"validate_wall_sec":$wallSec%.3f,"validate_runs_sec":$vruns,"turns_per_sec":$tput%.0f,"stats_wall_sec":$statsSec%.3f,"cpus":$cpus}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"violations":$nViol,"validate_wall_sec":$wallSec%.3f,"validate_runs_sec":$vruns,"turns_per_sec":$tput%.0f,"stats_wall_sec":$statsSec%.3f,"skew":$skewJson,"stream":$streamJson,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -79,11 +79,16 @@ object Main {
           .getOrElse(docs.filter(col("doc_id") % 50 === 0))
         val ann = graft.ops.CorpusPipeline
           .annotate(docs, bench, "text", "doc_id", "source")
+          // two actions consume the annotated DAG (corpus write + funnel
+          // report) and it contains the minhash-LSH + connected-components
+          // stages — persist so the expensive funnel runs once, not twice
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         ann.filter(col("drop_stage").isNull).drop("drop_stage")
           .write.mode("overwrite").partitionBy("split")
           .parquet(s"${o.out}/corpus")
         val funnel = graft.ops.CorpusPipeline.funnel(ann)
           .orderBy("stage").collect()
+        ann.unpersist()
         funnel.foreach(r => System.err.println(s"FUNNEL ${r.mkString("\t")}"))
         val kept = funnel.filter(_.getString(0).startsWith("kept:"))
           .map(_.getLong(1)).sum

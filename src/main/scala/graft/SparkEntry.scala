@@ -744,6 +744,16 @@ object SparkEntry {
         .groupBy("first_day")
         .agg(count(lit(1)).as("n_new_users"))
     }),
+    "q64_boilerplate_frac" -> ((s, dir) => {
+      // fraction-of-corpus boilerplate threshold (≥5% of doc slots): the
+      // scale-invariant form of q56 — the frequent set stays bounded by
+      // construction at any corpus size; n_docs joins as a broadcast
+      // one-row aggregate
+      graft.ops.Boilerplate.coverageFrac(
+          t(s, dir, "documents"), "text", "doc_id", n = 2, minFrac = 0.05)
+        .select(col("id").as("doc_id"), col("n_grams"),
+          col("n_boiler"), col("boiler_frac"))
+    }),
     // ---- rows-only entries (xxhash64 / engine-internal — no DuckDB twin) ----
     "t01_violations" -> ((s, _) => entry(s)),
     "t02_verdicts" -> ((s, _) => {
@@ -833,10 +843,28 @@ object SparkEntry {
       convUrls.filter(c.violated)
         .select(col("conv_id"), c.message.as("message"))
     }),
-    "t11_multimodal_features" -> ((s, dir) =>
-      Multimodal.featureTable(t(s, dir, "documents"), "text", "doc_id")
+    "t11_multimodal_features" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val packed = Multimodal.packFromText(docs, "text", "doc_id")
+      // planted uncompressed 2x1 24-bit BMP payloads (54-byte header built
+      // as a hex literal, per-doc blue byte) — exercises the REAL pixel
+      // decode path; text blobs keep the marked stub
+      val bmpHdrHex = "424D3E0000000000000036000000280000000200000001000000" +
+        "01001800000000000800000000000000000000000000000000000000"
+      val blue = lpad(hex(pmod(col("doc_id") * 37, lit(256))), 2, "0")
+      val bmps = Multimodal.packMedia(
+        docs.filter(col("doc_id") < 8).select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          unhex(concat(lit(bmpHdrHex), blue, lit("00FF"), blue,
+            lit("8000"), lit("0000"))).as("bmp")),
+        "doc_id", "bmp", lit("image"))
+      Multimodal.featuresFromPacked(packed.unionByName(bmps))
         .select(col("vec_id"), col("kind"), col("meta.byte_len").as("byte_len"),
-          size(col("embedding")).as("dim"), size(col("frames")).as("n_frames")))
+          size(col("embedding")).as("dim"), size(col("frames")).as("n_frames"),
+          col("pix.format").as("pix_format"),
+          col("pix.mean_r").as("mean_r"), col("pix.mean_g").as("mean_g"),
+          col("pix.mean_b").as("mean_b"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1388,6 +1416,28 @@ object SparkEntry {
         | CAST(sum(hit) AS BIGINT) AS n_boiler,
         | round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS boiler_frac
         |FROM j GROUP BY doc_id""".stripMargin,
+    "q64_boilerplate_frac" ->
+      """WITH d AS (
+        | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        | FROM documents),
+        |gl AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_transform(range(1, len(toks)),
+        |                           i -> array_to_string(toks[i:i+1], ' '))
+        |  END AS grams
+        | FROM d),
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM gl),
+        |f AS (SELECT gram FROM g GROUP BY gram
+        |      HAVING CAST(count(*) AS DOUBLE) >=
+        |             0.05 * (SELECT count(*) FROM documents)),
+        |j AS (
+        | SELECT g.doc_id, CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END AS hit
+        | FROM g LEFT JOIN f USING (gram))
+        |SELECT doc_id, count(*) AS n_grams,
+        | CAST(sum(hit) AS BIGINT) AS n_boiler,
+        | round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS boiler_frac
+        |FROM j GROUP BY doc_id""".stripMargin,
     "q57_json_extract" ->
       """WITH e AS (
         | SELECT event_type,
@@ -1415,11 +1465,12 @@ object SparkEntry {
         |s AS (
         | SELECT event_type, s1 / n AS mu,
         |  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sigma
-        | FROM m)
+        | FROM m WHERE n > 1),
+        |s2 AS (SELECT * FROM s WHERE sigma > 0)
         |SELECT e.event_id, e.event_type, e.value,
-        | round((e.value - s.mu) / s.sigma, 3) AS z
-        |FROM events e JOIN s USING (event_type)
-        |WHERE abs((e.value - s.mu) / s.sigma) > 4.0""".stripMargin,
+        | round((e.value - s2.mu) / s2.sigma, 3) AS z
+        |FROM events e JOIN s2 USING (event_type)
+        |WHERE abs((e.value - s2.mu) / s2.sigma) > 4.0""".stripMargin,
     "q60_mixture" ->
       """WITH thr AS (
         | SELECT source,
@@ -1445,11 +1496,12 @@ object SparkEntry {
         |d AS (
         | SELECT e.event_type, median(abs(e.value - m.med)) AS mad,
         |  max(m.med) AS med
-        | FROM events e JOIN m USING (event_type) GROUP BY 1)
+        | FROM events e JOIN m USING (event_type) GROUP BY 1),
+        |d2 AS (SELECT * FROM d WHERE mad > 0)
         |SELECT e.event_id, e.event_type, e.value,
-        | round((e.value - d.med) / (1.4826 * d.mad), 3) AS rz
-        |FROM events e JOIN d USING (event_type)
-        |WHERE abs((e.value - d.med) / (1.4826 * d.mad)) > 6.0""".stripMargin,
+        | round((e.value - d2.med) / (1.4826 * d2.mad), 3) AS rz
+        |FROM events e JOIN d2 USING (event_type)
+        |WHERE abs((e.value - d2.med) / (1.4826 * d2.mad)) > 6.0""".stripMargin,
     "q63_new_keys" ->
       """WITH f AS (
         | SELECT user_id, min(CAST(ts AS DATE)) AS first_day

@@ -37,20 +37,57 @@ object Boilerplate {
     * boiler_frac) where n_boiler counts gram occurrences whose corpus-wide
     * frequency is ≥ `minCount`. Downstream filters on boiler_frac drop
     * template-dominated documents.
+    *
+    * The ABSOLUTE threshold is right when the caller derives it for the
+    * corpus at hand; at 100× corpus growth a fixed `minCount` silently
+    * grows the frequent set. [[coverageFrac]] keeps the broadcast-tiny
+    * invariant true by construction instead.
     */
   def coverage(
       corpus: DataFrame,
       textCol: String,
       keyCol: String,
       n: Int,
-      minCount: Long): DataFrame = {
+      minCount: Long): DataFrame =
+    scored(corpus, textCol, keyCol, n, _.filter(col("cnt") >= minCount))
+
+  /** [[coverage]] with a FRACTION-of-corpus threshold: a gram is frequent
+    * when its occurrence count is ≥ `minFrac · n_docs`. Scale-invariant —
+    * "appears in ≥5% of document slots" means the same thing at 10⁴ and
+    * 10¹² docs, so the frequent set stays bounded (true boilerplate is a
+    * few thousand grams at any corpus size) without callers re-deriving an
+    * absolute count per run. The corpus row count joins as a broadcast
+    * one-row aggregate — no driver-side action.
+    */
+  def coverageFrac(
+      corpus: DataFrame,
+      textCol: String,
+      keyCol: String,
+      n: Int,
+      minFrac: Double): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, "minFrac in (0, 1]")
+    val nDocs = corpus.agg(count(lit(1)).cast("double").as("n_docs"))
+    scored(corpus, textCol, keyCol, n,
+      _.crossJoin(broadcast(nDocs))
+        .filter(col("cnt").cast("double") >= lit(minFrac) * col("n_docs"))
+        .drop("n_docs"))
+  }
+
+  /** Shared shape: hash grams map-side, count per 8-byte hash, apply the
+    * caller's frequent-set filter, broadcast it back onto the gram stream.
+    */
+  private def scored(
+      corpus: DataFrame,
+      textCol: String,
+      keyCol: String,
+      n: Int,
+      frequentFilter: DataFrame => DataFrame): DataFrame = {
     val grams = corpus
       .select(col(keyCol).as("id"),
         explode(gramsAll(col(textCol), n)).as("g"))
       .select(col("id"), xxhash64(col("g")).as("gh"))
-    val frequent = grams
-      .groupBy("gh").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
+    val frequent = frequentFilter(
+      grams.groupBy("gh").agg(count(lit(1)).as("cnt")))
       .select(col("gh"), lit(1).as("hit"))
     grams
       .join(broadcast(frequent), Seq("gh"), "left")

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** End-to-end training-corpus construction: the library's cleaning operators
   * composed in the canonical order (C4/RefinedWeb-style funnel):
@@ -20,7 +21,16 @@ import org.apache.spark.sql.functions._
   *    cheap map-only stages, exactly as a sequential pipeline would, so
   *    annotation costs no extra passes over dropped data;
   *  - all stage verdicts join back on the key as narrow (id, flag) frames —
-  *    rare sides stay broadcastable, `text` never re-shuffles.
+  *    rare sides stay broadcastable, `text` never re-shuffles;
+  *  - the narrow (key, text) survivor frame of the map-only gates is
+  *    PERSISTED (memory-and-disk): it feeds four independent consumers
+  *    (exact dedup, near-dup pairs, decontamination, boilerplate), and
+  *    without the persist each consumer re-evaluates the lang/quality
+  *    regexes — the two costliest per-row expressions in the funnel — on
+  *    its own re-scan. The two cached frames stay registered until the
+  *    session drops them (`spark.catalog.clearCache()` or unpersist by
+  *    plan); callers running many funnels per session should clear between
+  *    runs.
   */
 object CorpusPipeline {
 
@@ -56,16 +66,23 @@ object CorpusPipeline {
     val qualOk = TextOps.qualityScore(col(textCol)) >= cfg.minQuality
     val base = docs.withColumn("__drop_early",
       when(!langOk, "lang").when(!qualOk, "quality"))
-    // the expensive stages only ever see early survivors
+    // the expensive stages only ever see early survivors — and only the
+    // narrow (key, text) projection, persisted so the lang/quality regexes
+    // evaluate ONCE, not once per downstream consumer re-scan
     val early = base.filter(col("__drop_early").isNull)
+      .select(col(keyCol), col(textCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- stage 3: exact dedup (keeper = min key per content hash) ----
     val exactKeep = Dedup.exactGroups(early, textCol, keyCol)
       .select(col("keep_id").as("id"), lit(true).as("__exact_keep"))
 
     // ---- stage 4: near-dup clusters over exact keepers ----
+    // persisted too: pairs, clusters, decontamination, and boilerplate all
+    // consume this frame — one semi-join, not four
     val exactKept = early.join(
       exactKeep.withColumnRenamed("id", keyCol), Seq(keyCol), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.minhashLshPairsExact(exactKept, textCol, keyCol,
       n = cfg.nearDupShingle, threshold = cfg.nearDupThreshold)
     val clusters = Connected.dedupClusters(exactKept, pairs, keyCol)
@@ -83,11 +100,21 @@ object CorpusPipeline {
       .select(col("id"), lit(true).as("__boiler"))
 
     // ---- stage 7+8: deterministic mixture + split (map-only columns) ----
+    // The two decisions hash DIFFERENT per-purpose-salted keys: sharing one
+    // md5(key) prefix would correlate them perfectly — any mixture
+    // threshold below the first split cut would then starve val/test for
+    // downsampled strata. Same hex-threshold contract as
+    // [[Sampling.weightedMixture]], enforced here too.
+    require((cfg.mixtureRates.values.toSeq :+ cfg.mixtureDefault)
+      .forall(_.matches("[0-9a-f]{4}")),
+      "mixture thresholds = 4 lowercase hex chars")
     val mixThr = cfg.mixtureRates.foldLeft(lit(cfg.mixtureDefault)) {
       case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
     }
-    val inMixture = substring(md5(id.cast("string")), 1, 4) < mixThr
-    val split = Sampling.splitColumn(id, cfg.splitCuts, cfg.splitElse)
+    val inMixture =
+      substring(md5(concat(id.cast("string"), lit(":mixture"))), 1, 4) < mixThr
+    val split = Sampling.splitColumn(
+      concat(id.cast("string"), lit(":split")), cfg.splitCuts, cfg.splitElse)
 
     def flag(df: DataFrame): DataFrame = df.withColumnRenamed("id", keyCol)
     val dropStage = coalesce(

@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * the column wiring are exactly what a production pipeline needs. Header
   * metadata (format, width, height) is decoded for REAL from the blob bytes
   * by [[imageHeaderMeta]] — pure column expressions, no codec libraries.
-  * Only the pixel-level feature extraction is a **STUB**: this container has
-  * no image/audio libraries, so `fakeDecodeFeatures` derives deterministic
-  * pseudo-features from the bytes (clearly marked; swap in a real decoder
-  * via mapInPandas on a cluster with the codec libs installed).
+  * Pixel-level features are REAL for uncompressed raster formats (BMP
+  * 24-bit, PPM P6, PGM P5 — [[pixelStats]]: per-channel means and
+  * histograms, no codec needed). Only compressed payloads (PNG/GIF/JPEG
+  * pixel data) keep the **STUB**: this container has no image/audio
+  * libraries, so `fakeDecodeFeatures` derives deterministic pseudo-features
+  * from the bytes (clearly marked; swap in a real decoder via mapInPandas
+  * on a cluster with the codec libs installed).
   */
 object Multimodal {
 
@@ -31,6 +34,9 @@ object Multimodal {
     *    3/5. The marker is located via a latin-1 byte view (1:1 char↔byte)
     *    + `instr`; a FF Cn byte pair inside a preceding segment could
     *    false-positive, which is the standard header-sniff tradeoff.
+    *  - BMP ("BM"): width/height are 4-byte LITTLE-endian ints at offsets
+    *    18/22 of the BITMAPINFOHEADER; a top-down BMP stores height
+    *    negative (two's complement) — reported as its magnitude.
     *
     * Unknown/truncated blobs → format "unknown", null dimensions.
     */
@@ -38,10 +44,20 @@ object Multimodal {
     // big-endian unsigned int from a byte slice (1-based pos)
     def be(pos: Int, len: Int): Column =
       conv(hex(substring(media, pos, len)), 16, 10).cast("int")
+    // little-endian unsigned int from a byte slice (1-based pos)
+    def le(pos: Int, len: Int): Column =
+      (0 until len).map(i =>
+        conv(hex(substring(media, pos + i, 1)), 16, 10).cast("long") *
+          (1L << (8 * i))).reduce(_ + _)
     val isPng = hex(substring(media, 1, 8)) === "89504E470D0A1A0A"
     val isGif = hex(substring(media, 1, 6))
       .isin("474946383761", "474946383961") // GIF87a / GIF89a
     val isJpeg = hex(substring(media, 1, 2)) === "FFD8"
+    val isBmp = hex(substring(media, 1, 2)) === "424D"
+    val bmpW = le(19, 4).cast("int")
+    val bmpHRaw = le(23, 4)
+    val bmpH = when(bmpHRaw > Int.MaxValue, lit(4294967296L) - bmpHRaw)
+      .otherwise(bmpHRaw).cast("int")
     // latin-1 view: chars map 1:1 to bytes, so instr/substr address bytes
     val s = decode(media, "ISO-8859-1")
     def byteAt(p: Column): Column = ascii(s.substr(p, lit(1)))
@@ -55,12 +71,15 @@ object Multimodal {
     val gifH = be(9, 1) + be(10, 1) * 256
     struct(
       when(isPng, "png").when(isGif, "gif").when(isJpeg, "jpeg")
+        .when(isBmp, "bmp")
         .otherwise("unknown").as("format"),
       when(isPng, be(17, 4)).when(isGif, gifW)
         .when(isJpeg && sofPos.isNotNull, jpegW.cast("int"))
+        .when(isBmp, bmpW)
         .otherwise(lit(null).cast("int")).as("width"),
       when(isPng, be(21, 4)).when(isGif, gifH)
         .when(isJpeg && sofPos.isNotNull, jpegH.cast("int"))
+        .when(isBmp, bmpH)
         .otherwise(lit(null).cast("int")).as("height"))
   }
 
@@ -102,6 +121,111 @@ object Multimodal {
       wavField(35, 2).as("bits_per_sample"))
   }
 
+  /** REAL pixel-feature decode for UNCOMPRESSED raster payloads — pure
+    * column expressions, no codec library:
+    *
+    *  - BMP, 24-bit BI_RGB bottom-up: pixel array starts at the
+    *    little-endian offset stored at byte 10; rows are width·3 BGR bytes
+    *    padded to 4-byte boundaries (padding excluded from the stats).
+    *  - PPM "P6" / PGM "P5" (binary, maxval ≤ 255, no comment lines): ASCII
+    *    header parsed by regex on the latin-1 byte view; raw RGB triples
+    *    (resp. single gray bytes) follow.
+    *
+    * Output struct: format ("bmp24" | "ppm" | "pgm" | null), n_pixels, and
+    * per-channel mean + `histBins`-bin histogram (PGM reports its gray
+    * channel on all three). Payloads that are compressed, truncated,
+    * top-down BMP, or larger than `maxPixels` come back all-null —
+    * column-expression decode is sized for thumbnails; a production cluster
+    * swaps in mapInPandas + a codec for big frames, leaving every schema
+    * and join downstream unchanged.
+    *
+    * Cost shape: O(pixels) per image like any decoder, folded inside the
+    * JVM columnar engine — map-only, no shuffle, no UDF registration, no
+    * driver involvement.
+    */
+  def pixelStats(
+      media: Column, histBins: Int = 4, maxPixels: Int = 1 << 16): Column = {
+    require(histBins > 0 && 256 % histBins == 0, "histBins must divide 256")
+    val s = decode(media, "ISO-8859-1")
+    def byteAt(p: Column): Column = ascii(s.substr(p, lit(1)))
+    def le(pos: Int, len: Int): Column =
+      (0 until len).map(i =>
+        conv(hex(substring(media, pos + i, 1)), 16, 10).cast("long") *
+          (1L << (8 * i))).reduce(_ + _)
+    val blobLen = length(media).cast("long")
+
+    // ---- BMP 24-bit ----
+    val isBmp = hex(substring(media, 1, 2)) === "424D"
+    val off = le(11, 4)
+    val bmpW = le(19, 4)
+    val bmpH = le(23, 4) // top-down (negative/huge) rejected by the caps
+    val rowBytes = bmpW * 3 + pmod(-(bmpW * 3), lit(4L))
+    val bmpN = bmpW * bmpH
+    val bmpOk = isBmp && le(29, 2) === 24 && le(31, 4) === 0 &&
+      bmpW >= 1 && bmpH >= 1 && bmpN <= maxPixels &&
+      blobLen >= off + bmpH * rowBytes
+    // linear pixel index -> byte position of channel c (0=B, 1=G, 2=R);
+    // floor-div is exact here (maxPixels bounds i far inside double range)
+    def bmpPos(c: Int)(i: Column): Column = {
+      val y = floor(i.cast("double") / bmpW).cast("long")
+      val x = i - y * bmpW
+      off + y * rowBytes + x * 3 + c + 1
+    }
+
+    // ---- PPM (P6) / PGM (P5) ----
+    val pPat = "^P([56])\\s+(\\d+)\\s+(\\d+)\\s+(\\d+)\\s"
+    val pHdr = regexp_extract(s, pPat, 0)
+    val pKind = regexp_extract(s, pPat, 1)
+    val matched = pKind =!= ""
+    def pField(g: Int): Column =
+      when(matched, regexp_extract(s, pPat, g).cast("long"))
+    val pW = pField(2)
+    val pH = pField(3)
+    val pMax = pField(4)
+    val pN = pW * pH
+    val hdrLen = length(pHdr).cast("long")
+    val pCommon = matched && pMax <= 255 && pW >= 1 && pH >= 1 &&
+      pN <= maxPixels
+    val ppmOk = pCommon && pKind === "6" && blobLen >= hdrLen + pN * 3
+    val pgmOk = pCommon && pKind === "5" && blobLen >= hdrLen + pN
+    def ppmPos(c: Int)(i: Column): Column = hdrLen + i * 3 + c + 1
+    def pgmPos(i: Column): Column = hdrLen + i + 1
+
+    // ---- per-channel fold: mean + histogram over a position mapping ----
+    def mean(n: Column, posOf: Column => Column): Column = {
+      val sum = aggregate(sequence(lit(0L), n - 1), lit(0L),
+        (acc, i) => acc + byteAt(posOf(i)))
+      round(sum.cast("double") / n, 4)
+    }
+    def hist(n: Column, posOf: Column => Column): Column =
+      aggregate(
+        sequence(lit(0L), n - 1),
+        array_repeat(lit(0L), histBins),
+        (acc, i) => {
+          val bin = floor(
+            (byteAt(posOf(i)) * histBins).cast("double") / 256).cast("long")
+          transform(acc, (c, j) => when(j === bin, c + 1L).otherwise(c))
+        })
+    // channel order: BMP stores BGR (c 2,1,0 = R,G,B), PPM stores RGB
+    def chan(rgb: Int): (Column, Column) = (
+      when(bmpOk, mean(bmpN, bmpPos(2 - rgb)))
+        .when(ppmOk, mean(pN, ppmPos(rgb)))
+        .when(pgmOk, mean(pN, pgmPos)),
+      when(bmpOk, hist(bmpN, bmpPos(2 - rgb)))
+        .when(ppmOk, hist(pN, ppmPos(rgb)))
+        .when(pgmOk, hist(pN, pgmPos)))
+    val (meanR, histR) = chan(0)
+    val (meanG, histG) = chan(1)
+    val (meanB, histB) = chan(2)
+    struct(
+      when(bmpOk, "bmp24").when(ppmOk, "ppm").when(pgmOk, "pgm")
+        .otherwise(lit(null).cast("string")).as("format"),
+      when(bmpOk, bmpN).when(ppmOk || pgmOk, pN)
+        .otherwise(lit(null).cast("long")).as("n_pixels"),
+      meanR.as("mean_r"), meanG.as("mean_g"), meanB.as("mean_b"),
+      histR.as("hist_r"), histG.as("hist_g"), histB.as("hist_b"))
+  }
+
   /** Wrap a text table into a media table: (key, kind, media BINARY,
     * meta STRUCT<byte_len, format, width, height>). Stands in for reading
     * real blobs; the binary column round-trips Parquet losslessly. The meta
@@ -109,10 +233,22 @@ object Multimodal {
     * blobs honestly surface as format "unknown" with null dimensions).
     */
   def packFromText(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
-    val media = coalesce(col(textCol), lit("")).cast("binary")
     val kind = element_at(
       array(lit("image"), lit("audio"), lit("video")),
       (pmod(xxhash64(col(keyCol)), lit(3)) + 1).cast("int"))
+    packMedia(
+      df.withColumn("__media", coalesce(col(textCol), lit("")).cast("binary")),
+      keyCol, "__media", kind)
+  }
+
+  /** Pack an arbitrary binary media column into the standard media-table
+    * shape consumed by [[featuresFromPacked]]: (media_id, kind, media,
+    * meta STRUCT<byte_len, format, width, height>) with the meta decoded
+    * from the real bytes.
+    */
+  def packMedia(
+      df: DataFrame, keyCol: String, mediaCol: String, kind: Column): DataFrame = {
+    val media = col(mediaCol)
     val hdr = imageHeaderMeta(media)
     df.select(
       col(keyCol).as("media_id"),
@@ -125,7 +261,9 @@ object Multimodal {
         hdr.getField("height").as("height")).as("meta"))
   }
 
-  /** STUB decode → feature vector: deterministic pseudo-features from the
+  /** STUB decode → feature vector for COMPRESSED payloads only
+    * (uncompressed rasters get real features via [[pixelStats]] in
+    * [[featuresFromPacked]]): deterministic pseudo-features from the
     * raw bytes (`xxhash64(media, i)` per dimension, scaled to [0,1)). A real
     * deployment replaces exactly this expression with the decoder; everything
     * upstream/downstream (schema `array<double>`, partitioning, the ANN ops
@@ -152,7 +290,7 @@ object Multimodal {
             .as("frame")))
   }
 
-  /** Full multimodal feature pipeline: pack → decode(stub) → features table
+  /** Full multimodal feature pipeline: pack → decode → features table
     * ready for the Similarity ops. Repartitions by hash of key so feature
     * extraction (the expensive stage in production) balances across
     * executors regardless of input file layout.
@@ -161,11 +299,37 @@ object Multimodal {
       dim: Int = 64, parts: Int = 0): DataFrame = {
     val packed = packFromText(df, textCol, keyCol)
     val balanced = if (parts > 0) packed.repartition(parts, col("media_id")) else packed
-    balanced.select(
+    featuresFromPacked(balanced, dim)
+  }
+
+  /** Feature stage over an already-packed media table ([[packFromText]] /
+    * [[packMedia]] / any real blob reader): adds `pix` — REAL per-channel
+    * pixel statistics where the payload is an uncompressed raster
+    * ([[pixelStats]]) — plus `embedding` (derived from the real pixel stats
+    * when decodable: channel means and histogram fractions, zero-padded to
+    * `dim`; the marked [[fakeDecodeFeatures]] stub otherwise) and `frames`.
+    */
+  def featuresFromPacked(packed: DataFrame, dim: Int = 64): DataFrame = {
+    val histBins = 4
+    require(dim >= 3 + 3 * histBins, s"dim must fit the ${3 + 3 * histBins} real features")
+    val withPix = packed.withColumn("pix", pixelStats(col("media"), histBins))
+    val n = col("pix.n_pixels").cast("double")
+    def hfrac(c: String): Column =
+      transform(col(s"pix.$c"), x => round(x.cast("double") / n, 6))
+    val realVec = concat(
+      array(
+        round(col("pix.mean_r") / 255.0, 6),
+        round(col("pix.mean_g") / 255.0, 6),
+        round(col("pix.mean_b") / 255.0, 6)),
+      hfrac("hist_r"), hfrac("hist_g"), hfrac("hist_b"),
+      array_repeat(lit(0.0), dim - 3 - 3 * histBins))
+    withPix.select(
       col("media_id").as("vec_id"),
       col("kind"),
       col("meta"),
-      fakeDecodeFeatures(col("media"), dim).as("embedding"),
+      col("pix"),
+      when(col("pix.format").isNotNull, realVec)
+        .otherwise(fakeDecodeFeatures(col("media"), dim)).as("embedding"),
       frameSample(col("media")).as("frames"))
   }
 }

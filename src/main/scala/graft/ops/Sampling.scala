@@ -40,6 +40,28 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Skew-proof variant of [[stratifiedSample]] for HOT strata: phase 1
+    * takes the top-k of each (stratum, salt) sub-partition — a hot
+    * stratum's sort spreads over `saltFactor` parallel tasks — and phase 2
+    * re-ranks only the ≤ k·saltFactor survivors per stratum. Output is
+    * row-identical to the plain variant (the global md5-order top-k of a
+    * stratum is contained in the union of its per-salt top-ks, since each
+    * global winner is also a winner within its own salt). The salt derives
+    * from the key, not rand() — deterministic under retry, stable across
+    * partitionings.
+    */
+  def stratifiedSampleSalted(
+      df: DataFrame, stratumCol: String, keyCol: String, k: Int,
+      saltFactor: Int = 16): DataFrame = {
+    val ord = md5(col(keyCol).cast("string"))
+    val salt = pmod(xxhash64(col(keyCol).cast("string")), lit(saltFactor))
+    val w1 = Window.partitionBy(col(stratumCol), salt).orderBy(ord, col(keyCol))
+    val w2 = Window.partitionBy(stratumCol).orderBy(ord, col(keyCol))
+    df.withColumn("__rn1", row_number().over(w1)).filter(col("__rn1") <= k)
+      .withColumn("__rn2", row_number().over(w2)).filter(col("__rn2") <= k)
+      .drop("__rn1", "__rn2")
+  }
+
   /** Weighted corpus mixture: per-stratum hashSample rates (training-data
     * mixing — upsample curated sources, downsample crawl). `rates` maps
     * stratum value → 4-hex-char threshold; strata absent from the map fall

@@ -93,6 +93,12 @@ object StreamValidator {
     * aggregate output, identical in spirit to `engine/Drift`. Categories
     * outside `refProps` pool into an `__other__` cell with the leftover
     * reference mass (floored at 1e-6 to keep the division ANSI-safe).
+    *
+    * The per-category count columns are named by POSITION (`n_0`, `n_1`, …
+    * over the sorted category list), never by embedding the category text in
+    * an identifier — a category containing a dot, space, or backtick would
+    * break column resolution (or collide). Requires an event-time `ts`
+    * timestamp column on `stream`, like the sibling stream ops.
     */
   def windowedDrift(
       stream: DataFrame,
@@ -104,19 +110,20 @@ object StreamValidator {
     require(refProps.nonEmpty && refProps.values.forall(p => p > 0 && p < 1),
       "refProps: category -> expected proportion in (0,1)")
     val cats = refProps.keys.toSeq.sorted
-    val counts = cats.map(c =>
-      sum(when(col(categoryCol) === c, 1L).otherwise(0L)).as(s"n_$c"))
+    val counts = cats.zipWithIndex.map { case (c, i) =>
+      sum(when(col(categoryCol) === c, 1L).otherwise(0L)).as(s"n_$i")
+    }
     val agged = stream
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_))
       .agg(count(lit(1)).as("n"), counts: _*)
     val otherP = math.max(1.0 - refProps.values.sum, 1e-6)
-    val otherN = col("n") - cats.map(c => col(s"n_$c")).reduce(_ + _)
+    val otherN = col("n") - cats.indices.map(i => col(s"n_$i")).reduce(_ + _)
     def cell(obs: org.apache.spark.sql.Column, p: Double) = {
       val exp = col("n").cast("double") * p
       (obs.cast("double") - exp) * (obs.cast("double") - exp) / exp
     }
-    val chi2 = cats.map(c => cell(col(s"n_$c"), refProps(c)))
+    val chi2 = cats.zipWithIndex.map { case (c, i) => cell(col(s"n_$i"), refProps(c)) }
       .reduce(_ + _) + cell(otherN, otherP)
     agged.select(
       col("window.start").as("window_start"),

@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Decontam, Tfidf}
+import graft.ops.{Boilerplate, Decontam, Tfidf}
 
-/** Decontamination (n-gram overlap vs a benchmark set) and TF-IDF keyword
-  * extraction.
+/** Decontamination (n-gram overlap vs a benchmark set), boilerplate
+  * coverage thresholds, and TF-IDF keyword extraction.
   */
 class CorpusOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -38,6 +38,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     val r = Decontam.contaminated(corpus, bench, "text", "doc_id", n = 13)
       .as[(Long, Long)].collect().toMap
     assert(r === Map(1L -> 1L))
+  }
+
+  test("boilerplate coverageFrac: equals the equivalent absolute threshold, " +
+    "stays scale-invariant where the absolute one drifts") {
+    val base = (0 until 20).map(i => (i.toLong, s"the end unique$i words$i"))
+    val docs20 = base.toDF("doc_id", "text")
+    // frac 0.5 of 20 docs = count ≥ 10 — identical output to minCount=10
+    val byFrac = Boilerplate.coverageFrac(docs20, "text", "doc_id", 2, 0.5)
+      .collect().map(_.toSeq).toSet
+    val byCount = Boilerplate.coverage(docs20, "text", "doc_id", 2, 10L)
+      .collect().map(_.toSeq).toSet
+    assert(byFrac === byCount)
+    // each doc: grams ("the end", "end uniqueN", "uniqueN wordsN"+1) — only
+    // "the end" is corpus-frequent
+    val r = Boilerplate.coverageFrac(docs20, "text", "doc_id", 2, 0.5)
+      .select("id", "n_boiler").as[(Long, Long)].collect().toMap
+    assert(r.values.forall(_ === 1L))
+    // double the corpus; plant a gram stuck at 10 occurrences. The absolute
+    // threshold (10) now flags it, the fraction threshold (0.5·40 = 20)
+    // correctly does not — the frequent set did not grow with the corpus.
+    val docs40 = (base ++ (20 until 40).map(i =>
+      (i.toLong, s"the end other$i tokens$i" +
+        (if (i < 30) " semi common" else "")))).toDF("doc_id", "text")
+    val fracBoiler = Boilerplate.coverageFrac(docs40, "text", "doc_id", 2, 0.5)
+      .filter(col("id") === 25L).select("n_boiler").as[Long].head()
+    val absBoiler = Boilerplate.coverage(docs40, "text", "doc_id", 2, 10L)
+      .filter(col("id") === 25L).select("n_boiler").as[Long].head()
+    assert(fracBoiler === 1L, "only 'the end' should stay frequent at 2x corpus")
+    assert(absBoiler > fracBoiler, "fixed minCount should have drifted here")
   }
 
   test("tfidf: corpus-wide terms score zero-ish, rare terms rank first") {

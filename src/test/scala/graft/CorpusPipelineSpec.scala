@@ -68,6 +68,44 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(funnel("exact_dup") === 1L && funnel("near_dup") === 1L)
   }
 
+  test("mixture and split hashes are salted per purpose: " +
+    "split proportions survive a <1.0 mixture rate") {
+    // 400 unique English docs, default mixture threshold '8000' (~50%).
+    // With an UNSALTED shared md5(key) prefix both decisions would read the
+    // same hex digits: every mixture survivor would have prefix < '8000' <
+    // 'cccc' and land in 'train' — val/test exactly empty.
+    val many = spark.range(0, 400).select(
+      col("id").as("doc_id"),
+      concat(lit("the plain good document number "), col("id"),
+        lit(" keeps enough ordinary english words and the usual filler here"))
+        .as("text"),
+      lit("a").as("src"))
+    val mixCfg = CorpusPipeline.Config(
+      langs = Set("en"), minQuality = 0.1,
+      nearDupThreshold = 0.95, decontamN = 8,
+      boilerMinCount = 1000000L, maxBoilerFrac = 2.0,
+      mixtureRates = Map.empty, mixtureDefault = "8000")
+    val ann = CorpusPipeline
+      .annotate(many, bench, "text", "doc_id", "src", mixCfg)
+    val kept = ann.filter(col("drop_stage").isNull)
+      .groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val n = kept.values.sum
+    assert(n > 150 && n < 250, s"~50% mixture expected, kept $n of 400")
+    // the 80/10/10 split must survive INSIDE the mixture survivor set
+    assert(kept.getOrElse("val", 0L) > 0 && kept.getOrElse("test", 0L) > 0,
+      s"split starved by mixture correlation: $kept")
+    val trainFrac = kept.getOrElse("train", 0L).toDouble / n
+    assert(trainFrac > 0.65 && trainFrac < 0.95, s"train frac $trainFrac of $kept")
+  }
+
+  test("mixture thresholds are validated like Sampling.weightedMixture's") {
+    val bad = cfg.copy(mixtureDefault = "0X9999")
+    assertThrows[IllegalArgumentException] {
+      CorpusPipeline.annotate(docs, bench, "text", "doc_id", "src", bad)
+    }
+  }
+
   test("build returns survivors with valid split labels only") {
     val out = CorpusPipeline
       .build(docs, bench, "text", "doc_id", "src", cfg)

@@ -159,7 +159,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("multimodal plumbing: schema, deterministic stub features, frames") {
     val ft = Multimodal.featureTable(docs, "text", "doc_id").cache()
-    assert(ft.columns.toSet === Set("vec_id", "kind", "meta", "embedding", "frames"))
+    assert(ft.columns.toSet === Set("vec_id", "kind", "meta", "pix", "embedding", "frames"))
     val row = ft.filter(col("vec_id") === 1).collect()(0)
     assert(row.getAs[Seq[Double]]("embedding").length === 64)
     assert(row.getAs[Seq[Any]]("frames").length === 4)
@@ -261,6 +261,52 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2) === ("gif", Some(320), Some(200)))
     assert(got(3) === ("jpeg", Some(640), Some(480)))
     assert(got(4) === ("unknown", None, None))
+  }
+
+  test("pixelStats: real BMP/PPM/PGM pixel decode — exact means and histograms") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // hand-built 2x2 24-bit BMP: pixel offset 54, rowBytes 8 (2 px + 2 pad)
+    val hdr = b(0x42, 0x4D, 0x46, 0, 0, 0, 0, 0, 0, 0, 0x36, 0, 0, 0,
+      0x28, 0, 0, 0, 2, 0, 0, 0, 2, 0, 0, 0, 1, 0, 24, 0, 0, 0, 0, 0,
+      0x10, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val bmp = hdr ++ b(10, 20, 30, 40, 50, 60, 0, 0,
+      70, 80, 90, 100, 110, 120, 0, 0)
+    val ppm = "P6\n3 1\n255\n".getBytes ++ b(255, 0, 0, 0, 255, 0, 0, 0, 255)
+    val pgm = "P5\n2 2\n255\n".getBytes ++ b(0, 64, 128, 255)
+    val junk = "not a raster payload".getBytes
+    val trunc = hdr ++ b(10, 20, 30) // header claims 2x2, pixels missing
+    val dir = java.nio.file.Files.createTempDirectory("mm_pix").toString
+    Seq((1, bmp), (2, ppm), (3, pgm), (4, junk), (5, trunc))
+      .toDF("id", "media").write.mode("overwrite").parquet(dir)
+    val got = spark.read.parquet(dir)
+      .select(col("id"), Multimodal.pixelStats(col("media")).as("p"))
+      .select("id", "p.format", "p.n_pixels", "p.mean_r", "p.mean_g",
+        "p.mean_b", "p.hist_r", "p.hist_g", "p.hist_b")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    // BMP rows are BGR: B 10,40,70,100 / G 20,50,80,110 / R 30,60,90,120
+    assert(got(1).getString(1) === "bmp24" && got(1).getLong(2) === 4L)
+    assert(got(1).getDouble(3) === 75.0 && got(1).getDouble(4) === 65.0 &&
+      got(1).getDouble(5) === 55.0)
+    assert(got(1).getSeq[Long](6) === Seq(2L, 2L, 0L, 0L))
+    assert(got(2).getString(1) === "ppm" && got(2).getLong(2) === 3L)
+    assert(got(2).getDouble(3) === 85.0 && got(2).getDouble(4) === 85.0 &&
+      got(2).getDouble(5) === 85.0)
+    assert(got(2).getSeq[Long](6) === Seq(2L, 0L, 0L, 1L))
+    assert(got(3).getString(1) === "pgm")
+    assert(got(3).getDouble(3) === 111.75 && got(3).getDouble(5) === 111.75)
+    assert(got(3).getSeq[Long](7) === Seq(1L, 1L, 1L, 1L))
+    assert(got(4).getString(1) === null, "junk must not decode")
+    assert(got(5).getString(1) === null, "truncated blob must not decode")
+    // the real-feature embedding path: means/255 then histogram fractions
+    val ft = Multimodal.featuresFromPacked(Multimodal.packMedia(
+      Seq((1L, bmp)).toDF("id", "media"), "id", "media", lit("image")))
+    val row = ft.select("pix.format", "embedding").collect()(0)
+    assert(row.getString(0) === "bmp24")
+    val emb = row.getSeq[Double](1)
+    assert(emb.length === 64)
+    assert(emb(0) === math.rint(75.0 / 255.0 * 1e6) / 1e6) // mean_r / 255
+    assert(emb(3) === 0.5) // hist_r bin 0 fraction = 2/4
+    assert(emb.drop(15).forall(_ === 0.0)) // zero padding, not stub hashes
   }
 
   test("audio header decode: real WAV/OGG/MP3 bytes, parquet round-trip") {

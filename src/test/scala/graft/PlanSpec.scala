@@ -193,15 +193,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(400))
   }
 
-  test("tfidf: single corpus tokenize scan — df is a window, not a join") {
+  test("tfidf: no window over an unbounded term partition; df is an aggregate") {
     import spark.implicits._
     val docs = (0 until 50).map(i => (i.toLong, s"alpha bravo charlie$i delta"))
       .toDF("doc_id", "text")
-    val p = plan(graft.ops.Tfidf.topTerms(docs, "text", "doc_id", k = 2, minTokenLen = 4))
-    // one Generate (explode) = one tokenize pass; the only join is the
-    // broadcast of the one-row corpus count
-    assert("""\(\d+\) Generate""".r.findAllIn(p).size == 1, "corpus tokenized more than once")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(400))
+    val q = graft.ops.Tfidf.topTerms(docs, "text", "doc_id", k = 2, minTokenLen = 4)
+    val p = plan(q)
+    // the round-2 scale hazard: `count(*) over (partition by term)` put every
+    // row of a corpus-common term into ONE window task. df must now be a
+    // partial-combining aggregate; the only window left partitions by id
+    // (bounded by a document's distinct terms).
+    assert(!p.contains("windowspecdefinition(term"),
+      s"df still computed via a hot-term window partition:\n$p")
+    assert("""windowspecdefinition\(id#""".r.findAllIn(p).nonEmpty,
+      "per-doc rank window missing")
+    // the tf subtree appears twice in the TREE (join-back), but both sides
+    // share one canonical shuffle — physical tokenization happens once
+    // (exchange/stage reuse). Cap the tree duplication at exactly that.
+    assert("""\(\d+\) Generate""".r.findAllIn(p).size <= 2, "tokenize duplicated beyond the df join-back")
+    assert(!p.contains("CartesianProduct"), p.take(400))
   }
 
   test("boilerplate: frequent-gram set broadcasts back onto the gram stream") {

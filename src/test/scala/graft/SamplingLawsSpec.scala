@@ -70,6 +70,20 @@ class SamplingLawsSpec extends AnyFunSuite {
     ids.foreach(i => assert(sparkSide(i) === label(cuts, prefixes(i))))
   }
 
+  test("law: salted stratified sample is row-identical to the plain one") {
+    // the skew-proof two-phase form must return EXACTLY the plain top-k —
+    // each global md5-order winner also wins within its own salt bucket
+    val df = ids.map(i => (i, if (i % 3 == 0) "hot" else s"s${i % 7}"))
+      .toDF("id", "st")
+    Seq(1, 5, 40).foreach { k =>
+      val plain = Sampling.stratifiedSample(df, "st", "id", k)
+        .select("id", "st").as[(Long, String)].collect().toSet
+      val salted = Sampling.stratifiedSampleSalted(df, "st", "id", k, 8)
+        .select("id", "st").as[(Long, String)].collect().toSet
+      assert(salted === plain, s"k=$k")
+    }
+  }
+
   test("law: weightedMixture equals per-stratum hashSample (no cross-talk)") {
     (1 to 200).foreach { _ =>
       val (ra, rb) = (hex4(), hex4())
