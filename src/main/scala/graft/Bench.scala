@@ -116,18 +116,27 @@ object Bench {
     Stats.colStats(turns).collect()
     val statsSec = (System.nanoTime() - s0) / 1e9
 
+    // SPARK_GRAFT_SKIP_EXTRAS=1 skips the skew + streaming blocks — used by
+    // the scaling-efficiency runs, which only need the validate headline
+    val skipExtras = sys.env.get("SPARK_GRAFT_SKIP_EXTRAS").contains("1")
+
     // ---- skew entries: one planted hot conversation (~1/13 of all turns
     // remapped onto a single conv_id ≈ 1M turns at the default size) ----
     // Materialized once so every variant reads identical bytes. The metric
     // pair is (wall sec, MAX TASK ms): on a 32-core box a single straggler
     // barely moves wall-clock, but the skew-proof paths must flatten the
     // task-time distribution — max task is where that shows.
+    val extraJson: String = if (skipExtras) "" else {
     // hot conversation (window + dedup key) AND hot stratum (sampling key),
-    // plus a deterministic per-row uid for the stratified sort order
-    val skewPath = s"$benchRoot/transcripts_skew_v2_n$nConvs"
+    // plus a deterministic per-row uid for the stratified sort order.
+    // 1/3 of all turns land on the hot key (~4.4M at the default size): a
+    // 1M-turn hot key (first attempt) sorted in ~1.5 s and vanished among
+    // 63 normal partitions — the pathological regime the skew paths target
+    // starts where ONE task's input is many × a normal partition.
+    val skewPath = s"$benchRoot/transcripts_skew_v3_n$nConvs"
     if (!Files.exists(Paths.get(s"$skewPath/_SUCCESS"))) {
       turns.withColumn("conv_id",
-        when(pmod(xxhash64(col("conv_id")), lit(13)) === 0, lit("HOTCONV"))
+        when(pmod(xxhash64(col("conv_id")), lit(3)) === 0, lit("HOTCONV"))
           .otherwise(col("conv_id")))
         .withColumn("stratum",
           when(col("conv_id") === "HOTCONV", lit("HOTSRC"))
@@ -178,6 +187,35 @@ object Bench {
     val streamViolSec = runStream(df => StreamValidator.violations(df))
     val streamOrderSec = runStream(df => StreamValidator.statefulTsOrder(df))
 
+    // ---- corpus-funnel persist A/B (same JVM, interleaved, best of 2):
+    // persistIntermediates=false replays the round-2 recompute-per-consumer
+    // plan; true is the shipped path. Same config as the t17 entry. ----
+    def funnelOnce(persist: Boolean): Double = {
+      spark.catalog.clearCache()
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val cfgF = graft.ops.CorpusPipeline.Config(
+        langs = Set("en", "de", "fr", "es"), minQuality = 0.2,
+        decontamN = 8, boilerMinCount = 400L,
+        persistIntermediates = persist)
+      val t0 = System.nanoTime()
+      graft.ops.CorpusPipeline.funnel(graft.ops.CorpusPipeline.annotate(
+        docs, docs.filter(col("doc_id") % 50 === 0), "text", "doc_id",
+        "source", cfgF)).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val funnelRuns = Seq(false, true, false, true).map(p => p -> funnelOnce(p))
+    spark.catalog.clearCache()
+    val funnelNoPersistSec = funnelRuns.filter(!_._1).map(_._2).min
+    val funnelPersistSec = funnelRuns.filter(_._1).map(_._2).min
+    val skewJson =
+      f"""{"hot_conv_turns":$hotTurns,"window_plain_sec":$wPlainSec%.3f,"window_plain_max_task_ms":$wPlainMax,"window_seg_sec":$wSegSec%.3f,"window_seg_max_task_ms":$wSegMax,"dedup_unsalted_sec":$dUnsaltSec%.3f,"dedup_unsalted_max_task_ms":$dUnsaltMax,"dedup_salted_sec":$dSaltSec%.3f,"dedup_salted_max_task_ms":$dSaltMax,"strat_plain_sec":$ssPlainSec%.3f,"strat_plain_max_task_ms":$ssPlainMax,"strat_salted_sec":$ssSaltSec%.3f,"strat_salted_max_task_ms":$ssSaltMax}"""
+    val streamJson =
+      f"""{"viol_sec":$streamViolSec%.3f,"viol_turns_per_sec":${nTurns / streamViolSec}%.0f,"order_sec":$streamOrderSec%.3f,"order_turns_per_sec":${nTurns / streamOrderSec}%.0f}"""
+    val funnelJson =
+      f"""{"no_persist_sec":$funnelNoPersistSec%.3f,"persist_sec":$funnelPersistSec%.3f}"""
+    s""""skew":$skewJson,"stream":$streamJson,"funnel_ab":$funnelJson,"""
+    }
+
     // ---- per-query timings on the driver testdata ----
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
     val results = (if (skipQueries) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
@@ -190,12 +228,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + wallSec + statsSec
     val vruns = runSecs.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
-    val skewJson =
-      f"""{"hot_conv_turns":$hotTurns,"window_plain_sec":$wPlainSec%.3f,"window_plain_max_task_ms":$wPlainMax,"window_seg_sec":$wSegSec%.3f,"window_seg_max_task_ms":$wSegMax,"dedup_unsalted_sec":$dUnsaltSec%.3f,"dedup_unsalted_max_task_ms":$dUnsaltMax,"dedup_salted_sec":$dSaltSec%.3f,"dedup_salted_max_task_ms":$dSaltMax,"strat_plain_sec":$ssPlainSec%.3f,"strat_plain_max_task_ms":$ssPlainMax,"strat_salted_sec":$ssSaltSec%.3f,"strat_salted_max_task_ms":$ssSaltMax}"""
-    val streamJson =
-      f"""{"viol_sec":$streamViolSec%.3f,"viol_turns_per_sec":${nTurns / streamViolSec}%.0f,"order_sec":$streamOrderSec%.3f,"order_turns_per_sec":${nTurns / streamOrderSec}%.0f}"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"violations":$nViol,"validate_wall_sec":$wallSec%.3f,"validate_runs_sec":$vruns,"turns_per_sec":$tput%.0f,"stats_wall_sec":$statsSec%.3f,"skew":$skewJson,"stream":$streamJson,"cpus":$cpus}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"violations":$nViol,"validate_wall_sec":$wallSec%.3f,"validate_runs_sec":$vruns,"turns_per_sec":$tput%.0f,"stats_wall_sec":$statsSec%.3f,$extraJson"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -528,6 +528,14 @@ object SparkEntry {
         t(s, dir, "documents"), "lang", "doc_id", k = 3)
         .select(col("lang"), col("doc_id"))
     }),
+    "q65_stratified_salted" -> ((s, dir) => {
+      // the skew-proof two-phase stratified sample must return EXACTLY the
+      // rows the plain q44 form returns — certified directly against the
+      // same DuckDB single-window oracle
+      graft.ops.Sampling.stratifiedSampleSalted(
+        t(s, dir, "documents"), "lang", "doc_id", k = 3, saltFactor = 8)
+        .select(col("lang"), col("doc_id"))
+    }),
     "q45_exact_quantiles" -> ((s, dir) => {
       // exact interpolated quantiles (Spark `percentile` == DuckDB
       // quantile_cont) — the small-data cross-check for the t-digest path
@@ -1258,6 +1266,13 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'""".stripMargin,
     "q44_stratified_sample" ->
+      """SELECT lang, doc_id FROM (
+        | SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents) t
+        |WHERE rn <= 3""".stripMargin,
+    "q65_stratified_salted" ->
       """SELECT lang, doc_id FROM (
         | SELECT lang, doc_id,
         |  row_number() OVER (PARTITION BY lang

@@ -46,7 +46,11 @@ object CorpusPipeline {
       mixtureRates: Map[String, String] = Map.empty,
       mixtureDefault: String = "ffff", // keep everything unless configured
       splitCuts: Seq[(String, String)] = Seq("cccc" -> "train", "e666" -> "val"),
-      splitElse: String = "test")
+      splitElse: String = "test",
+      // benchmarking escape hatch: false re-creates the round-2
+      // recompute-per-consumer behavior so the persist win is measurable
+      // A/B in ONE process (see Bench); production callers keep true
+      persistIntermediates: Boolean = true)
 
   /** Annotated corpus: all input rows with `drop_stage` (null = kept) and,
     * for survivors, the `split` label. `bench` is the eval/benchmark set to
@@ -69,9 +73,11 @@ object CorpusPipeline {
     // the expensive stages only ever see early survivors — and only the
     // narrow (key, text) projection, persisted so the lang/quality regexes
     // evaluate ONCE, not once per downstream consumer re-scan
-    val early = base.filter(col("__drop_early").isNull)
-      .select(col(keyCol), col(textCol))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    def maybePersist(df: DataFrame): DataFrame =
+      if (cfg.persistIntermediates) df.persist(StorageLevel.MEMORY_AND_DISK)
+      else df
+    val early = maybePersist(base.filter(col("__drop_early").isNull)
+      .select(col(keyCol), col(textCol)))
 
     // ---- stage 3: exact dedup (keeper = min key per content hash) ----
     val exactKeep = Dedup.exactGroups(early, textCol, keyCol)
@@ -80,9 +86,8 @@ object CorpusPipeline {
     // ---- stage 4: near-dup clusters over exact keepers ----
     // persisted too: pairs, clusters, decontamination, and boilerplate all
     // consume this frame — one semi-join, not four
-    val exactKept = early.join(
-      exactKeep.withColumnRenamed("id", keyCol), Seq(keyCol), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exactKept = maybePersist(early.join(
+      exactKeep.withColumnRenamed("id", keyCol), Seq(keyCol), "left_semi"))
     val pairs = Dedup.minhashLshPairsExact(exactKept, textCol, keyCol,
       n = cfg.nearDupShingle, threshold = cfg.nearDupThreshold)
     val clusters = Connected.dedupClusters(exactKept, pairs, keyCol)

@@ -99,6 +99,15 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(trainFrac > 0.65 && trainFrac < 0.95, s"train frac $trainFrac of $kept")
   }
 
+  test("annotate executes over the cached survivor frame " +
+    "(lang/quality regexes evaluate once, not per consumer)") {
+    val ann = CorpusPipeline.annotate(docs, bench, "text", "doc_id", "src", cfg)
+    ann.collect() // materializes the persisted early/exactKept frames
+    val p = ann.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"no cache scan in the executed funnel plan:\n${p.take(800)}")
+  }
+
   test("mixture thresholds are validated like Sampling.weightedMixture's") {
     val bad = cfg.copy(mixtureDefault = "0X9999")
     assertThrows[IllegalArgumentException] {
