@@ -152,12 +152,18 @@ object Bench {
     val (wSegSec, wSegMax, _) =
       timed(spark)(Validator.tsOrderViolationsSegmented(skewTurns,
         segSize = 1 << 13).count())
-    // unsalted uniqueness baseline: same phases minus the salt spread
-    def unsaltedDup(): Long = skewTurns
+    // dedup comparison, all variants producing dup keys WITH their kept
+    // text (the operator's real contract):
+    //  - naive: one groupBy carrying min(text) through the hot aggregate —
+    //    the formulation round 1 measured as the skew/SortAggregate killer
+    //  - engine: Validator.dupViolations (salted narrow phases + rare-key
+    //    text join-back)
+    def naiveDup(): Long = skewTurns
       .groupBy(col("conv_id"), col("turn_idx"))
-      .agg(count(lit(1)).as("n"), min("part_id").as("part_id"))
+      .agg(count(lit(1)).as("n"), min("text").as("text"),
+        min("part_id").as("part_id"))
       .filter(col("n") > 1).count()
-    val (dUnsaltSec, dUnsaltMax, _) = timed(spark)(unsaltedDup())
+    val (dNaiveSec, dNaiveMax, _) = timed(spark)(naiveDup())
     val (dSaltSec, dSaltMax, _) =
       timed(spark)(Validator.dupViolations(skewTurns).count())
     // stratified top-k over the hot stratum: plain per-stratum window vs
@@ -208,7 +214,7 @@ object Bench {
     val funnelNoPersistSec = funnelRuns.filter(!_._1).map(_._2).min
     val funnelPersistSec = funnelRuns.filter(_._1).map(_._2).min
     val skewJson =
-      f"""{"hot_conv_turns":$hotTurns,"window_plain_sec":$wPlainSec%.3f,"window_plain_max_task_ms":$wPlainMax,"window_seg_sec":$wSegSec%.3f,"window_seg_max_task_ms":$wSegMax,"dedup_unsalted_sec":$dUnsaltSec%.3f,"dedup_unsalted_max_task_ms":$dUnsaltMax,"dedup_salted_sec":$dSaltSec%.3f,"dedup_salted_max_task_ms":$dSaltMax,"strat_plain_sec":$ssPlainSec%.3f,"strat_plain_max_task_ms":$ssPlainMax,"strat_salted_sec":$ssSaltSec%.3f,"strat_salted_max_task_ms":$ssSaltMax}"""
+      f"""{"hot_conv_turns":$hotTurns,"window_plain_sec":$wPlainSec%.3f,"window_plain_max_task_ms":$wPlainMax,"window_seg_sec":$wSegSec%.3f,"window_seg_max_task_ms":$wSegMax,"dedup_naive_sec":$dNaiveSec%.3f,"dedup_naive_max_task_ms":$dNaiveMax,"dedup_salted_sec":$dSaltSec%.3f,"dedup_salted_max_task_ms":$dSaltMax,"strat_plain_sec":$ssPlainSec%.3f,"strat_plain_max_task_ms":$ssPlainMax,"strat_salted_sec":$ssSaltSec%.3f,"strat_salted_max_task_ms":$ssSaltMax}"""
     val streamJson =
       f"""{"viol_sec":$streamViolSec%.3f,"viol_turns_per_sec":${nTurns / streamViolSec}%.0f,"order_sec":$streamOrderSec%.3f,"order_turns_per_sec":${nTurns / streamOrderSec}%.0f}"""
     val funnelJson =

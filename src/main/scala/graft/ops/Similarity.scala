@@ -115,6 +115,43 @@ object Similarity {
       .select("v").collect()
       .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
 
+  /** Lloyd-refined centroids for [[ivfTopK]]: start from the deterministic
+    * hash-sampled seeds ([[ivfCentroids]]) and run `iters` assign/recompute
+    * rounds. Per round: assignment is the codegen'd argmax map pass; the
+    * per-centroid mean reduces narrow (cid, pos, value) rows — the shuffle
+    * never carries whole vectors; the k×dim result collects to the driver
+    * (bytes, not data) and broadcasts back as literals next round.
+    *
+    * Deterministic under any partitioning: seeds and assignment ties are
+    * hash-fixed, and the mean accumulates as exact DECIMAL(30,15) (double
+    * summation order would differ by partitioning at the ulp level and
+    * could flip near-tie assignments). Empty clusters keep their previous
+    * centroid.
+    */
+  def kmeansCentroids(
+      embeddings: DataFrame,
+      nCentroids: Int = 16,
+      iters: Int = 2): Seq[Seq[Double]] = {
+    var cents = ivfCentroids(embeddings, nCentroids)
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    for (_ <- 0 until iters) {
+      val means = e
+        .withColumn("cid", ivfAssign(col("v"), cents))
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(avg(col("x").cast("decimal(30,15)")).cast("double").as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cid"),
+          transform(col("ps"), p => p.getField("m")).as("c"))
+        .collect()
+      val byCid = means.map(r =>
+        r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+      cents = cents.indices.map(i => byCid.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
   /** Nearest-centroid id (argmax cosine; first index wins ties).
     *
     * Implemented as ONE `array_min` over (−cos, i) structs — struct
@@ -140,8 +177,9 @@ object Similarity {
       queries: DataFrame,
       k: Int = 10,
       nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val cents = ivfCentroids(embeddings, nCentroids)
+      nProbe: Int = 4,
+      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(embeddings, nCentroids))
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("cid", ivfAssign(col("v"), cents))
     val probeList = {

@@ -49,13 +49,42 @@ class RecallSpec extends AnyFunSuite {
     assert(got.subsetOf(atLooseCut), "reported pair with exact jaccard < 0.35")
   }
 
-  test("ann LSH multiprobe and IVF: recall ≥ 0.6 vs exact brute force " +
-    "on clustered embeddings") {
-    // 20 planted clusters × 10 members: cluster signal from
-    // xxhash64(cluster, dim), per-vector jitter an order of magnitude
-    // smaller — a query's true top-10 is dominated by its cluster mates
+  test("simhash banded blocking is EXACT at hamming ≤ 3 (pigeonhole): " +
+    "equals the full signature cross-join") {
+    // ≤3 differing bits cannot touch all four 16-bit bands, so every such
+    // pair shares an exact band — blocking loses nothing. Corpus: 40 base
+    // docs + 25 single-word-substituted variants (tiny hamming distances).
+    val base = (0 until 40).map { i =>
+      (i.toLong,
+        (0 until 24).map(w => s"tok${(i * 11 + w * 5) % 331}").mkString(" "))
+    }
+    val dups = (0 until 10).map(i => (1000L + i, base(i)._2)) // h = 0 pairs
+    val variants = (0 until 25).map { i =>
+      val words = base(i)._2.split(" ")
+      (2000L + i, (words.take(12) ++ Array("swapped") ++ words.drop(13)).mkString(" "))
+    }
+    val docs = (base ++ dups ++ variants).toDF("doc_id", "text")
+    val sims = graft.ops.Dedup.simhashSignatures(docs, "text", "doc_id")
+    val exactPairs = sims.as("a").crossJoin(sims.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        graft.ops.Dedup.hamming(col("a.sim"), col("b.sim")).as("h"))
+      .filter(col("h") <= 3)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    assert(exactPairs.nonEmpty, "planted corpus produced no close pairs")
+    val blocked = graft.ops.Dedup
+      .simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked === exactPairs,
+      s"blocking must be lossless at h<=3: missing ${exactPairs -- blocked}, extra ${blocked -- exactPairs}")
+  }
+
+  // 20 planted clusters × 10 members: cluster signal from
+  // xxhash64(cluster, dim), per-vector jitter an order of magnitude
+  // smaller — a query's true top-10 is dominated by its cluster mates
+  private lazy val clusteredEmb = {
     val nClusters = 20
-    val emb = spark.range(200).select(
+    spark.range(200).select(
       col("id").as("vec_id"),
       transform(sequence(lit(1), lit(16)), d =>
         pmod(xxhash64(pmod(col("id"), lit(nClusters)), d), lit(1000))
@@ -63,17 +92,44 @@ class RecallSpec extends AnyFunSuite {
           pmod(xxhash64(col("id"), d), lit(100)).cast("double") / 2000.0)
         .as("embedding"))
       .cache()
-    val queries = emb.filter(col("vec_id") < 5)
-    val exact = Similarity.bruteForceTopK(emb, queries, 10)
-      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
-    assert(exact.size === 50)
-    val lsh = Similarity.annTopK(emb, queries, 10, nBits = 8, dim = 16)
-      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
-    val ivf = Similarity.ivfTopK(emb, queries, 10, nCentroids = 16, nProbe = 4)
-      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
-    val lshRecall = lsh.intersect(exact).size.toDouble / exact.size
-    val ivfRecall = ivf.intersect(exact).size.toDouble / exact.size
+  }
+  private lazy val clusterQueries = clusteredEmb.filter(col("vec_id") < 5)
+  private lazy val exactTop = Similarity
+    .bruteForceTopK(clusteredEmb, clusterQueries, 10)
+    .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+
+  private def recallOf(approx: org.apache.spark.sql.DataFrame): Double = {
+    val got = approx.select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    got.intersect(exactTop).size.toDouble / exactTop.size
+  }
+
+  test("ann LSH multiprobe and IVF: recall ≥ 0.6 vs exact brute force " +
+    "on clustered embeddings") {
+    assert(exactTop.size === 50)
+    val lshRecall = recallOf(
+      Similarity.annTopK(clusteredEmb, clusterQueries, 10, nBits = 8, dim = 16))
+    val ivfRecall = recallOf(
+      Similarity.ivfTopK(clusteredEmb, clusterQueries, 10, nCentroids = 16, nProbe = 4))
     assert(lshRecall >= 0.6, s"LSH multiprobe recall $lshRecall")
     assert(ivfRecall >= 0.6, s"IVF recall $ivfRecall")
+  }
+
+  test("kmeans-refined centroids: deterministic, fit no worse than the " +
+    "hash-sampled seeds, IVF recall holds") {
+    val km = Similarity.kmeansCentroids(clusteredEmb, 16, iters = 2)
+    // exact-decimal means -> identical centroids on every invocation
+    assert(km === Similarity.kmeansCentroids(clusteredEmb, 16, iters = 2))
+    // mean best-centroid cosine must not degrade vs the raw seeds
+    def meanFit(cs: Seq[Seq[Double]]): Double = clusteredEmb
+      .select(array_max(array(cs.map(c =>
+        Similarity.cosine(col("embedding"), typedlit(c))): _*)).as("f"))
+      .agg(avg("f")).as[Double].head()
+    val seeds = Similarity.ivfCentroids(clusteredEmb, 16)
+    val (fitKm, fitSeeds) = (meanFit(km), meanFit(seeds))
+    assert(fitKm >= fitSeeds - 1e-9, s"kmeans fit $fitKm < seed fit $fitSeeds")
+    val r = recallOf(Similarity.ivfTopK(clusteredEmb, clusterQueries, 10,
+      nProbe = 4, centroids = Some(km)))
+    assert(r >= 0.6, s"IVF-with-kmeans recall $r")
   }
 }
