@@ -762,6 +762,24 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_grams"),
           col("n_boiler"), col("boiler_frac"))
     }),
+    "q66_pixel_stats" -> ((s, dir) => {
+      // real pixel decode, oracle-certified: 2x1 24-bit BMP blobs built
+      // deterministically from doc_id (blue byte = doc_id*37 mod 256, red
+      // FF/00, green 00/80), decoded by pixelStats — the DuckDB twin states
+      // the analytically-known means, so header parse, offsets, padding,
+      // and channel order are all end-to-end checked
+      val bmpHdrHex = "424D3E0000000000000036000000280000000200000001000000" +
+        "01001800000000000800000000000000000000000000000000000000"
+      val blue = lpad(hex(pmod(col("doc_id") * 37, lit(256))), 2, "0")
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          graft.ops.Multimodal.pixelStats(
+            unhex(concat(lit(bmpHdrHex), blue, lit("00FF"), blue,
+              lit("8000"), lit("0000")))).as("p"))
+        .select(col("doc_id"), col("p.format").as("pix_format"),
+          col("p.n_pixels").as("n_pixels"), col("p.mean_r").as("mean_r"),
+          col("p.mean_g").as("mean_g"), col("p.mean_b").as("mean_b"))
+    }),
     // ---- rows-only entries (xxhash64 / engine-internal — no DuckDB twin) ----
     "t01_violations" -> ((s, _) => entry(s)),
     "t02_verdicts" -> ((s, _) => {
@@ -1272,6 +1290,14 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         | FROM documents) t
         |WHERE rn <= 3""".stripMargin,
+    "q66_pixel_stats" ->
+      """SELECT doc_id,
+        | 'bmp24' AS pix_format,
+        | CAST(2 AS BIGINT) AS n_pixels,
+        | CAST(127.5 AS DOUBLE) AS mean_r,
+        | CAST(64.0 AS DOUBLE) AS mean_g,
+        | round(CAST(doc_id * 37 % 256 AS DOUBLE), 4) AS mean_b
+        |FROM documents WHERE doc_id < 200""".stripMargin,
     "q65_stratified_salted" ->
       """SELECT lang, doc_id FROM (
         | SELECT lang, doc_id,

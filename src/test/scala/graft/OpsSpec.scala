@@ -249,8 +249,11 @@ class OpsSpec extends AnyFunSuite {
       0x02, 0x80, // width 640
       0x03, 0x01, 0x22, 0x00)
     val junk = "not an image at all".getBytes
+    // BMP file header + BITMAPINFOHEADER: 2x1, LE dims at offsets 18/22
+    val bmp = b(0x42, 0x4D, 0x3E, 0, 0, 0, 0, 0, 0, 0, 0x36, 0, 0, 0,
+      0x28, 0, 0, 0, 2, 0, 0, 0, 1, 0, 0, 0, 1, 0, 24, 0)
     val dir = java.nio.file.Files.createTempDirectory("mm_hdr").toString
-    Seq((1, png), (2, gif), (3, jpeg), (4, junk)).toDF("id", "media")
+    Seq((1, png), (2, gif), (3, jpeg), (4, junk), (5, bmp)).toDF("id", "media")
       .write.mode("overwrite").parquet(dir) // binary must survive parquet
     val got = spark.read.parquet(dir)
       .select(col("id"), Multimodal.imageHeaderMeta(col("media")).as("m"))
@@ -261,6 +264,7 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2) === ("gif", Some(320), Some(200)))
     assert(got(3) === ("jpeg", Some(640), Some(480)))
     assert(got(4) === ("unknown", None, None))
+    assert(got(5) === ("bmp", Some(2), Some(1)))
   }
 
   test("pixelStats: real BMP/PPM/PGM pixel decode — exact means and histograms") {
