@@ -126,7 +126,9 @@ object Bench {
     // pair is (wall sec, MAX TASK ms): on a 32-core box a single straggler
     // barely moves wall-clock, but the skew-proof paths must flatten the
     // task-time distribution — max task is where that shows.
-    val extraJson: String = if (skipExtras) "" else {
+    // the extras must never cost the round its headline JSON: any failure
+    // here degrades to an empty section, not a crashed bench
+    val extraJson: String = if (skipExtras) "" else try {
     // hot conversation (window + dedup key) AND hot stratum (sampling key),
     // plus a deterministic per-row uid for the stratified sort order.
     // 1/3 of all turns land on the hot key (~4.4M at the default size): a
@@ -220,6 +222,10 @@ object Bench {
     val funnelJson =
       f"""{"no_persist_sec":$funnelNoPersistSec%.3f,"persist_sec":$funnelPersistSec%.3f}"""
     s""""skew":$skewJson,"stream":$streamJson,"funnel_ab":$funnelJson,"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] extras failed: ${e.getMessage}")
+        ""
     }
 
     // ---- per-query timings on the driver testdata ----

@@ -173,7 +173,11 @@ object Multimodal {
     }
 
     // ---- PPM (P6) / PGM (P5) ----
-    val pPat = "^P([56])\\s+(\\d+)\\s+(\\d+)\\s+(\\d+)\\s"
+    // digit runs are BOUNDED so the ANSI cast below can never overflow on
+    // adversarial bytes ("P6 99999999999999999 …" must be a non-match ->
+    // null, not a thrown cast): 7 digits cap dims at 10M (over maxPixels
+    // anyway), 3 digits cap maxval at 999
+    val pPat = "^P([56])\\s+(\\d{1,7})\\s+(\\d{1,7})\\s+(\\d{1,3})\\s"
     val pHdr = regexp_extract(s, pPat, 0)
     val pKind = regexp_extract(s, pPat, 1)
     val matched = pKind =!= ""

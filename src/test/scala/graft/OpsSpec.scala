@@ -279,8 +279,11 @@ class OpsSpec extends AnyFunSuite {
     val pgm = "P5\n2 2\n255\n".getBytes ++ b(0, 64, 128, 255)
     val junk = "not a raster payload".getBytes
     val trunc = hdr ++ b(10, 20, 30) // header claims 2x2, pixels missing
+    // adversarial header: digit run that would overflow an unbounded
+    // ANSI cast — must be a clean non-match, not a thrown SparkException
+    val adversarial = "P6 99999999999999999999 2 255 payload".getBytes
     val dir = java.nio.file.Files.createTempDirectory("mm_pix").toString
-    Seq((1, bmp), (2, ppm), (3, pgm), (4, junk), (5, trunc))
+    Seq((1, bmp), (2, ppm), (3, pgm), (4, junk), (5, trunc), (6, adversarial))
       .toDF("id", "media").write.mode("overwrite").parquet(dir)
     val got = spark.read.parquet(dir)
       .select(col("id"), Multimodal.pixelStats(col("media")).as("p"))
@@ -301,6 +304,7 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3).getSeq[Long](7) === Seq(1L, 1L, 1L, 1L))
     assert(got(4).getString(1) === null, "junk must not decode")
     assert(got(5).getString(1) === null, "truncated blob must not decode")
+    assert(got(6).getString(1) === null, "overflow-digit header must not decode")
     // the real-feature embedding path: means/255 then histogram fractions
     val ft = Multimodal.featuresFromPacked(Multimodal.packMedia(
       Seq((1L, bmp)).toDF("id", "media"), "id", "media", lit("image")))
