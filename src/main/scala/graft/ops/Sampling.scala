@@ -26,10 +26,14 @@ object Sampling {
 
   /** Stratified deterministic top-k: k rows per stratum, chosen by md5 order
     * (uniform within the stratum, stable across partitionings; `keyCol`
-    * breaks md5 ties). One hash-partition shuffle on the stratum column; at
-    * scale prefer many strata over few hot ones (the window sorts per
-    * stratum, so a single giant stratum serializes — same caveat as any
-    * per-key window, documented in PLANS.md).
+    * breaks md5 ties). One hash-partition shuffle on the stratum column —
+    * and Spark 4 plants `WindowGroupLimit` BELOW that exchange for
+    * `row_number() <= k` patterns, so each map task ships at most k rows
+    * per stratum: a hot stratum concentrates ≤ k·mapTasks rows on its
+    * reducer, not its full size (plan capture + skew measurements in
+    * PLANS.md / BASELINE.md round 3). [[stratifiedSampleSalted]] bounds
+    * the reducer input further to k·saltFactor when k·mapTasks itself is
+    * the problem (huge k on a many-thousand-task scan).
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String, k: Int): DataFrame = {
     val w = Window
@@ -40,15 +44,22 @@ object Sampling {
       .drop("__rn")
   }
 
-  /** Skew-proof variant of [[stratifiedSample]] for HOT strata: phase 1
-    * takes the top-k of each (stratum, salt) sub-partition — a hot
-    * stratum's sort spreads over `saltFactor` parallel tasks — and phase 2
-    * re-ranks only the ≤ k·saltFactor survivors per stratum. Output is
-    * row-identical to the plain variant (the global md5-order top-k of a
-    * stratum is contained in the union of its per-salt top-ks, since each
-    * global winner is also a winner within its own salt). The salt derives
-    * from the key, not rand() — deterministic under retry, stable across
-    * partitionings.
+  /** Two-phase variant of [[stratifiedSample]]: phase 1 takes the top-k of
+    * each (stratum, salt) sub-partition, phase 2 re-ranks only the
+    * ≤ k·saltFactor survivors per stratum. Output is row-identical to the
+    * plain variant (the global md5-order top-k of a stratum is contained
+    * in the union of its per-salt top-ks, since each global winner is also
+    * a winner within its own salt; law-specced + q65-oracled). The salt
+    * derives from the key, not rand() — deterministic under retry, stable
+    * across partitionings.
+    *
+    * When to use: the plain form's `WindowGroupLimit` pushdown already
+    * caps a hot stratum's reducer input at k·mapTasks rows (see
+    * [[stratifiedSample]]), and measured at 13M rows the second exchange
+    * here costs more than it saves. This variant is for the regime where
+    * k·mapTasks itself overwhelms one reducer — very large k on scans
+    * with many thousands of tasks — where its k·saltFactor bound is the
+    * tighter one.
     */
   def stratifiedSampleSalted(
       df: DataFrame, stratumCol: String, keyCol: String, k: Int,
