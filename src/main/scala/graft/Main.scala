@@ -89,6 +89,7 @@ object Main {
         val funnel = graft.ops.CorpusPipeline.funnel(ann)
           .orderBy("stage").collect()
         ann.unpersist()
+        graft.ops.CorpusPipeline.unpersistCaches()
         funnel.foreach(r => System.err.println(s"FUNNEL ${r.mkString("\t")}"))
         val kept = funnel.filter(_.getString(0).startsWith("kept:"))
           .map(_.getLong(1)).sum

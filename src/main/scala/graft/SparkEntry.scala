@@ -31,6 +31,19 @@ object SparkEntry {
   /** Small fixed synthetic transcript config for t* entries. */
   private val tCfg = TranscriptGen.Config(nConvs = 2000L)
 
+  /** Deterministic planted 2x1 24-bit BMP blob from a doc-id column — ONE
+    * definition shared by q66 (whose DuckDB oracle hard-codes this exact
+    * blob's analytic channel means) and t11 (feature table), so both
+    * always decode the same bytes. Blue byte = doc_id·37 mod 256; pixel 0
+    * RGB = (FF, 00, blue), pixel 1 RGB = (00, 80, blue).
+    */
+  private def plantedBmp(docId: Column): Column = {
+    val hdr = "424D3E0000000000000036000000280000000200000001000000" +
+      "01001800000000000800000000000000000000000000000000000000"
+    val blue = lpad(hex(pmod(docId * 37, lit(256))), 2, "0")
+    unhex(concat(lit(hdr), blue, lit("00FF"), blue, lit("8000"), lit("0000")))
+  }
+
   /** Exact double sum via DECIMAL(18,2) accumulation (order-independent),
     * surfaced back as a rounded double — matches
     * `round(CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE), 2)` in DuckDB.
@@ -763,19 +776,13 @@ object SparkEntry {
           col("n_boiler"), col("boiler_frac"))
     }),
     "q66_pixel_stats" -> ((s, dir) => {
-      // real pixel decode, oracle-certified: 2x1 24-bit BMP blobs built
-      // deterministically from doc_id (blue byte = doc_id*37 mod 256, red
-      // FF/00, green 00/80), decoded by pixelStats — the DuckDB twin states
-      // the analytically-known means, so header parse, offsets, padding,
-      // and channel order are all end-to-end checked
-      val bmpHdrHex = "424D3E0000000000000036000000280000000200000001000000" +
-        "01001800000000000800000000000000000000000000000000000000"
-      val blue = lpad(hex(pmod(col("doc_id") * 37, lit(256))), 2, "0")
+      // real pixel decode, oracle-certified: [[plantedBmp]] blobs decoded
+      // by pixelStats — the DuckDB twin states the analytically-known
+      // means, so header parse, offsets, padding, and channel order are
+      // all end-to-end checked
       t(s, dir, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"),
-          graft.ops.Multimodal.pixelStats(
-            unhex(concat(lit(bmpHdrHex), blue, lit("00FF"), blue,
-              lit("8000"), lit("0000")))).as("p"))
+          graft.ops.Multimodal.pixelStats(plantedBmp(col("doc_id"))).as("p"))
         .select(col("doc_id"), col("p.format").as("pix_format"),
           col("p.n_pixels").as("n_pixels"), col("p.mean_r").as("mean_r"),
           col("p.mean_g").as("mean_g"), col("p.mean_b").as("mean_b"))
@@ -872,17 +879,13 @@ object SparkEntry {
     "t11_multimodal_features" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val packed = Multimodal.packFromText(docs, "text", "doc_id")
-      // planted uncompressed 2x1 24-bit BMP payloads (54-byte header built
-      // as a hex literal, per-doc blue byte) — exercises the REAL pixel
-      // decode path; text blobs keep the marked stub
-      val bmpHdrHex = "424D3E0000000000000036000000280000000200000001000000" +
-        "01001800000000000800000000000000000000000000000000000000"
-      val blue = lpad(hex(pmod(col("doc_id") * 37, lit(256))), 2, "0")
+      // planted uncompressed BMP payloads ([[plantedBmp]] — same blobs the
+      // q66 oracle certifies) — exercises the REAL pixel decode path; text
+      // blobs keep the marked stub
       val bmps = Multimodal.packMedia(
         docs.filter(col("doc_id") < 8).select(
           (col("doc_id") + 1000000L).as("doc_id"),
-          unhex(concat(lit(bmpHdrHex), blue, lit("00FF"), blue,
-            lit("8000"), lit("0000"))).as("bmp")),
+          plantedBmp(col("doc_id")).as("bmp")),
         "doc_id", "bmp", lit("image"))
       Multimodal.featuresFromPacked(packed.unionByName(bmps))
         .select(col("vec_id"), col("kind"), col("meta.byte_len").as("byte_len"),

@@ -27,12 +27,31 @@ import org.apache.spark.storage.StorageLevel
   *    (exact dedup, near-dup pairs, decontamination, boilerplate), and
   *    without the persist each consumer re-evaluates the lang/quality
   *    regexes — the two costliest per-row expressions in the funnel — on
-  *    its own re-scan. The two cached frames stay registered until the
-  *    session drops them (`spark.catalog.clearCache()` or unpersist by
-  *    plan); callers running many funnels per session should clear between
-  *    runs.
+  *    its own re-scan. The cached frames have no caller-visible plan
+  *    handle; [[unpersistCaches]] drops them (and only them) — call it
+  *    after consuming the result when building many corpora per session.
   */
 object CorpusPipeline {
+
+  // handles for the intermediate frames annotate() persists (callers have
+  // no plan reference to them); see [[unpersistCaches]]
+  private val cachedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  /** Unpersist every intermediate frame [[annotate]] has cached in this
+    * JVM so far. Unlike `spark.catalog.clearCache()` this drops ONLY
+    * CorpusPipeline's caches, never the caller's own — call it once the
+    * annotated/built frame has been fully consumed (long-lived sessions
+    * that build many corpora would otherwise accumulate MEMORY_AND_DISK
+    * blocks until session end).
+    */
+  def unpersistCaches(): Unit = {
+    var df = cachedFrames.poll()
+    while (df != null) {
+      df.unpersist(false)
+      df = cachedFrames.poll()
+    }
+  }
 
   final case class Config(
       langs: Set[String] = Set("en"),
@@ -74,8 +93,10 @@ object CorpusPipeline {
     // narrow (key, text) projection, persisted so the lang/quality regexes
     // evaluate ONCE, not once per downstream consumer re-scan
     def maybePersist(df: DataFrame): DataFrame =
-      if (cfg.persistIntermediates) df.persist(StorageLevel.MEMORY_AND_DISK)
-      else df
+      if (cfg.persistIntermediates) {
+        cachedFrames.add(df)
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+      } else df
     val early = maybePersist(base.filter(col("__drop_early").isNull)
       .select(col(keyCol), col(textCol)))
 

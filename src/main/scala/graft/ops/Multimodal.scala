@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Little-endian unsigned int from a byte slice of `media` (1-based pos) —
+    * the ONE definition all three decoders share.
+    */
+  private def leAt(media: Column, pos: Int, len: Int): Column =
+    (0 until len).map(i =>
+      conv(hex(substring(media, pos + i, 1)), 16, 10).cast("long") *
+        (1L << (8 * i))).reduce(_ + _)
+
+  /** Byte value at 1-based position `p` of the latin-1 view `s` (chars map
+    * 1:1 to bytes, so substr addresses bytes).
+    */
+  private def byteIn(s: Column, p: Column): Column = ascii(s.substr(p, lit(1)))
+
   /** REAL image-header decode: container format + pixel dimensions parsed
     * from the leading bytes with pure built-in column expressions
     * (`substring`+`hex`+`conv` — codegen'd, no UDF, no codec library):
@@ -44,23 +57,21 @@ object Multimodal {
     // big-endian unsigned int from a byte slice (1-based pos)
     def be(pos: Int, len: Int): Column =
       conv(hex(substring(media, pos, len)), 16, 10).cast("int")
-    // little-endian unsigned int from a byte slice (1-based pos)
-    def le(pos: Int, len: Int): Column =
-      (0 until len).map(i =>
-        conv(hex(substring(media, pos + i, 1)), 16, 10).cast("long") *
-          (1L << (8 * i))).reduce(_ + _)
     val isPng = hex(substring(media, 1, 8)) === "89504E470D0A1A0A"
     val isGif = hex(substring(media, 1, 6))
       .isin("474946383761", "474946383961") // GIF87a / GIF89a
     val isJpeg = hex(substring(media, 1, 2)) === "FFD8"
     val isBmp = hex(substring(media, 1, 2)) === "424D"
-    val bmpW = le(19, 4).cast("int")
-    val bmpHRaw = le(23, 4)
-    val bmpH = when(bmpHRaw > Int.MaxValue, lit(4294967296L) - bmpHRaw)
-      .otherwise(bmpHRaw).cast("int")
-    // latin-1 view: chars map 1:1 to bytes, so instr/substr address bytes
+    // ANSI: the int casts are guarded — corrupt 0xFFFFFFFF dims must
+    // surface as null, not throw CAST_OVERFLOW and kill the whole scan
+    val bmpWRaw = leAt(media, 19, 4)
+    val bmpHRaw = leAt(media, 23, 4)
+    val bmpHMag = when(bmpHRaw > Int.MaxValue, lit(4294967296L) - bmpHRaw)
+      .otherwise(bmpHRaw)
+    val bmpW = when(bmpWRaw <= Int.MaxValue, bmpWRaw.cast("int"))
+    val bmpH = when(bmpHMag <= Int.MaxValue, bmpHMag.cast("int"))
     val s = decode(media, "ISO-8859-1")
-    def byteAt(p: Column): Column = ascii(s.substr(p, lit(1)))
+    def byteAt(p: Column): Column = byteIn(s, p)
     val sofPos = Seq('À', 'Á', 'Â', 'Ã')
       .map(m => instr(s, s"ÿ$m"))
       .map(p => when(p > 0, p)) // least() skips nulls
@@ -97,11 +108,6 @@ object Multimodal {
     * Unknown/truncated blobs → format "unknown", null fields.
     */
   def audioHeaderMeta(media: Column): Column = {
-    // little-endian unsigned int from a byte slice (1-based pos)
-    def le(pos: Int, len: Int): Column =
-      (0 until len).map(i =>
-        conv(hex(substring(media, pos + i, 1)), 16, 10).cast("long") *
-          (1L << (8 * i))).reduce(_ + _)
     val isWav = (hex(substring(media, 1, 4)) === "52494646") && // "RIFF"
       (hex(substring(media, 9, 4)) === "57415645")              // "WAVE"
     val fmtFirst = hex(substring(media, 13, 4)) === "666D7420" // "fmt "
@@ -110,9 +116,13 @@ object Multimodal {
     val isSync = (hex(substring(media, 1, 1)) === "FF") &&
       substring(hex(substring(media, 2, 1)), 1, 1).isin("E", "F")
     val isMp3 = isId3 || isSync
-    val wavField = (pos: Int, len: Int) =>
-      when(isWav && fmtFirst, le(pos, len).cast("int"))
+    val wavField = (pos: Int, len: Int) => {
+      // guard the ANSI int cast: a corrupt 4-byte field of 0xFFFFFFFF must
+      // surface null, not throw
+      val v = leAt(media, pos, len)
+      when(isWav && fmtFirst && v <= Int.MaxValue, v.cast("int"))
         .otherwise(lit(null).cast("int"))
+    }
     struct(
       when(isWav, "wav").when(isOgg, "ogg").when(isMp3, "mp3")
         .otherwise("unknown").as("format"),
@@ -146,12 +156,10 @@ object Multimodal {
   def pixelStats(
       media: Column, histBins: Int = 4, maxPixels: Int = 1 << 16): Column = {
     require(histBins > 0 && 256 % histBins == 0, "histBins must divide 256")
+    require(maxPixels > 0 && maxPixels <= (1 << 30), "maxPixels in (0, 2^30]")
     val s = decode(media, "ISO-8859-1")
-    def byteAt(p: Column): Column = ascii(s.substr(p, lit(1)))
-    def le(pos: Int, len: Int): Column =
-      (0 until len).map(i =>
-        conv(hex(substring(media, pos + i, 1)), 16, 10).cast("long") *
-          (1L << (8 * i))).reduce(_ + _)
+    def byteAt(p: Column): Column = byteIn(s, p)
+    def le(pos: Int, len: Int): Column = leAt(media, pos, len)
     val blobLen = length(media).cast("long")
 
     // ---- BMP 24-bit ----
@@ -162,7 +170,13 @@ object Multimodal {
     val rowBytes = bmpW * 3 + pmod(-(bmpW * 3), lit(4L))
     val bmpN = bmpW * bmpH
     val bmpOk = isBmp && le(29, 2) === 24 && le(31, 4) === 0 &&
-      bmpW >= 1 && bmpH >= 1 && bmpN <= maxPixels &&
+      bmpW >= 1 && bmpH >= 1 &&
+      // per-dimension caps BEFORE the product: `And` short-circuits, so
+      // bmpN (and bmpH*rowBytes below) only evaluate with both factors
+      // ≤ 2^30 — an unguarded 0xFFFFFFFF×0xFFFFFFFF would THROW under
+      // ANSI long-overflow instead of decoding to null
+      bmpW <= maxPixels && bmpH <= maxPixels &&
+      bmpN <= maxPixels &&
       blobLen >= off + bmpH * rowBytes
     // linear pixel index -> byte position of channel c (0=B, 1=G, 2=R);
     // floor-div is exact here (maxPixels bounds i far inside double range)

@@ -122,6 +122,13 @@ object Similarity {
     * never carries whole vectors; the k×dim result collects to the driver
     * (bytes, not data) and broadcasts back as literals next round.
     *
+    * SPHERICAL update: members are unit-normalized before averaging (the
+    * assignment is cosine, and the cosine-fit-maximizing centroid is the
+    * mean DIRECTION of the members — averaging raw coordinates would let
+    * long vectors dominate and can degrade fit; centroid scale itself is
+    * irrelevant to cosine assignment). Zero-norm vectors pass through
+    * unnormalized.
+    *
     * Deterministic under any partitioning: seeds and assignment ties are
     * hash-fixed, and the mean accumulates as exact DECIMAL(30,15) (double
     * summation order would differ by partitioning at the ulp level and
@@ -133,7 +140,11 @@ object Similarity {
       nCentroids: Int = 16,
       iters: Int = 2): Seq[Seq[Double]] = {
     var cents = ivfCentroids(embeddings, nCentroids)
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val raw = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val nrm = l2norm(col("v"))
+    val e = raw.select(col("vec_id"),
+      when(nrm > 0, transform(col("v"), x => x / nrm))
+        .otherwise(col("v")).as("v"))
     for (_ <- 0 until iters) {
       val means = e
         .withColumn("cid", ivfAssign(col("v"), cents))

@@ -252,8 +252,15 @@ class OpsSpec extends AnyFunSuite {
     // BMP file header + BITMAPINFOHEADER: 2x1, LE dims at offsets 18/22
     val bmp = b(0x42, 0x4D, 0x3E, 0, 0, 0, 0, 0, 0, 0, 0x36, 0, 0, 0,
       0x28, 0, 0, 0, 2, 0, 0, 0, 1, 0, 0, 0, 1, 0, 24, 0)
+    // corrupt width 0xFFFFFFFF: format still recognized, width null (the
+    // guarded ANSI cast must not throw); height 0xFFFFFFFF reads as
+    // top-down -1 -> magnitude 1 per the documented contract
+    val bmpBad = b(0x42, 0x4D, 0x3E, 0, 0, 0, 0, 0, 0, 0, 0x36, 0, 0, 0,
+      0x28, 0, 0, 0, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF,
+      1, 0, 24, 0)
     val dir = java.nio.file.Files.createTempDirectory("mm_hdr").toString
-    Seq((1, png), (2, gif), (3, jpeg), (4, junk), (5, bmp)).toDF("id", "media")
+    Seq((1, png), (2, gif), (3, jpeg), (4, junk), (5, bmp), (6, bmpBad))
+      .toDF("id", "media")
       .write.mode("overwrite").parquet(dir) // binary must survive parquet
     val got = spark.read.parquet(dir)
       .select(col("id"), Multimodal.imageHeaderMeta(col("media")).as("m"))
@@ -265,6 +272,7 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3) === ("jpeg", Some(640), Some(480)))
     assert(got(4) === ("unknown", None, None))
     assert(got(5) === ("bmp", Some(2), Some(1)))
+    assert(got(6) === ("bmp", None, Some(1)))
   }
 
   test("pixelStats: real BMP/PPM/PGM pixel decode — exact means and histograms") {
@@ -282,8 +290,14 @@ class OpsSpec extends AnyFunSuite {
     // adversarial header: digit run that would overflow an unbounded
     // ANSI cast — must be a clean non-match, not a thrown SparkException
     val adversarial = "P6 99999999999999999999 2 255 payload".getBytes
+    // 0xFFFFFFFF x 0xFFFFFFFF dims: the product overflows Long — must be
+    // rejected by the per-dimension caps, not thrown by ANSI arithmetic
+    val bmpHuge = b(0x42, 0x4D, 0x46, 0, 0, 0, 0, 0, 0, 0, 0x36, 0, 0, 0,
+      0x28, 0, 0, 0, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF,
+      1, 0, 24, 0, 0, 0, 0, 0)
     val dir = java.nio.file.Files.createTempDirectory("mm_pix").toString
-    Seq((1, bmp), (2, ppm), (3, pgm), (4, junk), (5, trunc), (6, adversarial))
+    Seq((1, bmp), (2, ppm), (3, pgm), (4, junk), (5, trunc),
+      (6, adversarial), (7, bmpHuge))
       .toDF("id", "media").write.mode("overwrite").parquet(dir)
     val got = spark.read.parquet(dir)
       .select(col("id"), Multimodal.pixelStats(col("media")).as("p"))
@@ -305,6 +319,7 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4).getString(1) === null, "junk must not decode")
     assert(got(5).getString(1) === null, "truncated blob must not decode")
     assert(got(6).getString(1) === null, "overflow-digit header must not decode")
+    assert(got(7).getString(1) === null, "huge-dims BMP must not decode (or throw)")
     // the real-feature embedding path: means/255 then histogram fractions
     val ft = Multimodal.featuresFromPacked(Multimodal.packMedia(
       Seq((1L, bmp)).toDF("id", "media"), "id", "media", lit("image")))

@@ -120,7 +120,8 @@ class RecallSpec extends AnyFunSuite {
     val km = Similarity.kmeansCentroids(clusteredEmb, 16, iters = 2)
     // exact-decimal means -> identical centroids on every invocation
     assert(km === Similarity.kmeansCentroids(clusteredEmb, 16, iters = 2))
-    // mean best-centroid cosine must not degrade vs the raw seeds
+    // spherical update (unit-normalized members) makes the member-mean the
+    // within-cluster cosine-fit maximizer — fit must not degrade vs seeds
     def meanFit(cs: Seq[Seq[Double]]): Double = clusteredEmb
       .select(array_max(array(cs.map(c =>
         Similarity.cosine(col("embedding"), typedlit(c))): _*)).as("f"))
