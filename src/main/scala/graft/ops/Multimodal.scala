@@ -54,9 +54,13 @@ object Multimodal {
     * Unknown/truncated blobs → format "unknown", null dimensions.
     */
   def imageHeaderMeta(media: Column): Column = {
-    // big-endian unsigned int from a byte slice (1-based pos)
-    def be(pos: Int, len: Int): Column =
-      conv(hex(substring(media, pos, len)), 16, 10).cast("int")
+    // big-endian unsigned int from a byte slice (1-based pos); the int
+    // cast is guarded like the LE path — a corrupt 4-byte PNG dim of
+    // 0xFFFFFFFF must surface null, not throw under ANSI
+    def be(pos: Int, len: Int): Column = {
+      val v = conv(hex(substring(media, pos, len)), 16, 10).cast("long")
+      when(v <= Int.MaxValue, v.cast("int"))
+    }
     val isPng = hex(substring(media, 1, 8)) === "89504E470D0A1A0A"
     val isGif = hex(substring(media, 1, 6))
       .isin("474946383761", "474946383961") // GIF87a / GIF89a

@@ -258,8 +258,14 @@ class OpsSpec extends AnyFunSuite {
     val bmpBad = b(0x42, 0x4D, 0x3E, 0, 0, 0, 0, 0, 0, 0, 0x36, 0, 0, 0,
       0x28, 0, 0, 0, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF,
       1, 0, 24, 0)
+    // corrupt PNG width 0xFFFFFFFF: format recognized, width null via the
+    // guarded BE cast (not an ANSI CAST_OVERFLOW throw), height intact
+    val pngBad = b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0x00, 0x0D) ++ "IHDR".getBytes ++
+      b(0xFF, 0xFF, 0xFF, 0xFF, 0x00, 0x00, 0x01, 0xE0, 0x08, 0x02)
     val dir = java.nio.file.Files.createTempDirectory("mm_hdr").toString
-    Seq((1, png), (2, gif), (3, jpeg), (4, junk), (5, bmp), (6, bmpBad))
+    Seq((1, png), (2, gif), (3, jpeg), (4, junk), (5, bmp), (6, bmpBad),
+      (7, pngBad))
       .toDF("id", "media")
       .write.mode("overwrite").parquet(dir) // binary must survive parquet
     val got = spark.read.parquet(dir)
@@ -273,6 +279,7 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4) === ("unknown", None, None))
     assert(got(5) === ("bmp", Some(2), Some(1)))
     assert(got(6) === ("bmp", None, Some(1)))
+    assert(got(7) === ("png", None, Some(480)))
   }
 
   test("pixelStats: real BMP/PPM/PGM pixel decode — exact means and histograms") {
