@@ -80,6 +80,34 @@ class RunnerSpec extends AnyFunSuite {
     Main.main(Array("--input", s"$in/clean", "--mode", "strict"))
   }
 
+  test("spark-submit Main: corpus mode writes a split-partitioned corpus " +
+    "and the funnel accounts for the drop") {
+    val in = java.nio.file.Files.createTempDirectory("graft_corpus_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_corpus_out").toString
+    // 30 unique English docs (under the default boilerMinCount=40 so the
+    // shared phrasing never becomes "frequent"). The doc number recurs
+    // every <=7 words so EVERY 8-gram is doc-specific — otherwise a shared
+    // 8-word run would mark the whole corpus contaminated against the
+    // default self-bench (every 50th doc -> doc 0), which must be the
+    // only contaminated drop here.
+    spark.range(0, 30).select(
+      col("id").as("doc_id"),
+      concat(lit("the ordinary document "), col("id"),
+        lit(" begins with several plain words "), col("id"),
+        lit(" and continues onward using more text "), col("id"),
+        lit(" until the finish line")).as("text"),
+      lit("src0").as("source"))
+      .write.mode("overwrite").parquet(s"$in/docs")
+    Main.main(Array("--input", s"$in/docs", "--mode", "corpus", "--out", out))
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val n = corpus.count()
+    assert(n >= 25 && n < 30, s"expected ~29 survivors, got $n")
+    assert(corpus.filter(col("doc_id") === 0).count() === 0,
+      "the benchmark-contaminated doc must be dropped")
+    val splits = corpus.select("split").distinct().as[String].collect().toSet
+    assert(splits.nonEmpty && splits.subsetOf(Set("train", "val", "test")))
+  }
+
   test("manifest carries lineage fields") {
     val out = java.nio.file.Files.createTempDirectory("graft_run4").toString
     val r = Runner.run(spark, turns, Some(convs), out, "runX", snapshot = "snapA")
