@@ -787,6 +787,23 @@ object SparkEntry {
           col("p.n_pixels").as("n_pixels"), col("p.mean_r").as("mean_r"),
           col("p.mean_g").as("mean_g"), col("p.mean_b").as("mean_b"))
     }),
+    "q67_pii_redact" -> ((s, dir) => {
+      // PII scrub, byte-matched: plant one email and one IPv4 per doc
+      // (built identically in the oracle), redact, return the FULL
+      // redacted text plus per-kind counts — cross-engine regex-dialect
+      // parity on the full string is the point of the check
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0.0."),
+        pmod(col("doc_id"), lit(200)).cast("string"))
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          graft.ops.TextOps.redactPii(planted).as("redacted"),
+          graft.ops.TextOps.piiCounts(planted).as("p"))
+        .select(col("doc_id"), col("redacted"),
+          col("p.n_email").as("n_email"), col("p.n_ipv4").as("n_ipv4"),
+          col("p.n_number").as("n_number"))
+    }),
     // ---- rows-only entries (xxhash64 / engine-internal — no DuckDB twin) ----
     "t01_violations" -> ((s, _) => entry(s)),
     "t02_verdicts" -> ((s, _) => {
@@ -1293,6 +1310,24 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         | FROM documents) t
         |WHERE rn <= 3""".stripMargin,
+    "q67_pii_redact" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |  '@example.com from 10.0.0.' || CAST(doc_id % 200 AS VARCHAR) AS t
+        | FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\b\d{13,16}\b', '<NUMBER>', 'g') AS redacted,
+        | CAST(len(regexp_extract_all(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        | CAST(len(regexp_extract_all(regexp_replace(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+        | CAST(len(regexp_extract_all(t, '\b\d{13,16}\b')) AS INT) AS n_number
+        |FROM p""".stripMargin,
     "q66_pixel_stats" ->
       """SELECT doc_id,
         | 'bmp24' AS pix_format,

@@ -167,4 +167,38 @@ object TextOps {
     */
   def fingerprint(c: Column): Column =
     xxhash64(lower(regexp_replace(coalesce(c, lit("")), "\\s+", " ")))
+
+  // PII patterns, ASCII-only on purpose: Java regex (Spark) and RE2
+  // (DuckDB oracle) agree on these constructs — character classes, bounded
+  // repetition, and ASCII \b — so the q67 redaction byte-matches across
+  // engines. Order matters: emails first (an email host that LOOKS like an
+  // address, user@192.168.0.1, deliberately survives to the IP pass).
+  private val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val piiNumber = "\\b\\d{13,16}\\b" // card-length runs; \b keeps
+  // 17+-digit runs (no PII format) untouched
+
+  /** PII scrub for pre-training corpora: emails, IPv4 addresses, and
+    * card-length digit runs replaced by typed placeholder tokens. Map-only,
+    * codegen'd `regexp_replace` chain — no UDF, no shuffle; at 100 TB this
+    * is a pure scan-speed pass like the other TextOps.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(coalesce(c, lit("")), piiEmail, "<EMAIL>"),
+        piiIpv4, "<IP>"),
+      piiNumber, "<NUMBER>")
+
+  /** Per-kind PII hit counts on the ORIGINAL text (audit metric beside
+    * [[redactPii]]): struct(n_email, n_ipv4, n_number).
+    */
+  def piiCounts(c: Column): Column = {
+    val t = coalesce(c, lit(""))
+    struct(
+      regexp_count(t, lit(piiEmail)).as("n_email"),
+      regexp_count(regexp_replace(t, piiEmail, "<EMAIL>"), lit(piiIpv4))
+        .as("n_ipv4"),
+      regexp_count(t, lit(piiNumber)).as("n_number"))
+  }
 }

@@ -74,6 +74,31 @@ class OpsSpec extends AnyFunSuite {
     assert(fpWs(0) === fpWs(1))
   }
 
+  test("pii redaction: emails, ipv4, card runs; boundary cases hold") {
+    val cases = Seq(
+      ("mail john.doe+x@sub.example.org now", "mail <EMAIL> now"),
+      ("server 192.168.001.1 up", "server <IP> up"),
+      ("card 4111111111111111 ok", "card <NUMBER> ok"),
+      // 17 digits: not a card-length run — \b keeps it untouched
+      ("id 12345678901234567 stays", "id 12345678901234567 stays"),
+      // IP-shaped email host: email pattern requires a letter TLD, so the
+      // IP pass gets it
+      ("user@192.168.0.1 logged", "user@<IP> logged"),
+      ("no pii at all here", "no pii at all here"),
+      (null, ""))
+    val got = cases.zipWithIndex
+      .map { case ((in, out), i) => (i, in, out) }
+      .toDF("i", "in", "expect")
+      .select(col("i"), col("expect"), TextOps.redactPii(col("in")).as("got"))
+      .collect()
+    got.foreach(r => assert(r.getString(2) === r.getString(1), s"case ${r.getInt(0)}"))
+    val counts = Seq("a@b.co and 1.2.3.4 and 4111111111111111").toDF("t")
+      .select(TextOps.piiCounts(col("t")).as("p"))
+      .select("p.n_email", "p.n_ipv4", "p.n_number")
+      .as[(Int, Int, Int)].head()
+    assert(counts === ((1, 1, 1)))
+  }
+
   test("token count edge cases: null, empty, whitespace-only") {
     val r = Seq[(Integer, String)]((1, null), (2, ""), (3, "   "), (4, "one"))
       .toDF("id", "t")
