@@ -25,7 +25,10 @@ import graft.streaming.StreamValidator
   * Env knobs: SPARK_GRAFT_SF_DIR (testdata dir for q* timings),
   * SPARK_GRAFT_CPUS (local[N] + shuffle partitions),
   * SPARK_GRAFT_BENCH_CONVS (synthetic table size, default 2M convs ≈ 13M
-  * turns), SPARK_GRAFT_BENCH_DIR (materialization root, default /tmp).
+  * turns), SPARK_GRAFT_BENCH_DIR (materialization root, default /tmp),
+  * SPARK_GRAFT_SKIP_QUERIES=1 (headline only, no per-query timings),
+  * SPARK_GRAFT_SKIP_EXTRAS=1 (skip the skew/stream/funnel-A/B blocks —
+  * scaling-efficiency runs need only the validate headline).
   */
 object Bench {
 
