@@ -234,6 +234,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p.take(400))
   }
 
+  test("stratified sample: rank-limit pushdown plants map-side per-stratum top-k") {
+    // the documented skew defense (PLANS.md round 3): Spark 4 puts a
+    // WindowGroupLimit BELOW the exchange for row_number() <= k, so each
+    // map task ships at most k rows per stratum — pin it so a regression
+    // (e.g. a non-rank rewrite) can't silently lose the property
+    val df = spark.range(0, 1000).select(col("id"), (col("id") % 7).as("st"))
+    val p = plan(graft.ops.Sampling.stratifiedSample(df, "st", "id", 5))
+    assert("""\(\d+\) WindowGroupLimit""".r.findAllIn(p).size >= 2,
+      s"expected partial+final WindowGroupLimit in:\n$p")
+  }
+
+  test("pii redaction is map-only: zero Exchange, no UDF") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => (i.toLong, s"text $i a@b.co")).toDF("id", "t")
+    val p = plan(df.select(col("id"), graft.ops.TextOps.redactPii(col("t"))))
+    assert(!p.contains("Exchange"), "pii scrub must not shuffle")
+    assert(!p.toLowerCase.contains("scalaudf"), "pii scrub must be codegen'd builtins")
+  }
+
   test("weightedMixture is map-only: zero Exchange, filter at the scan") {
     val df = spark.range(0, 1000)
       .select(col("id"), concat(lit("s"), (col("id") % 4)).as("src"))
