@@ -126,6 +126,21 @@ object Bench {
     Stats.colStats(turns).collect()
     val statsSec = (System.nanoTime() - s0) / 1e9
 
+    // ---- per-query timings on the driver testdata ----
+    // Deliberately BEFORE the extras: the r03 capture ran the skew/stream/
+    // funnel blocks first and their multi-GB allocations degraded every
+    // later allocation-heavy query 5-21x on this host (memory subsystem
+    // slows after large allocations are returned) — per-entry numbers must
+    // stay comparable round-over-round, so they run in the freshest JVM
+    // state after the headline.
+    val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+    val results = (if (skipQueries) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+                   else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
+      val q0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      name -> (System.nanoTime() - q0) / 1e9
+    }
+
     // SPARK_GRAFT_SKIP_EXTRAS=1 skips the skew + streaming blocks — used by
     // the scaling-efficiency runs, which only need the validate headline
     val skipExtras = sys.env.get("SPARK_GRAFT_SKIP_EXTRAS").contains("1")
@@ -213,7 +228,7 @@ object Bench {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val cfgF = graft.ops.CorpusPipeline.Config(
         langs = Set("en", "de", "fr", "es"), minQuality = 0.2,
-        decontamN = 8, boilerMinCount = 400L,
+        decontamN = 8, boilerMinCount = Some(400L),
         persistIntermediates = persist)
       val t0 = System.nanoTime()
       graft.ops.CorpusPipeline.funnel(graft.ops.CorpusPipeline.annotate(
@@ -225,12 +240,21 @@ object Bench {
     graft.ops.CorpusPipeline.unpersistCaches()
     val funnelNoPersistSec = funnelRuns.filter(!_._1).map(_._2).min
     val funnelPersistSec = funnelRuns.filter(_._1).map(_._2).min
+
+    // ---- Main corpus mode, end-to-end (annotate + split-partitioned corpus
+    // write + funnel report) — the spark-submit surface priced at bench
+    // scale, not just spec-covered
+    val corpusOut = Files.createTempDirectory("graft_bench_corpus").toString
+    val c0 = System.nanoTime()
+    Main.main(Array("--input", s"$sfDir/documents.parquet",
+      "--out", corpusOut, "--mode", "corpus"))
+    val corpusModeSec = (System.nanoTime() - c0) / 1e9
     val skewJson =
       f"""{"hot_conv_turns":$hotTurns,"window_plain_sec":$wPlainSec%.3f,"window_plain_max_task_ms":$wPlainMax,"window_seg_sec":$wSegSec%.3f,"window_seg_max_task_ms":$wSegMax,"dedup_naive_sec":$dNaiveSec%.3f,"dedup_naive_max_task_ms":$dNaiveMax,"dedup_salted_sec":$dSaltSec%.3f,"dedup_salted_max_task_ms":$dSaltMax,"strat_plain_sec":$ssPlainSec%.3f,"strat_plain_max_task_ms":$ssPlainMax,"strat_salted_sec":$ssSaltSec%.3f,"strat_salted_max_task_ms":$ssSaltMax}"""
     val streamJson =
       f"""{"viol_sec":$streamViolSec%.3f,"viol_turns_per_sec":${nTurns / streamViolSec}%.0f,"order_sec":$streamOrderSec%.3f,"order_turns_per_sec":${nTurns / streamOrderSec}%.0f}"""
     val funnelJson =
-      f"""{"no_persist_sec":$funnelNoPersistSec%.3f,"persist_sec":$funnelPersistSec%.3f}"""
+      f"""{"no_persist_sec":$funnelNoPersistSec%.3f,"persist_sec":$funnelPersistSec%.3f,"corpus_mode_sec":$corpusModeSec%.3f}"""
     s""""skew":$skewJson,"stream":$streamJson,"funnel_ab":$funnelJson,"""
     } catch {
       case e: Throwable =>
@@ -238,14 +262,6 @@ object Bench {
         ""
     }
 
-    // ---- per-query timings on the driver testdata ----
-    val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
-    val results = (if (skipQueries) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
-                   else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
-      val q0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - q0) / 1e9
-    }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + wallSec + statsSec

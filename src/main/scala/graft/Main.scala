@@ -77,11 +77,15 @@ object Main {
         val docs = spark.read.parquet(o.input)
         val bench = o.bench.map(spark.read.parquet(_))
           .getOrElse(docs.filter(col("doc_id") % 50 === 0))
-        val ann = graft.ops.CorpusPipeline
-          .annotate(docs, bench, "text", "doc_id", "source")
-          // two actions consume the annotated DAG (corpus write + funnel
-          // report) and it contains the minhash-LSH + connected-components
-          // stages — persist so the expensive funnel runs once, not twice
+        // managed caches: closing the handle drops only THIS invocation's
+        // persisted intermediates — safe if an embedding caller runs other
+        // pipelines in the same session concurrently
+        val (annotated, caches) = graft.ops.CorpusPipeline
+          .annotateManaged(docs, bench, "text", "doc_id", "source")
+        // two actions consume the annotated DAG (corpus write + funnel
+        // report) and it contains the minhash-LSH + connected-components
+        // stages — persist so the expensive funnel runs once, not twice
+        val ann = annotated
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         ann.filter(col("drop_stage").isNull).drop("drop_stage")
           .write.mode("overwrite").partitionBy("split")
@@ -89,7 +93,7 @@ object Main {
         val funnel = graft.ops.CorpusPipeline.funnel(ann)
           .orderBy("stage").collect()
         ann.unpersist()
-        graft.ops.CorpusPipeline.unpersistCaches()
+        caches.close()
         funnel.foreach(r => System.err.println(s"FUNNEL ${r.mkString("\t")}"))
         val kept = funnel.filter(_.getString(0).startsWith("kept:"))
           .map(_.getLong(1)).sum

@@ -44,6 +44,31 @@ object SparkEntry {
     unhex(concat(lit(hdr), blue, lit("00FF"), blue, lit("8000"), lit("0000")))
   }
 
+  /** Deterministic planted 2x1 8-bit-RGB PNG from a doc-id column — the
+    * compressed-format twin of [[plantedBmp]] with the SAME pixel values
+    * (pixel 0 = (FF, 00, blue), pixel 1 = (00, 80, blue), blue =
+    * doc_id·37 mod 256), so q68's oracle states the same analytic means as
+    * q66's. The IDAT zlib stream uses a STORED deflate block (BTYPE=00 —
+    * legal zlib, and expressible as column arithmetic), with a real
+    * adler32 (affine in the one varying byte: s1 = 384+2b, s2 = 1793+5b,
+    * both far below the 65521 modulus) and a real CRC on the constant IHDR;
+    * the IDAT CRC is zeros, which the decoder — like any feature extractor
+    * — does not check.
+    */
+  private def plantedPng(docId: Column): Column = {
+    val blue = pmod(docId * 37, lit(256))
+    val blueHex = lpad(hex(blue), 2, "0")
+    val adler = concat(
+      lpad(hex(blue * 5 + 1793), 4, "0"), lpad(hex(blue * 2 + 384), 4, "0"))
+    val sigIhdr = "89504E470D0A1A0A" +
+      "0000000D4948445200000002000000010802000000" + "7B40E8DD"
+    val idatPre = "0000001249444154" + "7801" + "010700F8FF" // len,type,zlib,stored-hdr
+    unhex(concat(lit(sigIhdr), lit(idatPre),
+      lit("00FF00"), blueHex, lit("0080"), blueHex, // filter 0 + 2 RGB pixels
+      adler, lit("00000000"),                       // adler32, IDAT CRC (unchecked)
+      lit("0000000049454E44AE426082")))             // IEND
+  }
+
   /** Exact double sum via DECIMAL(18,2) accumulation (order-independent),
     * surfaced back as a rounded double — matches
     * `round(CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE), 2)` in DuckDB.
@@ -787,6 +812,19 @@ object SparkEntry {
           col("p.n_pixels").as("n_pixels"), col("p.mean_r").as("mean_r"),
           col("p.mean_g").as("mean_g"), col("p.mean_b").as("mean_b"))
     }),
+    "q68_png_pixel_stats" -> ((s, dir) => {
+      // real COMPRESSED-format pixel decode, oracle-certified: planted
+      // [[plantedPng]] blobs (stored-deflate zlib IDAT) inflated and
+      // defiltered by the JDK-Inflater expression — the oracle states the
+      // same analytic means as q66, so signature/chunk-walk/zlib/filter
+      // handling and channel order are all end-to-end checked
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          graft.ops.Multimodal.pixelStats(plantedPng(col("doc_id"))).as("p"))
+        .select(col("doc_id"), col("p.format").as("pix_format"),
+          col("p.n_pixels").as("n_pixels"), col("p.mean_r").as("mean_r"),
+          col("p.mean_g").as("mean_g"), col("p.mean_b").as("mean_b"))
+    }),
     "q67_pii_redact" -> ((s, dir) => {
       // PII scrub, byte-matched: plant one email and one IPv4 per doc
       // (built identically in the oracle), redact, return the FULL
@@ -853,8 +891,24 @@ object SparkEntry {
         "source",
         graft.ops.CorpusPipeline.Config(
           langs = Set("en", "de", "fr", "es"), minQuality = 0.2,
-          decontamN = 8, boilerMinCount = 400L))
+          decontamN = 8, boilerMinCount = Some(400L)))
       graft.ops.CorpusPipeline.funnel(ann).orderBy("stage")
+    }),
+    "t18_bucket_audit" -> ((s, dir) => {
+      // silent-cap visibility for the dedup/ANN family: one row per
+      // operator stating what its maxBucket guard dropped (xxhash-banded
+      // buckets — no DuckDB twin; planted-oversized-bucket behavior is
+      // spec-gated in CorpusOpsSpec)
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      Dedup.minhashBucketAudit(docs, "text", "doc_id")
+        .withColumn("op", lit("minhash_lsh"))
+        .unionByName(Dedup.simhashBucketAudit(docs, "text", "doc_id")
+          .withColumn("op", lit("simhash")))
+        .unionByName(Similarity.cosineBucketAudit(emb)
+          .withColumn("op", lit("cosine_near_dup")))
+        .select(col("op"), col("n_buckets"), col("n_oversized_buckets"),
+          col("n_dropped_rows"), col("n_dropped_pairs_ub"))
     }),
     "t16_bloom_decontam" -> ((s, dir) => {
       // bloom-screened decontamination (superset-of-exact contract is
@@ -904,7 +958,14 @@ object SparkEntry {
           (col("doc_id") + 1000000L).as("doc_id"),
           plantedBmp(col("doc_id")).as("bmp")),
         "doc_id", "bmp", lit("image"))
-      Multimodal.featuresFromPacked(packed.unionByName(bmps))
+      // planted PNGs too (same pixels, compressed container) — the real
+      // Inflater decode feeds the embedding path end-to-end
+      val pngs = Multimodal.packMedia(
+        docs.filter(col("doc_id") < 8).select(
+          (col("doc_id") + 2000000L).as("doc_id"),
+          plantedPng(col("doc_id")).as("png")),
+        "doc_id", "png", lit("image"))
+      Multimodal.featuresFromPacked(packed.unionByName(bmps).unionByName(pngs))
         .select(col("vec_id"), col("kind"), col("meta.byte_len").as("byte_len"),
           size(col("embedding")).as("dim"), size(col("frames")).as("n_frames"),
           col("pix.format").as("pix_format"),
@@ -1326,11 +1387,22 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(regexp_replace(t,
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
-        | CAST(len(regexp_extract_all(t, '\b\d{13,16}\b')) AS INT) AS n_number
+        | CAST(len(regexp_extract_all(regexp_replace(regexp_replace(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\b\d{13,16}\b')) AS INT) AS n_number
         |FROM p""".stripMargin,
     "q66_pixel_stats" ->
       """SELECT doc_id,
         | 'bmp24' AS pix_format,
+        | CAST(2 AS BIGINT) AS n_pixels,
+        | CAST(127.5 AS DOUBLE) AS mean_r,
+        | CAST(64.0 AS DOUBLE) AS mean_g,
+        | round(CAST(doc_id * 37 % 256 AS DOUBLE), 4) AS mean_b
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+    "q68_png_pixel_stats" ->
+      """SELECT doc_id,
+        | 'png8' AS pix_format,
         | CAST(2 AS BIGINT) AS n_pixels,
         | CAST(127.5 AS DOUBLE) AS mean_r,
         | CAST(64.0 AS DOUBLE) AS mean_g,
@@ -1509,7 +1581,7 @@ object SparkEntry {
         |g AS (SELECT doc_id, unnest(grams) AS gram FROM gl),
         |f AS (SELECT gram FROM g GROUP BY gram
         |      HAVING CAST(count(*) AS DOUBLE) >=
-        |             0.05 * (SELECT count(*) FROM documents)),
+        |             greatest(2.0, 0.05 * (SELECT count(*) FROM documents))),
         |j AS (
         | SELECT g.doc_id, CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END AS hit
         | FROM g LEFT JOIN f USING (gram))

@@ -52,12 +52,16 @@ object Boilerplate {
     scored(corpus, textCol, keyCol, n, _.filter(col("cnt") >= minCount))
 
   /** [[coverage]] with a FRACTION-of-corpus threshold: a gram is frequent
-    * when its occurrence count is ≥ `minFrac · n_docs`. Scale-invariant —
-    * "appears in ≥5% of document slots" means the same thing at 10⁴ and
-    * 10¹² docs, so the frequent set stays bounded (true boilerplate is a
-    * few thousand grams at any corpus size) without callers re-deriving an
-    * absolute count per run. The corpus row count joins as a broadcast
-    * one-row aggregate — no driver-side action.
+    * when its occurrence count is ≥ `max(2, minFrac · n_docs)`.
+    * Scale-invariant — "appears in ≥5% of document slots" means the same
+    * thing at 10⁴ and 10¹² docs, so the frequent set stays bounded (true
+    * boilerplate is a few thousand grams at any corpus size) without
+    * callers re-deriving an absolute count per run. The floor of 2 matters
+    * only for tiny corpora: below `2/minFrac` docs the raw product drops
+    * under 1 and every single-occurrence gram would count as "frequent" —
+    * a gram that occurs once is never corpus-wide boilerplate. The corpus
+    * row count joins as a broadcast one-row aggregate — no driver-side
+    * action.
     */
   def coverageFrac(
       corpus: DataFrame,
@@ -69,7 +73,8 @@ object Boilerplate {
     val nDocs = corpus.agg(count(lit(1)).cast("double").as("n_docs"))
     scored(corpus, textCol, keyCol, n,
       _.crossJoin(broadcast(nDocs))
-        .filter(col("cnt").cast("double") >= lit(minFrac) * col("n_docs"))
+        .filter(col("cnt").cast("double") >=
+          greatest(lit(2.0), lit(minFrac) * col("n_docs")))
         .drop("n_docs"))
   }
 

@@ -33,17 +33,33 @@ import org.apache.spark.storage.StorageLevel
   */
 object CorpusPipeline {
 
-  // handles for the intermediate frames annotate() persists (callers have
-  // no plan reference to them); see [[unpersistCaches]]
+  // handles for the intermediate frames UNMANAGED annotate() calls persist
+  // (callers have no plan reference to them); see [[unpersistCaches]].
+  // [[annotateManaged]] callers get a per-invocation [[CacheHandle]] instead
+  // and never touch this queue.
   private val cachedFrames =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
-  /** Unpersist every intermediate frame [[annotate]] has cached in this
-    * JVM so far. Unlike `spark.catalog.clearCache()` this drops ONLY
-    * CorpusPipeline's caches, never the caller's own — call it once the
-    * annotated/built frame has been fully consumed (long-lived sessions
-    * that build many corpora would otherwise accumulate MEMORY_AND_DISK
-    * blocks until session end).
+  /** Per-invocation handle over the intermediate frames one
+    * [[annotateManaged]] call persisted: closing it unpersists exactly that
+    * invocation's caches and nobody else's — concurrent pipelines in the
+    * same session stay isolated (the JVM-global [[unpersistCaches]] would
+    * drop a concurrent caller's still-in-use intermediates too).
+    */
+  final class CacheHandle private[CorpusPipeline] (frames: Seq[DataFrame])
+      extends AutoCloseable {
+    override def close(): Unit = frames.foreach(_.unpersist(false))
+  }
+
+  /** Unpersist every intermediate frame plain [[annotate]] has cached in
+    * this JVM so far ([[annotateManaged]] caches are excluded — their
+    * [[CacheHandle]] owns them). Unlike `spark.catalog.clearCache()` this
+    * drops ONLY CorpusPipeline's caches, never the caller's own — call it
+    * once the annotated/built frame has been fully consumed (long-lived
+    * sessions that build many corpora would otherwise accumulate
+    * MEMORY_AND_DISK blocks until session end). Sessions running pipelines
+    * CONCURRENTLY should prefer [[annotateManaged]]: this global form
+    * cannot tell whose caches are still live.
     */
   def unpersistCaches(): Unit = {
     var df = cachedFrames.poll()
@@ -60,7 +76,16 @@ object CorpusPipeline {
       nearDupThreshold: Double = 0.9,
       decontamN: Int = 8,
       boilerN: Int = 2,
-      boilerMinCount: Long = 40L,
+      // Boilerplate gate threshold: the DEFAULT is the scale-invariant
+      // fraction form ([[Boilerplate.coverageFrac]] — a gram is frequent
+      // when it fills ≥ boilerMinFrac of all gram slots), which means the
+      // same thing at 10^4 and 10^12 docs. Setting boilerMinCount opts into
+      // the absolute-count form ([[Boilerplate.coverage]]) for callers who
+      // derived a count for the corpus at hand — at 100× corpus growth a
+      // fixed count silently grows the frequent set, which is exactly the
+      // failure the fraction default prevents.
+      boilerMinFrac: Double = 0.01,
+      boilerMinCount: Option[Long] = None,
       maxBoilerFrac: Double = 0.8,
       mixtureRates: Map[String, String] = Map.empty,
       mixtureDefault: String = "ffff", // keep everything unless configured
@@ -73,7 +98,9 @@ object CorpusPipeline {
 
   /** Annotated corpus: all input rows with `drop_stage` (null = kept) and,
     * for survivors, the `split` label. `bench` is the eval/benchmark set to
-    * decontaminate against.
+    * decontaminate against. Intermediate caches go to the JVM-global
+    * [[unpersistCaches]] queue; concurrent pipelines should use
+    * [[annotateManaged]] instead.
     */
   def annotate(
       docs: DataFrame,
@@ -82,7 +109,38 @@ object CorpusPipeline {
       keyCol: String,
       stratumCol: String,
       cfg: Config = Config()): DataFrame = {
+    val (out, frames) = annotateTracked(docs, bench, textCol, keyCol,
+      stratumCol, cfg)
+    frames.foreach(cachedFrames.add)
+    out
+  }
+
+  /** [[annotate]] returning a per-invocation [[CacheHandle]] alongside the
+    * annotated frame: close the handle once the result is consumed and ONLY
+    * this invocation's persisted intermediates are dropped — safe when
+    * several pipelines share one session.
+    */
+  def annotateManaged(
+      docs: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      keyCol: String,
+      stratumCol: String,
+      cfg: Config = Config()): (DataFrame, CacheHandle) = {
+    val (out, frames) = annotateTracked(docs, bench, textCol, keyCol,
+      stratumCol, cfg)
+    (out, new CacheHandle(frames))
+  }
+
+  private def annotateTracked(
+      docs: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      keyCol: String,
+      stratumCol: String,
+      cfg: Config): (DataFrame, Seq[DataFrame]) = {
     val id = col(keyCol)
+    val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     // ---- stage 1+2: map-only gates (no joins needed) ----
     val langOk = TextOps.langId(col(textCol)).isin(cfg.langs.toSeq: _*)
@@ -94,7 +152,7 @@ object CorpusPipeline {
     // evaluate ONCE, not once per downstream consumer re-scan
     def maybePersist(df: DataFrame): DataFrame =
       if (cfg.persistIntermediates) {
-        cachedFrames.add(df)
+        tracked += df
         df.persist(StorageLevel.MEMORY_AND_DISK)
       } else df
     val early = maybePersist(base.filter(col("__drop_early").isNull)
@@ -119,9 +177,16 @@ object CorpusPipeline {
       .contaminated(exactKept, bench, textCol, keyCol, cfg.decontamN)
       .select(col("id"), lit(true).as("__contam"))
 
-    // ---- stage 6: boilerplate coverage (flag = drop) ----
-    val boiler = Boilerplate
-      .coverage(exactKept, textCol, keyCol, cfg.boilerN, cfg.boilerMinCount)
+    // ---- stage 6: boilerplate coverage (flag = drop) — fraction threshold
+    // by default (scale-invariant frequent set), absolute count on opt-in ----
+    val boilerCov = cfg.boilerMinCount match {
+      case Some(c) =>
+        Boilerplate.coverage(exactKept, textCol, keyCol, cfg.boilerN, c)
+      case None =>
+        Boilerplate.coverageFrac(exactKept, textCol, keyCol, cfg.boilerN,
+          cfg.boilerMinFrac)
+    }
+    val boiler = boilerCov
       .filter(col("boiler_frac") > cfg.maxBoilerFrac)
       .select(col("id"), lit(true).as("__boiler"))
 
@@ -131,6 +196,12 @@ object CorpusPipeline {
     // threshold below the first split cut would then starve val/test for
     // downsampled strata. Same hex-threshold contract as
     // [[Sampling.weightedMixture]], enforced here too.
+    // COMPATIBILITY NOTE (r03): the ':mixture'/':split' salts changed every
+    // document's mixture and split assignment relative to corpora built
+    // before the salts existed — the same Config does NOT reproduce
+    // pre-salt train/val/test membership. Deliberate: the decorrelation fix
+    // outweighs cross-version reproducibility, and corpus membership should
+    // be pinned by the emitted split column, not by re-running the build.
     require((cfg.mixtureRates.values.toSeq :+ cfg.mixtureDefault)
       .forall(_.matches("[0-9a-f]{4}")),
       "mixture thresholds = 4 lowercase hex chars")
@@ -151,7 +222,7 @@ object CorpusPipeline {
       when(col("__boiler"), "boilerplate"),
       when(!inMixture, "mixture"))
 
-    base
+    val out = base
       .join(flag(exactKeep), Seq(keyCol), "left")
       .join(flag(clusters), Seq(keyCol), "left")
       .join(flag(contaminated), Seq(keyCol), "left")
@@ -159,6 +230,7 @@ object CorpusPipeline {
       .withColumn("drop_stage", dropStage)
       .withColumn("split", when(col("drop_stage").isNull, split))
       .drop("__drop_early", "__exact_keep", "__near_keep", "__contam", "__boiler")
+    (out, tracked.toSeq)
   }
 
   /** The surviving corpus with split labels. */

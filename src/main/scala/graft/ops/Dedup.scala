@@ -81,13 +81,58 @@ object Dedup {
     * |sig∩|/k) instead of re-joining full shingle sets, keeping the verify
     * stage O(pairs·k).
     */
+  /** Exploded (id, band-key) rows for the LSH bucket join — shared by the
+    * candidate generator and [[minhashBucketAudit]] so both see the same
+    * buckets.
+    */
+  private def minhashBanded(sigs: DataFrame, k: Int, bands: Int): DataFrame =
+    sigs.select(col("id"), explode(bandKeys(col("sig"), k, bands)).as("band"))
+
+  /** One-row audit of a bucket cap: how many buckets the `> maxBucket`
+    * guard dropped and how many member rows (and candidate pairs, as an
+    * upper bound) went with them. The caps in the dedup/ANN family
+    * deliberately drop pathological buckets (boilerplate bands — exact
+    * dedup upstream owns those), but at 100 TB a heavy-boilerplate corpus
+    * could lose real near-dup pairs invisibly; this makes the truncation
+    * auditable. `n_dropped_pairs_ub` is a DOUBLE (bn·(bn−1)/2 over dropped
+    * buckets can exceed long range on planet-scale hot buckets).
+    */
+  private[ops] def bucketAudit(
+      banded: DataFrame, bucketCol: String, maxBucket: Int): DataFrame =
+    banded.groupBy(bucketCol).agg(count(lit(1)).as("bn"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        coalesce(sum(when(col("bn") > maxBucket, 1L)), lit(0L))
+          .as("n_oversized_buckets"),
+        coalesce(sum(when(col("bn") > maxBucket, col("bn"))), lit(0L))
+          .as("n_dropped_rows"),
+        coalesce(sum(when(col("bn") > maxBucket,
+          col("bn").cast("double") * (col("bn") - 1) / 2)), lit(0.0))
+          .as("n_dropped_pairs_ub"))
+
+  /** Audit of [[minhashLshPairs]]/[[minhashLshPairsExact]]'s `maxBucket`
+    * cap on the same corpus and parameters: emits (n_buckets,
+    * n_oversized_buckets, n_dropped_rows, n_dropped_pairs_ub). Zero
+    * oversized buckets certifies the candidate generation lost nothing.
+    */
+  def minhashBucketAudit(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      n: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 200): DataFrame =
+    bucketAudit(
+      minhashBanded(minhashSignatures(df, textCol, keyCol, n, k), k, bands),
+      "band", maxBucket)
+
   /** LSH candidate pairs from persisted signatures: banded bucket self-join
     * (ids only), pathological buckets dropped, pairs deduped across bands.
     */
   private def lshCandidates(
       sigs: DataFrame, k: Int, bands: Int, maxBucket: Int): DataFrame = {
-    val banded = sigs
-      .select(col("id"), explode(bandKeys(col("sig"), k, bands)).as("band"))
+    val banded = minhashBanded(sigs, k, bands)
     // Drop pathological buckets (boilerplate bands) BEFORE the self-join —
     // they square the candidate count and exact dedup upstream owns them.
     val ok = banded.join(
@@ -184,6 +229,26 @@ object Dedup {
     * 16-bit band — pigeonhole), then verify Hamming ≤ maxHamming within
     * blocks. Bucket join, never all-pairs.
     */
+  /** Exploded (id, 16-bit-band key) rows — shared by [[simhashPairs]] and
+    * [[simhashBucketAudit]].
+    */
+  private def simhashBanded(sims: DataFrame): DataFrame =
+    sims.select(
+      col("id"),
+      explode(array((0 to 3).map(bnd =>
+        concat_ws(":", lit(bnd),
+          shiftrightunsigned(col("sim"), bnd * 16)
+            .bitwiseAND(lit(0xffffL)))): _*)).as("band"))
+
+  /** [[bucketAudit]] of [[simhashPairs]]'s `maxBucket` cap. */
+  def simhashBucketAudit(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      maxBucket: Int = 200): DataFrame =
+    bucketAudit(simhashBanded(simhashSignatures(df, textCol, keyCol)),
+      "band", maxBucket)
+
   def simhashPairs(
       df: DataFrame,
       textCol: String,
@@ -192,12 +257,7 @@ object Dedup {
       maxBucket: Int = 200): DataFrame = {
     val sims = simhashSignatures(df, textCol, keyCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sims.select(
-      col("id"),
-      explode(array((0 to 3).map(bnd =>
-        concat_ws(":", lit(bnd),
-          shiftrightunsigned(col("sim"), bnd * 16)
-            .bitwiseAND(lit(0xffffL)))): _*)).as("band"))
+    val banded = simhashBanded(sims)
     val ok = banded.join(
       banded.groupBy("band").agg(count(lit(1)).as("bn"))
         .filter(col("bn") > 1 && col("bn") <= maxBucket),

@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * by [[imageHeaderMeta]] — pure column expressions, no codec libraries.
   * Pixel-level features are REAL for uncompressed raster formats (BMP
   * 24-bit, PPM P6, PGM P5 — [[pixelStats]]: per-channel means and
-  * histograms, no codec needed). Only compressed payloads (PNG/GIF/JPEG
-  * pixel data) keep the **STUB**: this container has no image/audio
-  * libraries, so `fakeDecodeFeatures` derives deterministic pseudo-features
-  * from the bytes (clearly marked; swap in a real decoder via mapInPandas
-  * on a cluster with the codec libs installed).
+  * histograms, no codec needed) AND for non-interlaced 8-bit
+  * gray/RGB/RGBA PNG (IDAT is a zlib stream and the JDK ships an
+  * Inflater — [[graft.functions.PngDecode]], a codegen'd custom
+  * Expression). Only JPEG/GIF pixel payloads keep the **STUB**: this
+  * container has no image/audio codec libraries, so `fakeDecodeFeatures`
+  * derives deterministic pseudo-features from the bytes (clearly marked;
+  * swap in a real decoder via mapInPandas on a cluster with the codec libs
+  * installed).
   */
 object Multimodal {
 
@@ -145,13 +148,15 @@ object Multimodal {
     *    header parsed by regex on the latin-1 byte view; raw RGB triples
     *    (resp. single gray bytes) follow.
     *
-    * Output struct: format ("bmp24" | "ppm" | "pgm" | null), n_pixels, and
-    * per-channel mean + `histBins`-bin histogram (PGM reports its gray
-    * channel on all three). Payloads that are compressed, truncated,
-    * top-down BMP, or larger than `maxPixels` come back all-null —
-    * column-expression decode is sized for thumbnails; a production cluster
-    * swaps in mapInPandas + a codec for big frames, leaving every schema
-    * and join downstream unchanged.
+    * Output struct: format ("bmp24" | "ppm" | "pgm" | "png8" | null),
+    * n_pixels, and per-channel mean + `histBins`-bin histogram (PGM and
+    * grayscale PNG report their gray channel on all three). Blobs that are
+    * not a supported raster fall through to the REAL PNG decode
+    * ([[graft.functions.PngPixelStats]] — JDK Inflater, non-interlaced
+    * 8-bit gray/RGB/RGBA). JPEG/GIF, truncated, top-down BMP, or
+    * over-`maxPixels` payloads come back null — this decode is sized for
+    * thumbnails; a production cluster swaps in mapInPandas + a codec for
+    * big frames, leaving every schema and join downstream unchanged.
     *
     * Cost shape: O(pixels) per image like any decoder, folded inside the
     * JVM columnar engine — map-only, no shuffle, no UDF registration, no
@@ -171,17 +176,21 @@ object Multimodal {
     val off = le(11, 4)
     val bmpW = le(19, 4)
     val bmpH = le(23, 4) // top-down (negative/huge) rejected by the caps
+    // rowBytes is safe unguarded: a 4-byte LE field caps bmpW*3 < 3·2^32
     val rowBytes = bmpW * 3 + pmod(-(bmpW * 3), lit(4L))
-    val bmpN = bmpW * bmpH
+    // ANSI-overflow safety is ORDER-INDEPENDENT: the products are computed
+    // under `when(dims ≤ cap)` — CaseWhen guarantees conditional evaluation,
+    // so adversarial 0xFFFFFFFF dims yield null (→ bmpOk false), never a
+    // thrown ARITHMETIC_OVERFLOW, regardless of how an optimizer reorders
+    // the And conjuncts below (the previous form leaned on left-to-right
+    // short-circuit of And, which no rule guarantees)
+    val bmpDimsOk = bmpW >= 1 && bmpH >= 1 &&
+      bmpW <= maxPixels && bmpH <= maxPixels
+    val bmpN = when(bmpDimsOk, bmpW * bmpH)
+    val bmpBytes = when(bmpDimsOk, bmpH * rowBytes) // ≤ 2^30·(3·2^30+3) < 2^62
     val bmpOk = isBmp && le(29, 2) === 24 && le(31, 4) === 0 &&
-      bmpW >= 1 && bmpH >= 1 &&
-      // per-dimension caps BEFORE the product: `And` short-circuits, so
-      // bmpN (and bmpH*rowBytes below) only evaluate with both factors
-      // ≤ 2^30 — an unguarded 0xFFFFFFFF×0xFFFFFFFF would THROW under
-      // ANSI long-overflow instead of decoding to null
-      bmpW <= maxPixels && bmpH <= maxPixels &&
-      bmpN <= maxPixels &&
-      blobLen >= off + bmpH * rowBytes
+      bmpDimsOk && bmpN <= maxPixels &&
+      blobLen >= off + bmpBytes
     // linear pixel index -> byte position of channel c (0=B, 1=G, 2=R);
     // floor-div is exact here (maxPixels bounds i far inside double range)
     def bmpPos(c: Int)(i: Column): Column = {
@@ -239,13 +248,21 @@ object Multimodal {
     val (meanR, histR) = chan(0)
     val (meanG, histG) = chan(1)
     val (meanB, histB) = chan(2)
-    struct(
+    val raster = struct(
       when(bmpOk, "bmp24").when(ppmOk, "ppm").when(pgmOk, "pgm")
         .otherwise(lit(null).cast("string")).as("format"),
       when(bmpOk, bmpN).when(ppmOk || pgmOk, pN)
         .otherwise(lit(null).cast("long")).as("n_pixels"),
       meanR.as("mean_r"), meanG.as("mean_g"), meanB.as("mean_b"),
       histR.as("hist_r"), histG.as("hist_g"), histB.as("hist_b"))
+    // compressed-format fallthrough: PNG payloads decode for REAL via the
+    // JDK-Inflater expression (format "png8", identical struct shape);
+    // only JPEG/GIF pixel payloads remain undecodable here. Blobs that are
+    // neither a supported raster nor a decodable PNG surface a null struct
+    // (field projections still read as null downstream).
+    when(bmpOk || ppmOk || pgmOk, raster)
+      .otherwise(graft.functions.PngPixelStats
+        .pngPixelStats(media, histBins, maxPixels))
   }
 
   /** Wrap a text table into a media table: (key, kind, media BINARY,

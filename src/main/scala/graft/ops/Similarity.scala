@@ -213,6 +213,23 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** [[Dedup.bucketAudit]] of [[cosineNearDupPairs]]'s `maxBucket` cap on
+    * the same hyperplane buckets: (n_buckets, n_oversized_buckets,
+    * n_dropped_rows, n_dropped_pairs_ub). Zero oversized buckets certifies
+    * the near-dup candidate generation lost nothing to the cap.
+    */
+  def cosineBucketAudit(
+      embeddings: DataFrame,
+      nBits: Int = 8,
+      dim: Int = 64,
+      maxBucket: Int = 2000): DataFrame = {
+    val planes = hyperplanes(dim, nBits)
+    Dedup.bucketAudit(
+      embeddings.select(col("vec_id").as("id"),
+        lshBucket(asDouble(col("embedding")), planes).as("bucket")),
+      "bucket", maxBucket)
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucket self-join then exact cosine
     * verify — the embedding-space member of the dedup family.
     */

@@ -190,15 +190,21 @@ object TextOps {
         piiIpv4, "<IP>"),
       piiNumber, "<NUMBER>")
 
-  /** Per-kind PII hit counts on the ORIGINAL text (audit metric beside
-    * [[redactPii]]): struct(n_email, n_ipv4, n_number).
+  /** Per-kind PII hit counts — STAGED, mirroring [[redactPii]]'s pass order
+    * exactly: n_email on the original text, n_ipv4 on the email-redacted
+    * text, n_number on the email+IP-redacted text. Each count therefore
+    * equals the number of replacements the corresponding redaction pass
+    * actually performs (a 13-16-digit run inside an email local part is
+    * redacted as part of `<EMAIL>` and must NOT also count as n_number).
+    * struct(n_email, n_ipv4, n_number).
     */
   def piiCounts(c: Column): Column = {
     val t = coalesce(c, lit(""))
+    val afterEmail = regexp_replace(t, piiEmail, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, piiIpv4, "<IP>")
     struct(
       regexp_count(t, lit(piiEmail)).as("n_email"),
-      regexp_count(regexp_replace(t, piiEmail, "<EMAIL>"), lit(piiIpv4))
-        .as("n_ipv4"),
-      regexp_count(t, lit(piiNumber)).as("n_number"))
+      regexp_count(afterEmail, lit(piiIpv4)).as("n_ipv4"),
+      regexp_count(afterIp, lit(piiNumber)).as("n_number"))
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Boilerplate, Decontam, Tfidf}
+import graft.ops.{Boilerplate, Decontam, Dedup, Similarity, Tfidf}
 
 /** Decontamination (n-gram overlap vs a benchmark set), boilerplate
   * coverage thresholds, and TF-IDF keyword extraction.
@@ -67,6 +67,43 @@ class CorpusOpsSpec extends AnyFunSuite {
       .filter(col("id") === 25L).select("n_boiler").as[Long].head()
     assert(fracBoiler === 1L, "only 'the end' should stay frequent at 2x corpus")
     assert(absBoiler > fracBoiler, "fixed minCount should have drifted here")
+  }
+
+  test("bucket audits: a planted oversized bucket is counted, and the pair " +
+    "ops drop exactly those candidates — truncation is never silent") {
+    // 10 byte-identical docs -> identical minhash sigs and simhashes ->
+    // every band's bucket holds all 10; with maxBucket = 5 the cap drops
+    // them all, and the audit must say so
+    val docs = ((0 until 10).map(i => (i.toLong, "same exact text in every copy")) ++
+      (100 until 104).map(i => (i.toLong, s"unrelated doc number $i with its own words"))
+      ).toDF("doc_id", "text")
+    val mh = Dedup.minhashBucketAudit(docs, "text", "doc_id", maxBucket = 5)
+      .as[(Long, Long, Long, Double)].head()
+    // 16 bands, all oversized for the identical group: 16 buckets x 10 rows
+    assert(mh._2 === 16L, s"expected 16 oversized minhash buckets, got $mh")
+    assert(mh._3 === 160L && mh._4 === 16 * 45.0, s"audit counts wrong: $mh")
+    // and the capped pair op indeed returns nothing for the identical group
+    assert(Dedup.minhashLshPairs(docs, "text", "doc_id", maxBucket = 5)
+      .filter(col("id_a") < 100).count() === 0L)
+    val sh = Dedup.simhashBucketAudit(docs, "text", "doc_id", maxBucket = 5)
+      .as[(Long, Long, Long, Double)].head()
+    assert(sh._2 === 4L && sh._3 === 40L, s"simhash audit wrong: $sh")
+    // uncapped corpora audit clean (no oversized buckets, nothing dropped)
+    val clean = Dedup.minhashBucketAudit(docs, "text", "doc_id", maxBucket = 200)
+      .as[(Long, Long, Long, Double)].head()
+    assert(clean._2 === 0L && clean._3 === 0L && clean._4 === 0.0)
+    // embedding-side: 8 identical vectors share a hyperplane bucket; the
+    // outlier is their NEGATION, so every sign bit flips and it provably
+    // lands in the complementary bucket
+    val emb = ((0 until 8).map(i => (i.toLong, Seq.fill(16)(0.5))) ++
+      Seq((100L, Seq.fill(16)(-0.5)))
+      ).toDF("vec_id", "embedding")
+    val ca = Similarity.cosineBucketAudit(emb, nBits = 8, dim = 16, maxBucket = 5)
+      .as[(Long, Long, Long, Double)].head()
+    assert(ca._2 === 1L && ca._3 === 8L && ca._4 === 28.0,
+      s"cosine audit wrong: $ca")
+    assert(Similarity.cosineNearDupPairs(emb, nBits = 8, dim = 16,
+      maxBucket = 5).count() === 0L)
   }
 
   test("tfidf: corpus-wide terms score zero-ish, rare terms rank first") {

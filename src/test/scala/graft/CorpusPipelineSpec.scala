@@ -41,7 +41,7 @@ class CorpusPipelineSpec extends AnyFunSuite {
     nearDupThreshold = 0.9,
     decontamN = 5,
     boilerN = 2,
-    boilerMinCount = 5L,
+    boilerMinCount = Some(5L),
     maxBoilerFrac = 0.5,
     mixtureRates = Map("mix" -> "0000"),
     mixtureDefault = "ffff")
@@ -83,7 +83,7 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val mixCfg = CorpusPipeline.Config(
       langs = Set("en"), minQuality = 0.1,
       nearDupThreshold = 0.95, decontamN = 8,
-      boilerMinCount = 1000000L, maxBoilerFrac = 2.0,
+      boilerMinCount = Some(1000000L), maxBoilerFrac = 2.0,
       mixtureRates = Map.empty, mixtureDefault = "8000")
     val ann = CorpusPipeline
       .annotate(many, bench, "text", "doc_id", "src", mixCfg)

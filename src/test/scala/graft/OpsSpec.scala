@@ -364,6 +364,137 @@ class OpsSpec extends AnyFunSuite {
     assert(emb.drop(15).forall(_ === 0.0)) // zero padding, not stub hashes
   }
 
+  test("pixelStats PNG: real Deflater-compressed blobs decode through the " +
+    "Inflater expression — all five filters, gray/RGB/RGBA, multi-IDAT; " +
+    "out-of-envelope and corrupt blobs null out") {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes); crc.update(data)
+      be32(data.length.toLong) ++ typ.getBytes ++ data ++ be32(crc.getValue)
+    }
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    // FORWARD-filter the desired pixel bytes per the PNG spec, so the
+    // decoder must invert every filter type to recover them
+    def filtered(w: Int, h: Int, ch: Int, px: Array[Byte],
+        filters: Seq[Int]): Array[Byte] = {
+      val stride = w * ch
+      val out = new Array[Byte]((1 + stride) * h)
+      for (r <- 0 until h) {
+        out(r * (1 + stride)) = filters(r).toByte
+        for (i <- 0 until stride) {
+          val x = px(r * stride + i) & 0xff
+          val a = if (i >= ch) px(r * stride + i - ch) & 0xff else 0
+          val b = if (r > 0) px((r - 1) * stride + i) & 0xff else 0
+          val c = if (r > 0 && i >= ch) px((r - 1) * stride + i - ch) & 0xff else 0
+          val v = filters(r) match {
+            case 0 => x
+            case 1 => x - a
+            case 2 => x - b
+            case 3 => x - ((a + b) >> 1)
+            case 4 => x - paeth(a, b, c)
+            case _ => x // invalid filter id under test: raw data, bogus tag
+          }
+          out(r * (1 + stride) + 1 + i) = (v & 0xff).toByte
+        }
+      }
+      out
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater() // REAL zlib: header + dynamic blocks + adler
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 128)
+      val n = d.deflate(buf); d.end()
+      buf.take(n)
+    }
+    def mkPng(w: Int, h: Int, colorType: Int, px: Array[Byte],
+        filters: Seq[Int], depth: Int = 8, interlace: Int = 0,
+        idatSplit: Int = 1, truncate: Int = 0): Array[Byte] = {
+      val ch = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+      val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
+        Array(depth.toByte, colorType.toByte, 0.toByte, 0.toByte, interlace.toByte)
+      val z0 = deflate(filtered(w, h, ch, px, filters))
+      val z = z0.take(z0.length - truncate)
+      val parts = if (idatSplit <= 1) Seq(z)
+        else Seq(z.take(z.length / 2), z.drop(z.length / 2))
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+        chunk("IHDR", ihdr) ++
+        parts.flatMap(p => chunk("IDAT", p)) ++ chunk("IEND", Array[Byte]())
+    }
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // 2x5 RGB exercising every filter type once (rows: None, Sub, Up,
+    // Average, Paeth); channel sums chosen non-uniform
+    val rgbPx = b(
+      10, 200, 30, 250, 40, 0,
+      60, 70, 80, 90, 100, 110,
+      0, 255, 1, 254, 2, 253,
+      5, 15, 25, 35, 45, 55,
+      128, 64, 32, 16, 8, 4)
+    val rgb = mkPng(2, 5, 2, rgbPx, Seq(0, 1, 2, 3, 4))
+    // RGBA: alpha bytes must NOT leak into the channel stats
+    val rgbaPx = b(100, 0, 0, 255, 0, 100, 0, 7, 0, 0, 100, 128, 50, 60, 70, 0)
+    val rgba = mkPng(2, 2, 6, rgbaPx, Seq(1, 4))
+    // grayscale: single channel reported on r, g, and b
+    val grayPx = b(0, 64, 128, 255)
+    val gray = mkPng(4, 1, 0, grayPx, Seq(2))
+    val split = mkPng(2, 5, 2, rgbPx, Seq(0, 0, 0, 0, 0), idatSplit = 2)
+    val interlaced = mkPng(2, 2, 0, grayPx, Seq(0, 0), interlace = 1)
+    val deep = mkPng(2, 2, 0, grayPx, Seq(0, 0), depth = 16)
+    val truncated = mkPng(2, 5, 2, rgbPx, Seq(0, 1, 2, 3, 4), truncate = 8)
+    val badFilter = mkPng(4, 1, 0, grayPx, Seq(9))
+    // huge declared dims with a plausible chunk layout: must null, not throw
+    val huge = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte) ++
+      chunk("IHDR", be32(0xFFFFFFFFL) ++ be32(0xFFFFFFFFL) ++ b(8, 2, 0, 0, 0)) ++
+      chunk("IDAT", b(0x78, 0x01, 1, 2, 3)) ++ chunk("IEND", Array[Byte]())
+    val dir = java.nio.file.Files.createTempDirectory("mm_png").toString
+    Seq((1, rgb), (2, rgba), (3, gray), (4, split), (5, interlaced),
+      (6, deep), (7, truncated), (8, badFilter), (9, huge))
+      .toDF("id", "media").write.mode("overwrite").parquet(dir)
+    val got = spark.read.parquet(dir)
+      .select(col("id"), Multimodal.pixelStats(col("media")).as("p"))
+      .select("id", "p.format", "p.n_pixels", "p.mean_r", "p.mean_g",
+        "p.mean_b", "p.hist_r", "p.hist_g", "p.hist_b")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    def meanOf(px: Array[Byte], ch: Int, c: Int): Double = {
+      val vs = px.grouped(ch).map(g => g(c) & 0xff).toSeq
+      math.rint(vs.sum.toDouble / vs.size * 1e4) / 1e4
+    }
+    assert(got(1).getString(1) === "png8" && got(1).getLong(2) === 10L)
+    assert(got(1).getDouble(3) === meanOf(rgbPx, 3, 0))
+    assert(got(1).getDouble(4) === meanOf(rgbPx, 3, 1))
+    assert(got(1).getDouble(5) === meanOf(rgbPx, 3, 2))
+    // histogram spot-check: r-channel values 10,250,60,90,0,254,5,35,128,16
+    assert(got(1).getSeq[Long](6) === Seq(6L, 1L, 1L, 2L))
+    assert(got(2).getString(1) === "png8" && got(2).getLong(2) === 4L)
+    assert(got(2).getDouble(3) === meanOf(rgbaPx, 4, 0)) // alpha excluded
+    assert(got(2).getDouble(5) === meanOf(rgbaPx, 4, 2))
+    assert(got(3).getString(1) === "png8" && got(3).getDouble(3) === 111.75 &&
+      got(3).getDouble(4) === 111.75 && got(3).getDouble(5) === 111.75)
+    assert(got(3).getSeq[Long](8) === Seq(1L, 1L, 1L, 1L))
+    assert(got(4).getString(1) === "png8" && got(4).getDouble(3) === meanOf(rgbPx, 3, 0),
+      "zlib stream split across two IDAT chunks must decode")
+    assert(got(5).getString(1) === null, "interlaced is out of envelope")
+    assert(got(6).getString(1) === null, "16-bit depth is out of envelope")
+    assert(got(7).getString(1) === null, "truncated IDAT must null out")
+    assert(got(8).getString(1) === null, "invalid filter byte must null out")
+    assert(got(9).getString(1) === null, "huge dims must null, not throw")
+    // and through the feature table: PNG embeddings are REAL features now
+    val ft = Multimodal.featuresFromPacked(Multimodal.packMedia(
+      Seq((1L, gray)).toDF("id", "media"), "id", "media", lit("image")))
+    val row = ft.select("pix.format", "embedding").collect()(0)
+    assert(row.getString(0) === "png8")
+    val emb = row.getSeq[Double](1)
+    assert(emb(0) === math.rint(111.75 / 255.0 * 1e6) / 1e6)
+    assert(emb.drop(15).forall(_ === 0.0)) // zero padding, not stub hashes
+  }
+
   test("audio header decode: real WAV/OGG/MP3 bytes, parquet round-trip") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     // canonical 44-byte WAV header: stereo, 44100 Hz, 16-bit PCM

@@ -104,15 +104,19 @@ class RecallSpec extends AnyFunSuite {
     got.intersect(exactTop).size.toDouble / exactTop.size
   }
 
-  test("ann LSH multiprobe and IVF: recall ≥ 0.6 vs exact brute force " +
+  test("ann LSH multiprobe and IVF: recall ≥ 0.85 vs exact brute force " +
     "on clustered embeddings") {
+    // measured on this (deterministic) fixture, r04 probe: LSH nBits
+    // 6/8/10 → 0.98/0.98/0.94; IVF seeds nProbe 4/6/8 → 0.98/0.98/1.0
+    // (kmeans-refined: 1.0 at every probe count). Bound set a margin under
+    // the weakest measured default, well above the 0.8 target.
     assert(exactTop.size === 50)
     val lshRecall = recallOf(
       Similarity.annTopK(clusteredEmb, clusterQueries, 10, nBits = 8, dim = 16))
     val ivfRecall = recallOf(
       Similarity.ivfTopK(clusteredEmb, clusterQueries, 10, nCentroids = 16, nProbe = 4))
-    assert(lshRecall >= 0.6, s"LSH multiprobe recall $lshRecall")
-    assert(ivfRecall >= 0.6, s"IVF recall $ivfRecall")
+    assert(lshRecall >= 0.85, s"LSH multiprobe recall $lshRecall")
+    assert(ivfRecall >= 0.85, s"IVF recall $ivfRecall")
   }
 
   test("kmeans-refined centroids: deterministic, fit no worse than the " +
@@ -131,6 +135,6 @@ class RecallSpec extends AnyFunSuite {
     assert(fitKm >= fitSeeds - 1e-9, s"kmeans fit $fitKm < seed fit $fitSeeds")
     val r = recallOf(Similarity.ivfTopK(clusteredEmb, clusterQueries, 10,
       nProbe = 4, centroids = Some(km)))
-    assert(r >= 0.6, s"IVF-with-kmeans recall $r")
+    assert(r >= 0.85, s"IVF-with-kmeans recall $r") // measured 1.0 (r04)
   }
 }

@@ -84,18 +84,23 @@ class RunnerSpec extends AnyFunSuite {
     "and the funnel accounts for the drop") {
     val in = java.nio.file.Files.createTempDirectory("graft_corpus_in").toString
     val out = java.nio.file.Files.createTempDirectory("graft_corpus_out").toString
-    // 30 unique English docs (under the default boilerMinCount=40 so the
-    // shared phrasing never becomes "frequent"). The doc number recurs
-    // every <=7 words so EVERY 8-gram is doc-specific — otherwise a shared
-    // 8-word run would mark the whole corpus contaminated against the
-    // default self-bench (every 50th doc -> doc 0), which must be the
-    // only contaminated drop here.
+    // 30 unique English docs. The doc number recurs every OTHER word, so
+    // EVERY word 2-gram (and a fortiori every 8-gram) is doc-specific:
+    //  - the default boilerplate gate is now the scale-invariant fraction
+    //    form (coverageFrac, floored at 2 occurrences) and no gram repeats
+    //    anywhere in the corpus, so nothing is "frequent";
+    //  - no shared 8-word run marks the whole corpus contaminated against
+    //    the default self-bench (every 50th doc -> doc 0), which must be
+    //    the only contaminated drop here.
     spark.range(0, 30).select(
       col("id").as("doc_id"),
-      concat(lit("the ordinary document "), col("id"),
-        lit(" begins with several plain words "), col("id"),
-        lit(" and continues onward using more text "), col("id"),
-        lit(" until the finish line")).as("text"),
+      concat(lit("the "), col("id"), lit(" and "), col("id"),
+        lit(" of "), col("id"), lit(" is "), col("id"),
+        lit(" plainly "), col("id"), lit(" continuing "), col("id"),
+        lit(" onward "), col("id"), lit(" using "), col("id"),
+        lit(" more "), col("id"), lit(" written "), col("id"),
+        lit(" text "), col("id"), lit(" until "), col("id"),
+        lit(" finish")).as("text"),
       lit("src0").as("source"))
       .write.mode("overwrite").parquet(s"$in/docs")
     Main.main(Array("--input", s"$in/docs", "--mode", "corpus", "--out", out))
