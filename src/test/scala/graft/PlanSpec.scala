@@ -260,4 +260,32 @@ class PlanSpec extends AnyFunSuite {
       df, "src", "id", Map("s0" -> "8000"), "1000"))
     assert(!p.contains("Exchange"), "mixture membership must not shuffle")
   }
+
+  test("png pixel decode is map-only and codegen'd: zero Exchange, no UDF, " +
+    "the Inflater expression sits inside a codegen'd projection") {
+    // spark.range source: a local Seq would fold into a LocalTableScan and
+    // leave no projection to inspect
+    val df = spark.range(10)
+      .select(col("id"), col("id").cast("string").cast("binary").as("media"))
+    val p = plan(df.select(col("id"),
+      graft.ops.Multimodal.pixelStats(col("media")).as("p")))
+    assert(!p.contains("Exchange"), "pixel decode must not shuffle")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      "decode must be an Expression, not a UDF")
+    assert(p.contains("png_pixel_stats"), s"Inflater expression missing in:\n$p")
+    assert(p.contains("* Project"), s"no codegen'd projection in:\n$p")
+  }
+
+  test("bucket audits reduce to one row without shuffling member payloads: " +
+    "only narrow (id, band) rows reach the exchange") {
+    import spark.implicits._
+    val df = (0 until 20).map(i => (i.toLong, s"some text payload $i")).toDF("doc_id", "text")
+    val p = plan(graft.ops.Dedup.minhashBucketAudit(df, "text", "doc_id"))
+    // the audit aggregates band counts; the text column must be pruned
+    // before any exchange (same narrow-shuffle contract as the pair ops)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!p.contains("text#") ||
+      !exchanges.exists(_.contains("text#")), s"text shuffled in:\n$p")
+  }
 }
