@@ -40,6 +40,25 @@ object Probe {
       return
     }
 
+    // mode: `Probe control` — the zero-engine-code host-ceiling control the
+    // BASELINE.md scaling sections cite: marginal pure-codegen work (a
+    // 12e9-row aggregate minus a 3e9-row one cancels session/JIT startup),
+    // no IO, no shuffle. Run at two SPARK_GRAFT_CPUS levels the same day to
+    // learn what efficiency ANY Spark job can reach on this host right now.
+    if (args.headOption.contains("control")) {
+      def run(n: Long): Double = {
+        val t0 = System.nanoTime()
+        spark.range(n).agg(bit_xor(xxhash64(col("id"), lit(1)))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val small = run(3000000000L)
+      val big = run(12000000000L)
+      println(f"PROBE control cpus=$cpus%s small3e9=$small%.2f big12e9=$big%.2f " +
+        f"marginal9e9=${big - small}%.2f s")
+      spark.stop()
+      return
+    }
+
     val tPath = args.headOption.getOrElse("/tmp/graft_bench/transcripts_n8000000")
     val turns = spark.read.parquet(tPath)
 

@@ -69,6 +69,27 @@ object SparkEntry {
       lit("0000000049454E44AE426082")))             // IEND
   }
 
+  /** Deterministic planted 4x4 GIF89a from a doc-id column — the LZW twin
+    * of [[plantedPng]]: the 8-byte LZW stream is a CONSTANT (it encodes the
+    * fixed index pattern 0,0,0,0,1,2,1,2,3,3,1,0,2,1,0,3 — counts 6/4/3/3 —
+    * at min code size 2, exercising clear codes, dictionary chains, and the
+    * KwKwK case), while the 4-entry global color table varies with doc_id:
+    * palette entry 0 = (id·7, id·11, id·37) mod 256, entries 1-3 constant
+    * (200,150,100) (0,255,7) (90,80,70). Channel means are therefore affine
+    * in the entry-0 bytes — q69's DuckDB oracle states them analytically,
+    * so the LZW decode, palette lookup, and channel order are end-to-end
+    * checked cross-engine.
+    */
+  private def plantedGif(docId: Column): Column = {
+    def pb(k: Int) = lpad(hex(pmod(docId * k, lit(256))), 2, "0")
+    unhex(concat(
+      lit("4749463839610400040081" + "0000"),       // header, LSD, GCT flag
+      pb(7), pb(11), pb(37),                        // palette entry 0 (varies)
+      lit("C89664" + "00FF07" + "5A5046"),          // entries 1-3 (constant)
+      lit("2C000000000400040000" + "02"),           // image descriptor, minCode
+      lit("0884119233010A4601" + "00" + "3B")))     // LZW sub-block, trailer
+  }
+
   /** Exact double sum via DECIMAL(18,2) accumulation (order-independent),
     * surfaced back as a rounded double — matches
     * `round(CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE), 2)` in DuckDB.
@@ -825,6 +846,19 @@ object SparkEntry {
           col("p.n_pixels").as("n_pixels"), col("p.mean_r").as("mean_r"),
           col("p.mean_g").as("mean_g"), col("p.mean_b").as("mean_b"))
     }),
+    "q69_gif_pixel_stats" -> ((s, dir) => {
+      // real LZW pixel decode, oracle-certified: planted [[plantedGif]]
+      // blobs (constant LZW stream, id-varying palette) decoded by the
+      // pure-JVM GIF expression — the oracle states the analytic means,
+      // so the LZW stream walk, palette lookup, and channel order are
+      // end-to-end checked cross-engine
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          graft.ops.Multimodal.pixelStats(plantedGif(col("doc_id"))).as("p"))
+        .select(col("doc_id"), col("p.format").as("pix_format"),
+          col("p.n_pixels").as("n_pixels"), col("p.mean_r").as("mean_r"),
+          col("p.mean_g").as("mean_g"), col("p.mean_b").as("mean_b"))
+    }),
     "q67_pii_redact" -> ((s, dir) => {
       // PII scrub, byte-matched: plant one email and one IPv4 per doc
       // (built identically in the oracle), redact, return the FULL
@@ -1407,6 +1441,14 @@ object SparkEntry {
         | CAST(127.5 AS DOUBLE) AS mean_r,
         | CAST(64.0 AS DOUBLE) AS mean_g,
         | round(CAST(doc_id * 37 % 256 AS DOUBLE), 4) AS mean_b
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+    "q69_gif_pixel_stats" ->
+      """SELECT doc_id,
+        | 'gif8' AS pix_format,
+        | CAST(16 AS BIGINT) AS n_pixels,
+        | round(CAST(6 * (doc_id * 7 % 256) + 1070 AS DOUBLE) / 16, 4) AS mean_r,
+        | round(CAST(6 * (doc_id * 11 % 256) + 1605 AS DOUBLE) / 16, 4) AS mean_g,
+        | round(CAST(6 * (doc_id * 37 % 256) + 631 AS DOUBLE) / 16, 4) AS mean_b
         |FROM documents WHERE doc_id < 200""".stripMargin,
     "q65_stratified_salted" ->
       """SELECT lang, doc_id FROM (

@@ -14,8 +14,8 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** REAL PNG pixel decode with nothing but the JDK: IDAT chunks are a zlib
   * stream and `java.util.zip.Inflater` ships with every JVM, so no codec
-  * library is needed for the common non-interlaced 8-bit grayscale / RGB /
-  * RGBA case. One fused pass per blob: chunk walk → raw-inflate → per-row
+  * library is needed for the common non-interlaced 8-bit grayscale /
+  * gray+alpha / RGB / RGBA case. One fused pass per blob: chunk walk → raw-inflate → per-row
   * defilter (all five PNG filter types) → channel means + histograms,
   * emitted in exactly the struct shape of
   * [[graft.ops.Multimodal.pixelStats]]'s uncompressed-raster decode, so the
@@ -100,8 +100,8 @@ object PngDecode {
     java.math.BigDecimal.valueOf(x)
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** null unless `bytes` is a decodable non-interlaced 8-bit gray/RGB/RGBA
-    * PNG within the pixel budget. Never throws — corrupt bytes are data,
+  /** null unless `bytes` is a decodable non-interlaced 8-bit
+    * gray/gray+alpha/RGB/RGBA PNG within the pixel budget. Never throws — corrupt bytes are data,
     * not errors, at 100 TB.
     */
   def stats(bytes: Array[Byte], histBins: Int, maxPixels: Int): InternalRow =
@@ -123,8 +123,9 @@ object PngDecode {
     val channels = color match {
       case 0 => 1 // grayscale
       case 2 => 3 // RGB
+      case 4 => 2 // gray+alpha (alpha ignored in the stats)
       case 6 => 4 // RGBA (alpha ignored in the stats)
-      case _ => return null // palette / gray+alpha out of envelope
+      case _ => return null // palette (needs PLTE) out of envelope
     }
     if (w < 1 || h < 1 || w > maxPixels || h > maxPixels) return null
     val n = w * h // both ≤ 2^30 → no overflow

@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * Pixel-level features are REAL for uncompressed raster formats (BMP
   * 24-bit, PPM P6, PGM P5 — [[pixelStats]]: per-channel means and
   * histograms, no codec needed) AND for non-interlaced 8-bit
-  * gray/RGB/RGBA PNG (IDAT is a zlib stream and the JDK ships an
-  * Inflater — [[graft.functions.PngDecode]], a codegen'd custom
-  * Expression). Only JPEG/GIF pixel payloads keep the **STUB**: this
+  * gray/gray+alpha/RGB/RGBA PNG (IDAT is a zlib stream and the JDK ships an
+  * Inflater — [[graft.functions.PngDecode]]) and for GIF87a/89a first
+  * frames (LZW ≤12-bit codes, decoded by the pure-JVM
+  * [[graft.functions.GifDecode]]; interlacing is free because channel
+  * stats are order-invariant) — both codegen'd custom Expressions. Only
+  * JPEG pixel payloads keep the **STUB**: this
   * container has no image/audio codec libraries, so `fakeDecodeFeatures`
   * derives deterministic pseudo-features from the bytes (clearly marked;
   * swap in a real decoder via mapInPandas on a cluster with the codec libs
@@ -148,12 +151,14 @@ object Multimodal {
     *    header parsed by regex on the latin-1 byte view; raw RGB triples
     *    (resp. single gray bytes) follow.
     *
-    * Output struct: format ("bmp24" | "ppm" | "pgm" | "png8" | null),
-    * n_pixels, and per-channel mean + `histBins`-bin histogram (PGM and
-    * grayscale PNG report their gray channel on all three). Blobs that are
-    * not a supported raster fall through to the REAL PNG decode
+    * Output struct: format ("bmp24" | "ppm" | "pgm" | "png8" | "gif8" |
+    * null), n_pixels, and per-channel mean + `histBins`-bin histogram (PGM
+    * and grayscale PNG report their gray channel on all three). Blobs that
+    * are not a supported raster fall through to the REAL PNG decode
     * ([[graft.functions.PngPixelStats]] — JDK Inflater, non-interlaced
-    * 8-bit gray/RGB/RGBA). JPEG/GIF, truncated, top-down BMP, or
+    * 8-bit gray/gray+alpha/RGB/RGBA) and then the REAL GIF decode
+    * ([[graft.functions.GifPixelStats]] — pure-JVM LZW, first frame,
+    * global/local palette, interlace OK). JPEG, truncated, top-down BMP, or
     * over-`maxPixels` payloads come back null — this decode is sized for
     * thumbnails; a production cluster swaps in mapInPandas + a codec for
     * big frames, leaving every schema and join downstream unchanged.
@@ -256,13 +261,17 @@ object Multimodal {
       meanR.as("mean_r"), meanG.as("mean_g"), meanB.as("mean_b"),
       histR.as("hist_r"), histG.as("hist_g"), histB.as("hist_b"))
     // compressed-format fallthrough: PNG payloads decode for REAL via the
-    // JDK-Inflater expression (format "png8", identical struct shape);
-    // only JPEG/GIF pixel payloads remain undecodable here. Blobs that are
-    // neither a supported raster nor a decodable PNG surface a null struct
-    // (field projections still read as null downstream).
+    // JDK-Inflater expression (format "png8") and GIF payloads via the
+    // pure-JVM LZW expression (format "gif8") — identical struct shapes;
+    // only JPEG pixel payloads remain undecodable here. Each expression
+    // rejects foreign signatures in a few byte compares, so the coalesce
+    // chain costs one cheap probe per non-matching format. Blobs that are
+    // none of the supported rasters surface a null struct (field
+    // projections still read as null downstream).
     when(bmpOk || ppmOk || pgmOk, raster)
-      .otherwise(graft.functions.PngPixelStats
-        .pngPixelStats(media, histBins, maxPixels))
+      .otherwise(coalesce(
+        graft.functions.PngPixelStats.pngPixelStats(media, histBins, maxPixels),
+        graft.functions.GifPixelStats.gifPixelStats(media, histBins, maxPixels)))
   }
 
   /** Wrap a text table into a media table: (key, kind, media BINARY,

@@ -416,7 +416,7 @@ class OpsSpec extends AnyFunSuite {
     def mkPng(w: Int, h: Int, colorType: Int, px: Array[Byte],
         filters: Seq[Int], depth: Int = 8, interlace: Int = 0,
         idatSplit: Int = 1, truncate: Int = 0): Array[Byte] = {
-      val ch = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+      val ch = colorType match { case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4 }
       val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
         Array(depth.toByte, colorType.toByte, 0.toByte, 0.toByte, interlace.toByte)
       val z0 = deflate(filtered(w, h, ch, px, filters))
@@ -481,6 +481,14 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4).getString(1) === "png8" && got(4).getDouble(3) === meanOf(rgbPx, 3, 0),
       "zlib stream split across two IDAT chunks must decode")
     assert(got(5).getString(1) === null, "interlaced is out of envelope")
+    // gray+alpha (color type 4): alpha ignored, gray on all channels
+    val gaPx = b(0, 255, 64, 0, 128, 17, 255, 200)
+    val ga = mkPng(2, 2, 4, gaPx, Seq(1, 4))
+    val gaRow = spark.range(1).select(
+      Multimodal.pixelStats(lit(ga)).as("p"))
+      .select("p.format", "p.mean_r", "p.mean_b").collect()(0)
+    assert(gaRow.getString(0) === "png8" && gaRow.getDouble(1) === 111.75 &&
+      gaRow.getDouble(2) === 111.75)
     assert(got(6).getString(1) === null, "16-bit depth is out of envelope")
     assert(got(7).getString(1) === null, "truncated IDAT must null out")
     assert(got(8).getString(1) === null, "invalid filter byte must null out")
@@ -493,6 +501,157 @@ class OpsSpec extends AnyFunSuite {
     val emb = row.getSeq[Double](1)
     assert(emb(0) === math.rint(111.75 / 255.0 * 1e6) / 1e6)
     assert(emb.drop(15).forall(_ === 0.0)) // zero padding, not stub hashes
+  }
+
+  test("pixel stats: REAL GIF decode (LZW) — palettes, interlace, KwKwK, " +
+    "code-width growth, extensions; corrupt variants null out") {
+    // test-side LZW encoder: greedy longest-match, bit widths tracked with
+    // the same growth rule the decoder uses (bump after the entry add that
+    // fills the current width, including the entry the decoder creates on
+    // the final data code, so the EOI width matches)
+    def lzwEncode(indices: Array[Int], minCode: Int): Array[Byte] = {
+      val clear = 1 << minCode; val eoi = clear + 1
+      var next = eoi + 1; var codeSize = minCode + 1
+      val dict = scala.collection.mutable.HashMap[(Int, Int), Int]()
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nbits = 0
+      def put(code: Int): Unit = {
+        acc |= code.toLong << nbits; nbits += codeSize
+        while (nbits >= 8) { out.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+      }
+      def grow(): Unit = {
+        next += 1
+        if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+      }
+      put(clear)
+      var prev = indices(0)
+      for (s <- indices.drop(1)) {
+        dict.get((prev, s)) match {
+          case Some(c) => prev = c
+          case None =>
+            put(prev); dict((prev, s)) = next; grow(); prev = s
+        }
+      }
+      put(prev); grow() // the decoder adds an entry on this read too
+      put(eoi)
+      if (nbits > 0) out.write((acc & 0xff).toInt)
+      out.toByteArray
+    }
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, (v >> 8).toByte)
+    def sizeField(entries: Int): Int = // 2^(n+1) = entries
+      (1 to 8).find(n => (1 << n) == entries).get - 1
+    def mkGif(w: Int, h: Int, indices: Array[Int], palette: Array[Byte],
+        minCode: Int, localPal: Array[Byte] = null, interlace: Boolean = false,
+        ext: Boolean = false, truncate: Int = 0, version: String = "9"): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"GIF8${version}a".getBytes)
+      out.write(le16(w)); out.write(le16(h))
+      val gctBits = if (palette != null) 0x80 | sizeField(palette.length / 3) else 0
+      out.write(gctBits); out.write(0); out.write(0)
+      if (palette != null) out.write(palette)
+      if (ext) { // graphic control extension: must be skipped, not decoded
+        out.write(0x21); out.write(0xF9); out.write(4)
+        out.write(Array[Byte](0, 0, 0, 0)); out.write(0)
+      }
+      out.write(0x2C)
+      out.write(le16(0)); out.write(le16(0)); out.write(le16(w)); out.write(le16(h))
+      val ipk = (if (localPal != null) 0x80 | sizeField(localPal.length / 3) else 0) |
+        (if (interlace) 0x40 else 0)
+      out.write(ipk)
+      if (localPal != null) out.write(localPal)
+      out.write(minCode)
+      val z0 = lzwEncode(indices, minCode)
+      val z = z0.take(z0.length - truncate)
+      z.grouped(255).foreach { blk => out.write(blk.length); out.write(blk) }
+      out.write(0); out.write(0x3B)
+      out.toByteArray
+    }
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def expMean(indices: Array[Int], pal: Array[Byte], c: Int): Double = {
+      val vs = indices.map(i => pal(i * 3 + c) & 0xff)
+      math.rint(vs.sum.toDouble / vs.size * 1e4) / 1e4
+    }
+    val pal4 = b(10, 20, 30, 200, 150, 100, 0, 255, 7, 90, 80, 70)
+    // 4x4 with a literal run (KwKwK) and repeats (dict chains)
+    val px16 = Array(0, 0, 0, 0, 1, 2, 1, 2, 3, 3, 1, 0, 2, 1, 0, 3)
+    val g1 = mkGif(4, 4, px16, pal4, 2)
+    val g89ext = mkGif(4, 4, px16, pal4, 2, ext = true)
+    val g87 = mkGif(4, 4, px16, pal4, 2, version = "7")
+    val gInter = mkGif(4, 4, px16, pal4, 2, interlace = true)
+    val localPal = b(1, 2, 3, 4, 5, 6, 7, 8, 9, 3, 2, 1)
+    val gLocal = mkGif(4, 4, px16, pal4, 2, localPal = localPal)
+    // 30x30, 256-entry palette, pseudo-random indices: code width grows
+    // past 9 bits and sub-blocks exceed 255 bytes
+    val pal256 = Array.tabulate(768)(i => ((i * 37 + 11) & 0xff).toByte)
+    val rnd = new java.util.Random(7)
+    val px900 = Array.fill(900)(rnd.nextInt(256))
+    val gBig = mkGif(30, 30, px900, pal256, 8)
+    val gTrunc = mkGif(30, 30, px900, pal256, 8, truncate = 40)
+    // minCode 3 lets indices exceed the 4-entry palette: must null
+    val gBadIdx = mkGif(2, 2, Array(0, 1, 7, 2), pal4, 3)
+    val gNoPal = mkGif(2, 2, Array(0, 1, 1, 0), null, 2)
+    val gHuge = mkGif(500, 500, Array(0, 1, 2, 3), pal4, 2)
+    val dir = java.nio.file.Files.createTempDirectory("mm_gif").toString
+    Seq((1, g1), (2, g89ext), (3, g87), (4, gInter), (5, gLocal), (6, gBig),
+      (7, gTrunc), (8, gBadIdx), (9, gNoPal), (10, gHuge))
+      .toDF("id", "media").write.mode("overwrite").parquet(dir)
+    val got = spark.read.parquet(dir)
+      .select(col("id"), Multimodal.pixelStats(col("media")).as("p"))
+      .select("id", "p.format", "p.n_pixels", "p.mean_r", "p.mean_g",
+        "p.mean_b", "p.hist_r")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got(1).getString(1) === "gif8" && got(1).getLong(2) === 16L)
+    assert(got(1).getDouble(3) === expMean(px16, pal4, 0))
+    assert(got(1).getDouble(4) === expMean(px16, pal4, 1))
+    assert(got(1).getDouble(5) === expMean(px16, pal4, 2))
+    // r-channel: idx0(r=10)x6 + idx2(r=0)x3 -> bin0=9; idx3(r=90)x3 ->
+    // bin1=3; idx1(r=200)x4 -> bin3=4
+    assert(got(1).getSeq[Long](6) === Seq(9L, 3L, 0L, 4L))
+    assert(got(2).getString(1) === "gif8" &&
+      got(2).getDouble(3) === got(1).getDouble(3), "89a + extension skipped")
+    assert(got(3).getString(1) === "gif8" &&
+      got(3).getDouble(3) === got(1).getDouble(3), "87a decodes")
+    assert(got(4).getString(1) === "gif8" &&
+      got(4).getDouble(3) === got(1).getDouble(3) &&
+      got(4).getSeq[Long](6) === got(1).getSeq[Long](6),
+      "interlace flag changes nothing: stats are order-invariant")
+    assert(got(5).getDouble(3) === expMean(px16, localPal, 0),
+      "local color table overrides global")
+    assert(got(6).getString(1) === "gif8" && got(6).getLong(2) === 900L)
+    assert(got(6).getDouble(3) === expMean(px900, pal256, 0),
+      "code-width growth + multi-sub-block streams decode")
+    assert(got(7).getString(1) === null, "truncated LZW must null out")
+    assert(got(8).getString(1) === null, "index beyond palette must null out")
+    assert(got(9).getString(1) === null, "no palette anywhere must null out")
+    assert(got(10).getString(1) === null, "over-budget dims must null out")
+  }
+
+  test("media decoders never throw on fuzzed bytes (deterministic seed): " +
+    "random blobs and PNG/GIF-prefixed random tails are data, not errors") {
+    val rnd = new java.util.Random(42)
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val blobs = (0 until 200).map { i =>
+      val body = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(body)
+      // quarters: raw noise / PNG-signature + noise / PNG sig + IHDR-typed
+      // chunk header + noise (drives the chunk walk into random lengths) /
+      // GIF signature + noise (drives the block walk + LZW into noise)
+      val blob = i % 4 match {
+        case 0 => body
+        case 1 => sig ++ body
+        case 2 => sig ++ Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes ++ body
+        case _ => "GIF89a".getBytes ++ body
+      }
+      (i.toLong, blob)
+    }
+    val df = blobs.toDF("id", "media")
+    // the assertion IS that these evaluate: any throw fails the test
+    val n = df.select(
+      Multimodal.pixelStats(col("media")).as("p"),
+      Multimodal.imageHeaderMeta(col("media")).as("ih"),
+      Multimodal.audioHeaderMeta(col("media")).as("ah"))
+      .collect().length
+    assert(n === 200)
   }
 
   test("audio header decode: real WAV/OGG/MP3 bytes, parquet round-trip") {

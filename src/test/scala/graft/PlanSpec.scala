@@ -273,6 +273,8 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("scalaudf"),
       "decode must be an Expression, not a UDF")
     assert(p.contains("png_pixel_stats"), s"Inflater expression missing in:\n$p")
+    assert(p.contains("gif_pixel_stats"),
+      s"LZW expression missing from the fallthrough in:\n$p")
     assert(p.contains("* Project"), s"no codegen'd projection in:\n$p")
   }
 
