@@ -859,6 +859,26 @@ object SparkEntry {
           col("p.n_pixels").as("n_pixels"), col("p.mean_r").as("mean_r"),
           col("p.mean_g").as("mean_g"), col("p.mean_b").as("mean_b"))
     }),
+    "q70_weighted_sample" -> ((s, dir) => {
+      // Efraimidis–Spirakis weighted race, oracle-replayed: top-25 docs by
+      // ln(u)/w with u a dyadic rational from md5(doc_id) and w = n_chars —
+      // length/quality-weighted selection without replacement, identical on
+      // any partitioning and in DuckDB
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("w"))
+      graft.ops.Sampling.weightedTopK(docs, "w", "doc_id", 25)
+    }),
+    "q71_split_leakage" -> ((s, dir) => {
+      // split-leakage audit: q61's 80/10/10 md5-band assignment, then
+      // val/test docs sharing any word 8-gram with the train split —
+      // narrow shuffle equi-join on gram hashes, content never shuffles
+      val docs = t(s, dir, "documents")
+        .withColumn("split", graft.ops.Sampling.splitColumn(col("doc_id"),
+          Seq("cccc" -> "train", "e666" -> "val"), "test"))
+      graft.ops.Decontam
+        .splitLeakage(docs, "text", "doc_id", "split", "train", n = 8)
+        .select(col("split"), col("id").as("doc_id"), col("n_leaked_grams"))
+    }),
     "q67_pii_redact" -> ((s, dir) => {
       // PII scrub, byte-matched: plant one email and one IPv4 per doc
       // (built identically in the oracle), redact, return the FULL
@@ -1450,6 +1470,33 @@ object SparkEntry {
         | round(CAST(6 * (doc_id * 11 % 256) + 1605 AS DOUBLE) / 16, 4) AS mean_g,
         | round(CAST(6 * (doc_id * 37 % 256) + 631 AS DOUBLE) / 16, 4) AS mean_b
         |FROM documents WHERE doc_id < 200""".stripMargin,
+    "q70_weighted_sample" ->
+      """SELECT doc_id, w FROM (
+        | SELECT doc_id, greatest(n_chars, 1) AS w,
+        |  ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+        |      + 0.5) / 16777216.0) / greatest(n_chars, 1) AS es
+        | FROM documents) t
+        |ORDER BY es DESC, doc_id LIMIT 25""".stripMargin,
+    "q71_split_leakage" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\s+') AS toks
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, split,
+        |  CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(toks) - 6),
+        |                          i -> array_to_string(toks[i:i+7], ' ')))
+        |  END AS sh
+        | FROM d),
+        |tr AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE split = 'train'),
+        |ev AS (SELECT split, doc_id, unnest(sh) AS g FROM s WHERE split <> 'train')
+        |SELECT ev.split, ev.doc_id, count(DISTINCT ev.g) AS n_leaked_grams
+        |FROM ev JOIN tr ON ev.g = tr.g
+        |GROUP BY 1, 2""".stripMargin,
     "q65_stratified_salted" ->
       """SELECT lang, doc_id FROM (
         | SELECT lang, doc_id,

@@ -45,6 +45,39 @@ object Decontam {
       .agg(count_distinct(col("gh")).as("n_hit_grams"))
   }
 
+  /** Split-leakage audit: documents of every non-train split that share at
+    * least one word `n`-gram with ANY train document — the check a corpus
+    * build runs right after [[Sampling.splitColumn]] assignment, since
+    * near-duplicate documents landing on opposite sides of a train/val cut
+    * silently inflate eval scores.
+    *
+    * Scale shape differs from [[contaminated]] on purpose: there the bench
+    * side is small by construction and broadcasts; here BOTH sides are
+    * corpus-scale, so the overlap is a plain shuffle equi-join on the
+    * 8-byte gram hash with narrow (split, id, gh) rows — document content
+    * never shuffles and no all-pairs stage exists. The train side dedups to
+    * distinct hashes first (one partial-aggregated shuffle), so a gram
+    * repeated across millions of train docs crosses the wire once.
+    */
+  def splitLeakage(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      splitCol: String,
+      trainLabel: String = "train",
+      n: Int = 13): DataFrame = {
+    val grams = df
+      .select(col(splitCol).as("split"), col(keyCol).as("id"),
+        explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(col("split"), col("id"), xxhash64(col("g")).as("gh"))
+    val trainGrams =
+      grams.filter(col("split") === trainLabel).select("gh").distinct()
+    grams.filter(col("split") =!= trainLabel)
+      .join(trainGrams, Seq("gh"))
+      .groupBy("split", "id")
+      .agg(count_distinct(col("gh")).as("n_leaked_grams"))
+  }
+
   /** Bloom-screened variant of [[contaminated]] for benchmark-gram sets too
     * large to broadcast as an exact join relation: the gram-hash set
     * compresses to a bloom filter (built distributed via

@@ -94,6 +94,32 @@ object Sampling {
     df.filter(substring(md5(col(keyCol).cast("string")), 1, 4) < thr)
   }
 
+  /** Weighted top-k sampling WITHOUT replacement (Efraimidis–Spirakis
+    * exponential race, deterministic): each row draws u ∈ (0,1) from
+    * md5(key) — a dyadic rational (24 hash bits + ½) / 2²⁴, exactly
+    * representable so every engine computes the identical double — and
+    * races with key ln(u)/w; the k LARGEST keys win (ln u < 0, so a larger
+    * weight pulls the key toward 0: inclusion odds scale with `weightCol`,
+    * e.g. quality-weighted corpus selection). Same reproducibility contract
+    * as the other samplers: membership depends only on (md5(key), w), never
+    * on partitioning or cluster size, and the DuckDB oracle (q70) replays
+    * the exact race.
+    *
+    * Scale shape: `orderBy(...).limit(k)` plans as TakeOrderedAndProject —
+    * per-partition top-k heaps then a k·partitions merge, no global sort,
+    * no single-reducer window. `weightCol` must be > 0 (guard with
+    * `greatest(w, 1)` at the call site if it can be 0).
+    */
+  def weightedTopK(df: DataFrame, weightCol: String, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, "k > 0")
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 6), 16, 10)
+      .cast("double") + 0.5) / (1 << 24).toDouble
+    df.withColumn("__es", log(u) / col(weightCol).cast("double"))
+      .orderBy(desc("__es"), col(keyCol))
+      .limit(k)
+      .drop("__es")
+  }
+
   /** Deterministic train/val/test (or any n-way) split assignment: label by
     * which md5-prefix band the key falls in. `cuts` are (upperHex4, label)
     * pairs in ascending order; keys above every cut get `elseLabel`. Pure

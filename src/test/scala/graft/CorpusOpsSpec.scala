@@ -40,6 +40,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r === Map(1L -> 1L))
   }
 
+  test("splitLeakage: flags exactly the non-train docs sharing an n-gram " +
+    "with ANY train doc; train side and clean docs never appear") {
+    val docs = Seq(
+      (1L, "train", "alpha bravo charlie delta echo foxtrot golf"),
+      (2L, "train", "one two three four five six seven"),
+      (3L, "val", "alpha bravo charlie delta echo foxtrot golf"), // full dup of 1
+      (4L, "val", "nothing in common with anything trained on here"),
+      (5L, "test", "prefix words then one two three four five six seven"),
+      (6L, "test", "entirely novel content again nothing shared at all")
+    ).toDF("doc_id", "split", "text")
+    val got = Decontam.splitLeakage(docs, "text", "doc_id", "split", "train", n = 5)
+      .as[(String, Long, Long)].collect().toSet
+    // doc 3 shares all three 5-grams of doc 1's 7 tokens; doc 5 contains
+    // doc 2's full text so all three of its 5-grams leak
+    assert(got === Set(("val", 3L, 3L), ("test", 5L, 3L)))
+  }
+
   test("boilerplate coverageFrac: equals the equivalent absolute threshold, " +
     "stays scale-invariant where the absolute one drifts") {
     val base = (0 until 20).map(i => (i.toLong, s"the end unique$i words$i"))

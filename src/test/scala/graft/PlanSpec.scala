@@ -278,6 +278,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("* Project"), s"no codegen'd projection in:\n$p")
   }
 
+  test("weightedTopK plans as TakeOrderedAndProject: per-partition heaps, " +
+    "no global sort exchange") {
+    val df = spark.range(0, 1000)
+      .select(col("id"), (col("id") % 7 + 1).as("w"))
+    val p = plan(graft.ops.Sampling.weightedTopK(df, "w", "id", 20))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected a top-k operator, got:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a range-partitioned global sort defeats the top-k heap:\n$p")
+  }
+
+  test("splitLeakage shuffles only narrow gram-hash rows: document text " +
+    "never reaches an exchange") {
+    import spark.implicits._
+    val df = (0 until 30)
+      .map(i => (i.toLong, if (i % 5 == 0) "train" else "val",
+        s"some document body text number $i with several words"))
+      .toDF("doc_id", "split", "text")
+    val p = plan(graft.ops.Decontam.splitLeakage(df, "text", "doc_id", "split"))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")), s"text shuffled in:\n$p")
+  }
+
   test("bucket audits reduce to one row without shuffling member payloads: " +
     "only narrow (id, band) rows reach the exchange") {
     import spark.implicits._

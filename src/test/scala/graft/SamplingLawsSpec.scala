@@ -106,4 +106,38 @@ class SamplingLawsSpec extends AnyFunSuite {
     }.toSet
     assert(m === expect)
   }
+
+  // driver-side replica of weightedTopK's u: first 24 md5 bits + 1/2, /2^24
+  private def uOf(id: Long): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    val v = ((d(0) & 0xff).toLong << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
+    (v + 0.5) / (1 << 24).toDouble
+  }
+
+  test("law: weightedTopK matches a driver-side exact replica of the " +
+    "Efraimidis-Spirakis race, is partitioning-invariant, huge weights " +
+    "force inclusion, and equal weights reduce to the pure u-race") {
+    val df = ids.toDF("id")
+      .select(col("id"), (pmod(col("id"), lit(7)) * 100 + 1).as("w"))
+    val got = Sampling.weightedTopK(df, "w", "id", 20)
+      .as[(Long, Long)].collect().toSet
+    val exp = ids.map(i => (i, i % 7 * 100 + 1))
+      .sortBy { case (i, w) => (-(math.log(uOf(i)) / w), i) }
+      .take(20).toSet
+    assert(got === exp, "Spark race must equal the driver replica exactly")
+    val gotRepart = Sampling.weightedTopK(df.repartition(7), "w", "id", 20)
+      .as[(Long, Long)].collect().toSet
+    assert(gotRepart === got, "selection must not depend on partitioning")
+    val heavy = df.withColumn("w",
+      when(col("id") === 123L, lit(1000000000L)).otherwise(col("w")))
+    assert(Sampling.weightedTopK(heavy, "w", "id", 20)
+      .as[(Long, Long)].collect().exists(_._1 == 123L),
+      "a 1e9 weight must win a seat against 500 small-weight rows")
+    val eq = ids.toDF("id").withColumn("w", lit(1L))
+    val gotEq = Sampling.weightedTopK(eq, "w", "id", 10)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    val expEq = ids.sortBy(i => (-uOf(i), i)).take(10).toSet
+    assert(gotEq === expEq, "equal weights = largest-u race")
+  }
 }
