@@ -40,6 +40,32 @@ object Probe {
       return
     }
 
+    // mode: `Probe qtime <sfDir> <name>` — split one query's driver-side
+    // phases: analysis, optimization+physical planning, execution. Used to
+    // attribute the fixed ~5-14 s cost of the planted-decode entries.
+    if (args.headOption.contains("qtime")) {
+      val sfDir = args(1)
+      val name = args(2)
+      (1 to 2).foreach { rep =>
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val qe = df.queryExecution
+        qe.assertAnalyzed()
+        val t1 = System.nanoTime()
+        qe.optimizedPlan
+        val t2 = System.nanoTime()
+        qe.executedPlan
+        val t3 = System.nanoTime()
+        df.count()
+        val t4 = System.nanoTime()
+        println(f"PROBE qtime $name rep$rep analyze=${(t1 - t0) / 1e9}%.2f " +
+          f"optimize=${(t2 - t1) / 1e9}%.2f plan=${(t3 - t2) / 1e9}%.2f " +
+          f"exec=${(t4 - t3) / 1e9}%.2f s")
+      }
+      spark.stop()
+      return
+    }
+
     // mode: `Probe control` — the zero-engine-code host-ceiling control the
     // BASELINE.md scaling sections cite: marginal pure-codegen work (a
     // 12e9-row aggregate minus a 3e9-row one cancels session/JIT startup),

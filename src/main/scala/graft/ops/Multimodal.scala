@@ -141,137 +141,41 @@ object Multimodal {
       wavField(35, 2).as("bits_per_sample"))
   }
 
-  /** REAL pixel-feature decode for UNCOMPRESSED raster payloads — pure
-    * column expressions, no codec library:
+  /** REAL pixel-feature decode: per-channel means + `histBins`-bin
+    * histograms, struct format ("bmp24" | "ppm" | "pgm" | "png8" | "gif8"),
+    * as a coalesce of three sibling codegen Expressions that each reject
+    * foreign signatures in a few byte compares:
     *
-    *  - BMP, 24-bit BI_RGB bottom-up: pixel array starts at the
-    *    little-endian offset stored at byte 10; rows are width·3 BGR bytes
-    *    padded to 4-byte boundaries (padding excluded from the stats).
-    *  - PPM "P6" / PGM "P5" (binary, maxval ≤ 255, no comment lines): ASCII
-    *    header parsed by regex on the latin-1 byte view; raw RGB triples
-    *    (resp. single gray bytes) follow.
+    *  - [[graft.functions.RasterPixelStats]]: BMP 24-bit BI_RGB bottom-up,
+    *    PPM P6, PGM P5 (binary, maxval ≤ 255) — uncompressed rasters.
+    *  - [[graft.functions.PngPixelStats]]: non-interlaced 8-bit
+    *    gray/gray+alpha/RGB/RGBA PNG via the JDK Inflater.
+    *  - [[graft.functions.GifPixelStats]]: GIF87a/89a first frame via
+    *    pure-JVM LZW; interlace is free since the stats are order-invariant.
     *
-    * Output struct: format ("bmp24" | "ppm" | "pgm" | "png8" | "gif8" |
-    * null), n_pixels, and per-channel mean + `histBins`-bin histogram (PGM
-    * and grayscale PNG report their gray channel on all three). Blobs that
-    * are not a supported raster fall through to the REAL PNG decode
-    * ([[graft.functions.PngPixelStats]] — JDK Inflater, non-interlaced
-    * 8-bit gray/gray+alpha/RGB/RGBA) and then the REAL GIF decode
-    * ([[graft.functions.GifPixelStats]] — pure-JVM LZW, first frame,
-    * global/local palette, interlace OK). JPEG, truncated, top-down BMP, or
+    * PGM and grayscale PNG report their gray channel on all three. JPEG
+    * (DCT + Huffman — a real codec), truncated, top-down BMP, or
     * over-`maxPixels` payloads come back null — this decode is sized for
     * thumbnails; a production cluster swaps in mapInPandas + a codec for
     * big frames, leaving every schema and join downstream unchanged.
     *
-    * Cost shape: O(pixels) per image like any decoder, folded inside the
-    * JVM columnar engine — map-only, no shuffle, no UDF registration, no
-    * driver involvement.
+    * The raster path was a pure-column-expression fold through rounds 1-3
+    * (git history, PLANS.md); it moved into the fused Expression because
+    * the 18-fold tree cost 8-11 s of driver-side ANALYSIS per query — paid
+    * at any data size — and evaluation materialized O(n_pixels) sequence
+    * arrays per channel per image where the Expression runs one compiled
+    * loop over the raw bytes. Cost shape unchanged: O(pixels) per image,
+    * map-only, no shuffle, no UDF registration, no driver involvement —
+    * and still inside whole-stage codegen.
     */
   def pixelStats(
       media: Column, histBins: Int = 4, maxPixels: Int = 1 << 16): Column = {
     require(histBins > 0 && 256 % histBins == 0, "histBins must divide 256")
     require(maxPixels > 0 && maxPixels <= (1 << 30), "maxPixels in (0, 2^30]")
-    val s = decode(media, "ISO-8859-1")
-    def byteAt(p: Column): Column = byteIn(s, p)
-    def le(pos: Int, len: Int): Column = leAt(media, pos, len)
-    val blobLen = length(media).cast("long")
-
-    // ---- BMP 24-bit ----
-    val isBmp = hex(substring(media, 1, 2)) === "424D"
-    val off = le(11, 4)
-    val bmpW = le(19, 4)
-    val bmpH = le(23, 4) // top-down (negative/huge) rejected by the caps
-    // rowBytes is safe unguarded: a 4-byte LE field caps bmpW*3 < 3·2^32
-    val rowBytes = bmpW * 3 + pmod(-(bmpW * 3), lit(4L))
-    // ANSI-overflow safety is ORDER-INDEPENDENT: the products are computed
-    // under `when(dims ≤ cap)` — CaseWhen guarantees conditional evaluation,
-    // so adversarial 0xFFFFFFFF dims yield null (→ bmpOk false), never a
-    // thrown ARITHMETIC_OVERFLOW, regardless of how an optimizer reorders
-    // the And conjuncts below (the previous form leaned on left-to-right
-    // short-circuit of And, which no rule guarantees)
-    val bmpDimsOk = bmpW >= 1 && bmpH >= 1 &&
-      bmpW <= maxPixels && bmpH <= maxPixels
-    val bmpN = when(bmpDimsOk, bmpW * bmpH)
-    val bmpBytes = when(bmpDimsOk, bmpH * rowBytes) // ≤ 2^30·(3·2^30+3) < 2^62
-    val bmpOk = isBmp && le(29, 2) === 24 && le(31, 4) === 0 &&
-      bmpDimsOk && bmpN <= maxPixels &&
-      blobLen >= off + bmpBytes
-    // linear pixel index -> byte position of channel c (0=B, 1=G, 2=R);
-    // floor-div is exact here (maxPixels bounds i far inside double range)
-    def bmpPos(c: Int)(i: Column): Column = {
-      val y = floor(i.cast("double") / bmpW).cast("long")
-      val x = i - y * bmpW
-      off + y * rowBytes + x * 3 + c + 1
-    }
-
-    // ---- PPM (P6) / PGM (P5) ----
-    // digit runs are BOUNDED so the ANSI cast below can never overflow on
-    // adversarial bytes ("P6 99999999999999999 …" must be a non-match ->
-    // null, not a thrown cast): 7 digits cap dims at 10M (over maxPixels
-    // anyway), 3 digits cap maxval at 999
-    val pPat = "^P([56])\\s+(\\d{1,7})\\s+(\\d{1,7})\\s+(\\d{1,3})\\s"
-    val pHdr = regexp_extract(s, pPat, 0)
-    val pKind = regexp_extract(s, pPat, 1)
-    val matched = pKind =!= ""
-    def pField(g: Int): Column =
-      when(matched, regexp_extract(s, pPat, g).cast("long"))
-    val pW = pField(2)
-    val pH = pField(3)
-    val pMax = pField(4)
-    val pN = pW * pH
-    val hdrLen = length(pHdr).cast("long")
-    val pCommon = matched && pMax <= 255 && pW >= 1 && pH >= 1 &&
-      pN <= maxPixels
-    val ppmOk = pCommon && pKind === "6" && blobLen >= hdrLen + pN * 3
-    val pgmOk = pCommon && pKind === "5" && blobLen >= hdrLen + pN
-    def ppmPos(c: Int)(i: Column): Column = hdrLen + i * 3 + c + 1
-    def pgmPos(i: Column): Column = hdrLen + i + 1
-
-    // ---- per-channel fold: mean + histogram over a position mapping ----
-    def mean(n: Column, posOf: Column => Column): Column = {
-      val sum = aggregate(sequence(lit(0L), n - 1), lit(0L),
-        (acc, i) => acc + byteAt(posOf(i)))
-      round(sum.cast("double") / n, 4)
-    }
-    def hist(n: Column, posOf: Column => Column): Column =
-      aggregate(
-        sequence(lit(0L), n - 1),
-        array_repeat(lit(0L), histBins),
-        (acc, i) => {
-          val bin = floor(
-            (byteAt(posOf(i)) * histBins).cast("double") / 256).cast("long")
-          transform(acc, (c, j) => when(j === bin, c + 1L).otherwise(c))
-        })
-    // channel order: BMP stores BGR (c 2,1,0 = R,G,B), PPM stores RGB
-    def chan(rgb: Int): (Column, Column) = (
-      when(bmpOk, mean(bmpN, bmpPos(2 - rgb)))
-        .when(ppmOk, mean(pN, ppmPos(rgb)))
-        .when(pgmOk, mean(pN, pgmPos)),
-      when(bmpOk, hist(bmpN, bmpPos(2 - rgb)))
-        .when(ppmOk, hist(pN, ppmPos(rgb)))
-        .when(pgmOk, hist(pN, pgmPos)))
-    val (meanR, histR) = chan(0)
-    val (meanG, histG) = chan(1)
-    val (meanB, histB) = chan(2)
-    val raster = struct(
-      when(bmpOk, "bmp24").when(ppmOk, "ppm").when(pgmOk, "pgm")
-        .otherwise(lit(null).cast("string")).as("format"),
-      when(bmpOk, bmpN).when(ppmOk || pgmOk, pN)
-        .otherwise(lit(null).cast("long")).as("n_pixels"),
-      meanR.as("mean_r"), meanG.as("mean_g"), meanB.as("mean_b"),
-      histR.as("hist_r"), histG.as("hist_g"), histB.as("hist_b"))
-    // compressed-format fallthrough: PNG payloads decode for REAL via the
-    // JDK-Inflater expression (format "png8") and GIF payloads via the
-    // pure-JVM LZW expression (format "gif8") — identical struct shapes;
-    // only JPEG pixel payloads remain undecodable here. Each expression
-    // rejects foreign signatures in a few byte compares, so the coalesce
-    // chain costs one cheap probe per non-matching format. Blobs that are
-    // none of the supported rasters surface a null struct (field
-    // projections still read as null downstream).
-    when(bmpOk || ppmOk || pgmOk, raster)
-      .otherwise(coalesce(
-        graft.functions.PngPixelStats.pngPixelStats(media, histBins, maxPixels),
-        graft.functions.GifPixelStats.gifPixelStats(media, histBins, maxPixels)))
+    coalesce(
+      graft.functions.RasterPixelStats.rasterPixelStats(media, histBins, maxPixels),
+      graft.functions.PngPixelStats.pngPixelStats(media, histBins, maxPixels),
+      graft.functions.GifPixelStats.gifPixelStats(media, histBins, maxPixels))
   }
 
   /** Wrap a text table into a media table: (key, kind, media BINARY,

@@ -272,6 +272,8 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "pixel decode must not shuffle")
     assert(!p.toLowerCase.contains("scalaudf"),
       "decode must be an Expression, not a UDF")
+    assert(p.contains("raster_pixel_stats"),
+      s"fused BMP/PNM expression missing in:\n$p")
     assert(p.contains("png_pixel_stats"), s"Inflater expression missing in:\n$p")
     assert(p.contains("gif_pixel_stats"),
       s"LZW expression missing from the fallthrough in:\n$p")
