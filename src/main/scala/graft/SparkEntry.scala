@@ -879,6 +879,41 @@ object SparkEntry {
         .splitLeakage(docs, "text", "doc_id", "split", "train", n = 8)
         .select(col("split"), col("id").as("doc_id"), col("n_leaked_grams"))
     }),
+    "q72_lm_xent" -> ((s, dir) => {
+      // CCNet-style quality gate: char-trigram LM trained on the lang='en'
+      // slice (add-1 smoothing, fraction-pruned model), every doc scored by
+      // cross-entropy in bits/char — all-integer counts until one division
+      // + ln per trigram, shared ln(2) literal, so DuckDB replays the full
+      // train+score to the rounded bit
+      graft.ops.LangModel.scoreAgainst(
+        t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", minFrac = 1e-5)
+    }),
+    "q73_keep_best" -> ((s, dir) => {
+      // dedup APPLY: q52's connected clusters, but the keeper is the
+      // highest-quality member (ties to min id) via a skew-proof
+      // max(struct) partial aggregate — never a per-cluster window. The
+      // rank is the EXACT-INTEGER quality (qualityScoreScaled): per-doc
+      // double rounding sits on a 4-dp boundary for ~1/10^4 docs and
+      // hash-mismatches cross-engine; the integral form cannot.
+      val docs = t(s, dir, "documents")
+      val w = Window.partitionBy("source", "lang").orderBy("doc_id")
+      val chain = docs
+        .select(col("doc_id").as("id_a"),
+          lead(col("doc_id"), 1).over(w).as("id_b"))
+        .filter(col("id_b").isNotNull)
+      val cross = docs
+        .filter(col("doc_id") % 100 === 0 && col("doc_id") > 0)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") / 2).cast("long").as("id_b"))
+      val ranked = docs.withColumn("q4",
+        TextOps.qualityScoreScaled(col("text")))
+      graft.ops.Connected
+        .keepBestClusters(ranked, chain.unionAll(cross), "doc_id", "q4")
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          (col("q4").cast("double") / 10000.0).as("quality"),
+          col("is_keeper"))
+    }),
     "q67_pii_redact" -> ((s, dir) => {
       // PII scrub, byte-matched: plant one email and one IPv4 per doc
       // (built identically in the oracle), redact, return the FULL
@@ -1497,6 +1532,86 @@ object SparkEntry {
         |SELECT ev.split, ev.doc_id, count(DISTINCT ev.g) AS n_leaked_grams
         |FROM ev JOIN tr ON ev.g = tr.g
         |GROUP BY 1, 2""".stripMargin,
+    "q72_lm_xent" ->
+      """WITH lt AS (
+        | SELECT doc_id, lang, lower(COALESCE(text, '')) AS t FROM documents),
+        |tri AS (
+        | SELECT doc_id, lang,
+        |  unnest(list_transform(range(1, greatest(length(t) - 1, 1)),
+        |                        i -> substr(t, i, 3))) AS tri
+        | FROM lt),
+        |c3full AS (
+        | SELECT tri, count(*) AS c3 FROM tri WHERE lang = 'en' GROUP BY tri),
+        |tot AS (SELECT sum(c3) AS total FROM c3full),
+        |m3 AS (
+        | SELECT tri, c3 FROM c3full, tot
+        | WHERE c3 >= CAST(ceil(1e-05 * total) AS BIGINT)),
+        |m2 AS (
+        | SELECT bg, c2 FROM (
+        |   SELECT substr(tri, 1, 2) AS bg, sum(c3) AS c2
+        |   FROM c3full GROUP BY 1) p, tot
+        | WHERE c2 >= CAST(ceil(1e-05 * total) AS BIGINT)),
+        |v AS (SELECT count(DISTINCT substr(tri, 3, 1)) AS vs FROM c3full),
+        |sc AS (
+        | SELECT t.doc_id, count(*) AS n_tris,
+        |  sum(ln(CAST(COALESCE(m3.c3, 0) + 1 AS DOUBLE)
+        |         / (COALESCE(m2.c2, 0) + v.vs))) AS s
+        | FROM tri t
+        | CROSS JOIN v
+        | LEFT JOIN m3 ON t.tri = m3.tri
+        | LEFT JOIN m2 ON substr(t.tri, 1, 2) = m2.bg
+        | GROUP BY t.doc_id)
+        |SELECT doc_id, n_tris,
+        | round(-s / (n_tris * 0.6931471805599453), 4) AS xent_bits
+        |FROM sc""".stripMargin,
+    "q73_keep_best" ->
+      """WITH RECURSIVE
+        | f AS (
+        |  SELECT doc_id,
+        |   CAST(length(t) AS BIGINT) AS len,
+        |   CAST(CASE WHEN trim(t) = '' THEN 0
+        |        ELSE length(regexp_split_to_array(trim(t), '\s+')) END AS BIGINT) AS ntok,
+        |   CAST(length(list_distinct(regexp_split_to_array(trim(t), '\s+'))) AS BIGINT) AS ndtok,
+        |   CAST(length(regexp_replace(t, '[^\p{L}]', '', 'g')) AS BIGINT) AS nalpha
+        |  FROM (SELECT doc_id, COALESCE(text, '') AS t FROM documents) d),
+        | fr AS (
+        |  SELECT doc_id, len, ntok, ndtok, nalpha,
+        |   greatest(len, 1) AS lp, greatest(ntok, 1) AS np
+        |  FROM f),
+        | q AS (
+        |  SELECT doc_id,
+        |   (((CASE WHEN len BETWEEN 20 AND 10000 THEN 10 WHEN len > 0 THEN 5 ELSE 0 END) * 3
+        |     + (CASE WHEN len >= np * 2 AND len <= np * 12 THEN 10 ELSE 4 END) * 2) * lp * np
+        |    + nalpha * np * 30
+        |    + least(ndtok * 2, np) * lp * 20) AS numer,
+        |   lp * np * 100 AS denom
+        |  FROM fr),
+        | q2 AS (
+        |  SELECT doc_id, (numer * 20000 + denom) // (denom * 2) AS q4 FROM q),
+        | chain AS (
+        |  SELECT doc_id AS a,
+        |   lead(doc_id) OVER (PARTITION BY source, lang ORDER BY doc_id) AS b
+        |  FROM documents),
+        | e0 AS (
+        |  SELECT a, b FROM chain WHERE b IS NOT NULL
+        |  UNION
+        |  SELECT doc_id, doc_id // 2 FROM documents
+        |  WHERE doc_id % 100 = 0 AND doc_id > 0),
+        | und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        | reach(n, m) AS (
+        |  SELECT a, a FROM und
+        |  UNION
+        |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+        | comp AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n),
+        | wc AS (
+        |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, q2.q4
+        |  FROM documents d
+        |  LEFT JOIN comp c ON d.doc_id = c.n
+        |  JOIN q2 ON q2.doc_id = d.doc_id)
+        |SELECT doc_id, cluster_id, CAST(q4 AS DOUBLE) / 10000.0 AS quality,
+        | row_number() OVER (PARTITION BY cluster_id
+        |                    ORDER BY q4 DESC, doc_id ASC) = 1 AS is_keeper
+        |FROM wc""".stripMargin,
     "q65_stratified_salted" ->
       """SELECT lang, doc_id FROM (
         | SELECT lang, doc_id,

@@ -125,4 +125,35 @@ object Connected {
         coalesce(col("component"), col("id")).as("cluster_id"))
       .withColumn("is_keeper", col("id") === col("cluster_id"))
   }
+
+  /** Quality-ranked duplicate resolution — the "dedup apply" step: like
+    * [[dedupClusters]] but the keeper is the BEST document per cluster
+    * (max `rankCol`, ties to the smallest id), not the smallest id. This is
+    * what a corpus build actually wants: near-dup groups keep their
+    * highest-quality member, not their numerically-first one.
+    *
+    * Skew note: keeper selection is `max(struct(rank, -id))` — a partial
+    * aggregate (map-side combine), so an adversarial corpus where one
+    * cluster swallows millions of documents never materializes on a single
+    * task the way a per-cluster `row_number` window would. Only narrow
+    * (id, cluster, rank) rows shuffle; text never enters.
+    */
+  def keepBestClusters(
+      corpus: DataFrame,
+      pairs: DataFrame,
+      keyCol: String,
+      rankCol: String): DataFrame = {
+    val comp = components(
+      pairs.select(col("id_a").as("a"), col("id_b").as("b")))
+    val withComp = corpus.select(col(keyCol).as("id"), col(rankCol))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("cluster_id"), col(rankCol))
+    val winners = withComp.groupBy("cluster_id")
+      .agg(max(struct(col(rankCol).as("r"), (-col("id")).as("negid"))).as("w"))
+      .select(col("cluster_id"), (-col("w.negid")).as("keep_id"))
+    withComp.join(winners, "cluster_id")
+      .select(col("id"), col("cluster_id"), col(rankCol),
+        (col("id") === col("keep_id")).as("is_keeper"))
+  }
 }

@@ -8,7 +8,8 @@ import org.apache.spark.storage.StorageLevel
   * composed in the canonical order (C4/RefinedWeb-style funnel):
   *
   *   language → quality → exact dedup → near-dup clusters → benchmark
-  *   decontamination → boilerplate → weighted mixture → split assignment
+  *   decontamination → boilerplate → (optional) LM distributional outliers
+  *   → weighted mixture → split assignment
   *
   * Design: ANNOTATE, don't filter-in-sequence. Every document gets a
   * `drop_stage` column naming the FIRST stage that rejects it (null =
@@ -87,6 +88,15 @@ object CorpusPipeline {
       boilerMinFrac: Double = 0.01,
       boilerMinCount: Option[Long] = None,
       maxBoilerFrac: Double = 0.8,
+      // Optional LM distributional-outlier gate (CCNet-style, self-trained):
+      // when set, a char-trigram LM is trained on the deduped survivors
+      // themselves and documents scoring above this many bits/char are
+      // dropped as "lm_outlier" — text whose character distribution is far
+      // from the corpus's own (binary-ish payloads, wrong-script spam that
+      // slipped the lang gate). Self-training AFTER dedup keeps duplicate
+      // mass from skewing the model toward the very junk it should catch.
+      lmMaxBits: Option[Double] = None,
+      lmMinFrac: Double = 1e-7,
       mixtureRates: Map[String, String] = Map.empty,
       mixtureDefault: String = "ffff", // keep everything unless configured
       splitCuts: Seq[(String, String)] = Seq("cccc" -> "train", "e666" -> "val"),
@@ -190,6 +200,17 @@ object CorpusPipeline {
       .filter(col("boiler_frac") > cfg.maxBoilerFrac)
       .select(col("id"), lit(true).as("__boiler"))
 
+    // ---- stage 6.5 (optional): LM distributional outliers — trigram model
+    // trained on the deduped survivors, scored map-side off a broadcast
+    // model; only docs OVER the bits/char cap join back (rare side) ----
+    val lmDrop = cfg.lmMaxBits.map { maxBits =>
+      val (m3, m2, v) =
+        LangModel.train(exactKept, keyCol, textCol, cfg.lmMinFrac)
+      LangModel.crossEntropy(exactKept, keyCol, textCol, m3, m2, v)
+        .filter(col("xent_bits") > maxBits)
+        .select(col(keyCol).as("id"), lit(true).as("__lm"))
+    }
+
     // ---- stage 7+8: deterministic mixture + split (map-only columns) ----
     // The two decisions hash DIFFERENT per-purpose-salted keys: sharing one
     // md5(key) prefix would correlate them perfectly — any mixture
@@ -220,16 +241,21 @@ object CorpusPipeline {
       when(!col("__near_keep"), "near_dup"),
       when(col("__contam"), "contaminated"),
       when(col("__boiler"), "boilerplate"),
+      when(col("__lm"), "lm_outlier"),
       when(!inMixture, "mixture"))
 
-    val out = base
+    val preOut = base
       .join(flag(exactKeep), Seq(keyCol), "left")
       .join(flag(clusters), Seq(keyCol), "left")
       .join(flag(contaminated), Seq(keyCol), "left")
       .join(flag(boiler), Seq(keyCol), "left")
+    val out = lmDrop
+      .map(d => preOut.join(flag(d), Seq(keyCol), "left"))
+      .getOrElse(preOut.withColumn("__lm", lit(null).cast("boolean")))
       .withColumn("drop_stage", dropStage)
       .withColumn("split", when(col("drop_stage").isNull, split))
-      .drop("__drop_early", "__exact_keep", "__near_keep", "__contam", "__boiler")
+      .drop("__drop_early", "__exact_keep", "__near_keep", "__contam",
+        "__boiler", "__lm")
     (out, tracked.toSeq)
   }
 

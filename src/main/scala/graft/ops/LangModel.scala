@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Character-trigram language-model scoring — the CCNet/Wenzek-style
+  * quality gate a 100 TB corpus build actually runs: train a smoothed
+  * char-trigram LM on a reference slice (the in-language / trusted half of
+  * the corpus), score every document by cross-entropy in bits/char, keep
+  * the low-perplexity head. Classical distributed stand-in for the
+  * reference's one-record-at-a-time external-LLM scoring
+  * (`/root/reference/src/core/genai_model.py:27-95`).
+  *
+  * Scale shape (the whole point):
+  *   - TRAIN is one shuffle of narrow (trigram) rows into a HashAggregate
+  *     with map-side combine; bigram-prefix counts re-aggregate the trigram
+  *     counts — never a second pass over text.
+  *   - The model is BOUNDED BY CONSTRUCTION: a trigram survives only if
+  *     c3 ≥ ceil(minFrac · total) — the q64 lesson (scale-invariant
+  *     fraction, not absolute count), and it caps the model at ≤ 1/minFrac
+  *     entries on ANY corpus size, so the broadcast can never blow up on a
+  *     100 TB unicode corpus. Pruned/unseen mass falls to the same add-1
+  *     smoothed floor the estimator already assigns to unseen trigrams.
+  *   - SCORE is map-side: the doc trigram stream broadcast-joins the model
+  *     (two narrow lookups), then ONE groupBy(doc) sum with partial
+  *     aggregation. Document text never reaches an exchange; only (id,
+  *     trigram) rows shuffle, and only at the final per-doc sum.
+  *   - Parity-friendly math: every quantity is an exact integer count until
+  *     the single (c3+1)/(c2+V) division, one natural log per trigram (the
+  *     libm call DuckDB agrees with bit-for-bit in practice — the q70
+  *     precedent), and a shared ln(2) literal — so the rounded bits/char is
+  *     hash-stable cross-engine (q72).
+  */
+object LangModel {
+
+  /** ln(2) as a shared literal so Spark and the DuckDB twin divide by the
+    * byte-identical constant (never each engine's own log2).
+    */
+  val Ln2 = 0.6931471805599453
+
+  /** (id, tri) stream: lowercase, raw char trigrams. Docs under 3 chars
+    * contribute nothing (explode of the empty array).
+    */
+  private[ops] def trigramStream(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    val n = length(t)
+    val idx = when(n >= 3, sequence(lit(1), n - 2))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), t.as("__t"), explode(idx).as("__i"))
+      .select(col(idCol), col("__t").substr(col("__i"), lit(3)).as("tri"))
+  }
+
+  /** Train the smoothed trigram model over `ref`. Returns
+    * (model3, model2, vocabSize):
+    *   model3: (tri, c3) — trigrams with c3 ≥ ceil(minFrac · total)
+    *   model2: (bg, c2)  — prefix counts aggregated from the FULL trigram
+    *           counts (true bigram mass), pruned by the same fraction
+    *   vocabSize: distinct third characters in the full counts — the add-1
+    *           denominator V (bounded by the alphabet).
+    * The count frame is localCheckpoint'ed: three consumers, computed once,
+    * lineage truncated (the Connected.scala pattern — no global cache
+    * registry, nothing for a caller to leak).
+    */
+  def train(
+      ref: DataFrame, idCol: String, textCol: String,
+      minFrac: Double = 1e-7): (DataFrame, DataFrame, Long) = {
+    require(minFrac > 0 && minFrac < 1, "minFrac in (0,1)")
+    val c3full = trigramStream(ref, idCol, textCol)
+      .groupBy("tri").agg(count(lit(1)).as("c3"))
+      .localCheckpoint(true)
+    // one-row total broadcast-crossJoins onto the prune filters — the
+    // Tfidf/Boilerplate pattern, never a driver round-trip in the plan
+    val total = c3full.agg(sum("c3").as("__total"))
+    val keep = col("c3") >= ceil(lit(minFrac) * col("__total")).cast("long")
+    val model3 = c3full.crossJoin(broadcast(total))
+      .filter(keep).select(col("tri"), col("c3"))
+    val model2 = c3full
+      .groupBy(substring(col("tri"), 1, 2).as("bg"))
+      .agg(sum("c3").as("c2"))
+      .crossJoin(broadcast(total))
+      .filter(col("c2") >= ceil(lit(minFrac) * col("__total")).cast("long"))
+      .select(col("bg"), col("c2"))
+    val vocab = c3full
+      .select(countDistinct(substring(col("tri"), 3, 1))).first().getLong(0)
+    (model3, model2, vocab)
+  }
+
+  /** Score `docs`: per-document mean negative log2 of the add-1 smoothed
+    * conditional P(c3 | c1c2) = (c3+1)/(c2+V). Unseen trigram under a kept
+    * prefix → 1/(c2+V); unseen/pruned prefix → 1/V — both are the same
+    * formula with the missing count coalesced to 0. Output: (idCol, n_tris,
+    * xent_bits) for docs with ≥ 1 trigram; lower is more in-distribution.
+    */
+  def crossEntropy(
+      docs: DataFrame, idCol: String, textCol: String,
+      model3: DataFrame, model2: DataFrame, vocabSize: Long): DataFrame = {
+    require(vocabSize > 0, "empty training corpus")
+    val tris = trigramStream(docs, idCol, textCol)
+    val joined = tris
+      .join(broadcast(model3), Seq("tri"), "left")
+      .join(broadcast(model2.withColumnRenamed("bg", "__bg")),
+        substring(col("tri"), 1, 2) === col("__bg"), "left")
+      .select(col(idCol),
+        (coalesce(col("c3"), lit(0L)) + 1).as("num"),
+        (coalesce(col("c2"), lit(0L)) + vocabSize).as("den"))
+    joined
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tris"),
+        sum(log(col("num").cast("double") / col("den"))).as("__s"))
+      .select(col(idCol), col("n_tris"),
+        round(-col("__s") / (col("n_tris") * Ln2), 4).as("xent_bits"))
+  }
+
+  /** Train-on-slice + score-all in one call — the funnel-facing surface.
+    * `refFilter` picks the reference slice (e.g. lang = 'en').
+    */
+  def scoreAgainst(
+      docs: DataFrame, idCol: String, textCol: String, refFilter: Column,
+      minFrac: Double = 1e-7): DataFrame = {
+    val (m3, m2, v) = train(docs.filter(refFilter), idCol, textCol, minFrac)
+    crossEntropy(docs, idCol, textCol, m3, m2, v)
+  }
+}

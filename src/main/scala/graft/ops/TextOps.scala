@@ -89,6 +89,42 @@ object TextOps {
         least(distinctRatio * 2, lit(1.0)) * 0.2, 4)
   }
 
+  /** Exact-rational quality score, scaled ×10⁴ to a BIGINT in [0, 10000].
+    *
+    * Same blend as [[qualityScore]] (length band 0.3 + alpha ratio 0.3 +
+    * mean-token-length band 0.2 + distinct-token ratio 0.2) but every step
+    * is INTEGER arithmetic: the score is the rational
+    * `numer / (100·len'·ntok')` with all-integer numerator, and the 4-dp
+    * half-up rounding is one integral division
+    * `(numer·20000 + D) div (2·D)`. No double exists anywhere, so two
+    * engines computing it can never disagree by a ulp — [[qualityScore]]'s
+    * `round(Σ double-terms, 4)` sits on a rounding boundary for ~1 in 10⁴
+    * documents and hash-mismatches cross-engine (observed: q73 gate,
+    * oracle 0.9513 vs spark 0.9512 on one row of 5000). Use THIS form
+    * whenever per-document scores are compared, ranked, or hashed;
+    * [[qualityScore]] remains for aggregate reporting where averaging
+    * absorbs boundary ulps. The band conditions are also integer-exact
+    * (`len ≥ 2·ntok'` instead of `len/ntok' ≥ 2.0`), which at 10¹²-doc
+    * scale additionally means the band never flips on a division ulp.
+    */
+  def qualityScoreScaled(c: Column): Column = {
+    val t = coalesce(c, lit(""))
+    val len = length(t).cast("long")
+    val ntok = tokenCount(t).cast("long")
+    val ndtok = size(array_distinct(split(trim(t), "\\s+"))).cast("long")
+    val nalpha = length(regexp_replace(t, "[^\\p{L}]", "")).cast("long")
+    val lp = greatest(len, lit(1L))
+    val np = greatest(ntok, lit(1L))
+    val lenBand10 = when(len >= 20 && len <= 10000, lit(10L))
+      .when(len > 0, lit(5L)).otherwise(lit(0L))
+    val tokBand10 =
+      when(len >= np * 2 && len <= np * 12, lit(10L)).otherwise(lit(4L))
+    val numer = (lenBand10 * 3 + tokBand10 * 2) * lp * np +
+      nalpha * np * 30 + least(ndtok * 2, np) * lp * 20
+    val denom = lp * np * 100
+    call_function("div", numer * 20000 + denom, denom * 2)
+  }
+
   /** BPE-ish pre-tokenizer regex — the RE2-compatible core of the GPT-2 /
     * cl100k pre-tokenization pattern (word / number / punctuation runs, each
     * carrying its leading space; no contraction or lookahead branches, which

@@ -63,6 +63,21 @@ class ConnectedSpec extends AnyFunSuite {
       (4L, 1L, false), (5L, 5L, true), (6L, 1L, false)))
   }
 
+  test("keepBestClusters keeps the highest-quality member, ties to min id") {
+    val docs = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.9), // {1,2,3}: 2 wins (0.9 tie -> min id)
+      (10L, 0.1), (11L, 0.8), //          {10,11}: 11 wins on quality
+      (20L, 0.3) //                       singleton keeps itself
+    ).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val r = Connected.keepBestClusters(docs, pairs, "doc_id", "q")
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(x => (x._1, x._2, x._4)).sortBy(_._1).toSeq
+    assert(r === Seq(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (10L, 10L, false), (11L, 10L, true), (20L, 20L, true)))
+  }
+
   test("result is invariant under input partitioning") {
     val edges = (0L until 40L).map(i => (i, (i * 7 + 3) % 40)).filter(e => e._1 != e._2)
     val df1 = edges.toDF("a", "b").repartition(1)

@@ -122,4 +122,43 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(out.map(_._1).toSet === Set(1L, 9L, 10L))
     assert(out.forall(r => Set("train", "val", "test").contains(r._2)))
   }
+
+  test("optional LM outlier stage drops the distributional outlier and " +
+    "nothing else") {
+    // 30 ordinary English docs + one consonant-soup doc: the self-trained
+    // trigram model scores the soup far above the pack. The test calibrates
+    // the bits/char cap from the measured scores (midpoint between the
+    // outlier and the highest normal doc) so it pins the MECHANISM, not a
+    // magic constant.
+    val normals = (0 until 30).map(i =>
+      (i.toLong,
+        s"the plain ordinary document number $i keeps many usual english words here",
+        "a"))
+    val gib = (99L, "zxqv wkjp qfzt jjxw pzkv mnbq rrtw zzxq lkjh qwop", "a")
+    val corpus = (normals :+ gib).toDF("doc_id", "text", "src")
+    val noBench = Seq((1000L, "completely disjoint benchmark material"))
+      .toDF("doc_id", "text")
+
+    val scores = graft.ops.LangModel
+      .scoreAgainst(corpus, "doc_id", "text", lit(true))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val maxNormal = (scores - 99L).values.max
+    assert(scores(99L) > maxNormal,
+      s"gibberish ${scores(99L)} must outscore normals (max $maxNormal)")
+    val thr = (scores(99L) + maxNormal) / 2
+
+    // lang gate opened to whatever langId calls these docs — this test is
+    // about the LM stage only
+    val langs = corpus
+      .select(graft.ops.TextOps.langId(col("text"))).distinct()
+      .collect().map(_.getString(0)).toSet
+    val ann = CorpusPipeline.annotate(corpus, noBench, "text", "doc_id",
+      "src", CorpusPipeline.Config(langs = langs, minQuality = 0.0,
+        boilerMinCount = Some(1000L), lmMaxBits = Some(thr)))
+    val stages = ann.select(col("doc_id"), col("drop_stage"))
+      .as[(Long, String)].collect().toMap
+    assert(stages(99L) === "lm_outlier")
+    assert((stages - 99L).values.forall(_ == null),
+      s"only the planted outlier may drop: $stages")
+  }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.LangModel
+
+/** Char-trigram LM quality scoring: hand-computed exact values on a tiny
+  * corpus, fraction-pruning semantics, and the in-distribution-scores-lower
+  * sanity law the operator exists for.
+  */
+class LangModelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val ln2 = LangModel.Ln2
+
+  private def bits(ps: Double*): Double = {
+    val s = ps.map(math.log).sum
+    BigDecimal(-s / (ps.size * ln2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("exact add-1 smoothed cross-entropy on a hand-computed corpus") {
+    // ref: "aaaa" -> {aaa x2}, "aab" -> {aab}; total=3, V={a,b}=2,
+    // prefix aa: c2=3
+    val ref = Seq((1L, "aaaa"), (2L, "aab")).toDF("doc_id", "text")
+    val (m3, m2, v) = LangModel.train(ref, "doc_id", "text")
+    assert(v === 2L)
+    assert(m3.as[(String, Long)].collect().toMap ===
+      Map("aaa" -> 2L, "aab" -> 1L))
+    assert(m2.as[(String, Long)].collect().toMap === Map("aa" -> 3L))
+
+    // "aaab": p(aaa)=(2+1)/(3+2), p(aab)=(1+1)/(3+2)
+    // "xyzw": all unseen -> p=(0+1)/(0+2) each -> exactly 1.0 bits/char
+    val docs = Seq((10L, "aaab"), (11L, "xyzw"), (12L, "ab")) // 12: no tris
+      .toDF("doc_id", "text")
+    val got = LangModel.crossEntropy(docs, "doc_id", "text", m3, m2, v)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(10L, 11L)) // doc 12 emits nothing
+    assert(got(0)._2 === 2L)
+    assert(got(0)._3 === bits(3.0 / 5, 2.0 / 5))
+    assert(got(1)._3 === bits(0.5, 0.5)) // = 1.0 exactly
+    assert(got(1)._3 === 1.0)
+  }
+
+  test("fraction pruning drops rare trigrams to the smoothed floor " +
+    "(scale-invariant model cap)") {
+    val ref = Seq((1L, "aaaa"), (2L, "aab")).toDF("doc_id", "text")
+    // total=3, ceil(0.4*3)=2: aab (c3=1) pruned, aa prefix (c2=3) kept
+    val (m3, m2, v) = LangModel.train(ref, "doc_id", "text", minFrac = 0.4)
+    assert(m3.as[(String, Long)].collect().toMap === Map("aaa" -> 2L))
+    assert(m2.as[(String, Long)].collect().toMap === Map("aa" -> 3L))
+    val got = LangModel
+      .crossEntropy(Seq((10L, "aaab")).toDF("doc_id", "text"),
+        "doc_id", "text", m3, m2, v)
+      .as[(Long, Long, Double)].collect()
+    // aab now scores as unseen-under-kept-prefix: (0+1)/(3+2)
+    assert(got.head._3 === bits(3.0 / 5, 1.0 / 5))
+  }
+
+  test("in-distribution text scores lower bits/char than gibberish") {
+    val sentences = (0 until 50).map(i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog number $i"))
+    val ref = sentences.toDF("doc_id", "text")
+    val probe = Seq(
+      (100L, "the quick brown fox jumps again"),
+      (101L, "zxqj vwkp qqfzz jjxw pzzkv")).toDF("doc_id", "text")
+    val (m3, m2, v) = LangModel.train(ref, "doc_id", "text")
+    val r = LangModel.crossEntropy(probe, "doc_id", "text", m3, m2, v)
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x._3).toMap
+    assert(r(100L) < r(101L),
+      s"in-dist ${r(100L)} should beat gibberish ${r(101L)}")
+  }
+
+  test("scoreAgainst composes train-on-slice with score-all") {
+    val docs = Seq(
+      (1L, "aaaa", "en"), (2L, "aab", "en"), (3L, "zzzz", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val r = LangModel
+      .scoreAgainst(docs, "doc_id", "text", col("lang") === "en")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(r.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    // zzzz never seen by the en model: both trigrams hit the 1/V floor
+    assert(r(2)._3 === 1.0)
+  }
+}

@@ -74,6 +74,31 @@ class OpsSpec extends AnyFunSuite {
     assert(fpWs(0) === fpWs(1))
   }
 
+  test("qualityScoreScaled: exact integers, agrees with the double form " +
+    "away from rounding boundaries, bounded in [0, 10000]") {
+    // hand-checked: "ab cd" -> len=5, ntok=2, ndtok=2, nalpha=4,
+    // bands: len>0 -> 5; 2 <= 5/2 <= 12 -> 10;
+    // numer = (5*3+10*2)*5*2 + 4*2*30 + min(4,2)*5*20 = 350+240+200 = 790
+    // denom = 5*2*100 = 1000 -> quality .79 -> q4 = 7900
+    val r = Seq("ab cd", "", null.asInstanceOf[String])
+      .toDF("t")
+      .select(TextOps.qualityScoreScaled(col("t"))).as[Long].collect()
+    assert(r(0) === 7900L)
+    // empty/null: lenBand 0, alpha 0, tokBand 0.4*0.2, distinct 1.0*0.2
+    assert(r(1) === 2800L && r(2) === 2800L)
+    // cross-check vs the double form on a varied corpus: equal wherever the
+    // double path isn't on a 4-dp boundary (within one ulp-step otherwise)
+    val varied = (0 until 200).map(i =>
+      (i.toLong, ("word" + i + " ") * (i % 17 + 1) + "!?" * (i % 5)))
+      .toDF("id", "t")
+    val both = varied.select(
+      TextOps.qualityScoreScaled(col("t")).as("i4"),
+      (round(TextOps.qualityScore(col("t")), 4) * 10000).cast("long").as("d4"))
+      .as[(Long, Long)].collect()
+    assert(both.forall { case (i4, d4) => math.abs(i4 - d4) <= 1 })
+    assert(both.forall { case (i4, _) => i4 >= 0 && i4 <= 10000 })
+  }
+
   test("pii redaction: emails, ipv4, card runs; boundary cases hold") {
     val cases = Seq(
       ("mail john.doe+x@sub.example.org now", "mail <EMAIL> now"),

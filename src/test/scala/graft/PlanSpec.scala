@@ -304,6 +304,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("text#")), s"text shuffled in:\n$p")
   }
 
+  test("trigram LM scoring: model lookups are broadcast joins and document " +
+    "text never reaches an exchange") {
+    import spark.implicits._
+    val docs = (0 until 40)
+      .map(i => (i.toLong, s"some document body text number $i with words",
+        if (i % 2 == 0) "en" else "xx"))
+      .toDF("doc_id", "text", "lang")
+    val (m3, m2, v) = graft.ops.LangModel.train(
+      docs.filter(col("lang") === "en"), "doc_id", "text")
+    val p = plan(graft.ops.LangModel.crossEntropy(
+      docs, "doc_id", "text", m3, m2, v))
+    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge model join defeats the map-side score:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")), s"text shuffled in:\n$p")
+  }
+
   test("bucket audits reduce to one row without shuffling member payloads: " +
     "only narrow (id, band) rows reach the exchange") {
     import spark.implicits._
