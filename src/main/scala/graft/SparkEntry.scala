@@ -914,6 +914,15 @@ object SparkEntry {
           (col("q4").cast("double") / 10000.0).as("quality"),
           col("is_keeper"))
     }),
+    "q74_session_grammar" -> ((s, dir) => {
+      // transition-grammar validation over the events stream: narrow
+      // (user_id, ts, event_id, event_type) window, rules fire on
+      // (prev, cur) pairs incl. the null-prev first row — the cross-row
+      // rule family the one-record-at-a-time reference cannot express
+      graft.engine.Grammar.transitionViolations(
+        t(s, dir, "events"), "user_id", Seq("ts", "event_id"),
+        "event_type", graft.engine.Grammar.sessionRules)
+    }),
     "q67_pii_redact" -> ((s, dir) => {
       // PII scrub, byte-matched: plant one email and one IPv4 per doc
       // (built identically in the oracle), redact, return the FULL
@@ -999,6 +1008,13 @@ object SparkEntry {
         .select(col("op"), col("n_buckets"), col("n_oversized_buckets"),
           col("n_dropped_rows"), col("n_dropped_pairs_ub"))
     }),
+    "t19_role_grammar" -> ((s, _) =>
+      // conversation-structure grammar over the synthetic transcript table
+      // (segmented==plain row-identity and rule semantics are GrammarSpec-
+      // gated; xxhash-generated input — no DuckDB twin)
+      graft.engine.Grammar.transitionViolations(
+        TranscriptGen.transcripts(s, tCfg), "conv_id", Seq("turn_idx"),
+        "role", graft.engine.Grammar.roleRules)),
     "t16_bloom_decontam" -> ((s, dir) => {
       // bloom-screened decontamination (superset-of-exact contract is
       // spec-gated in BloomSpec; bloom bit patterns aren't DuckDB-expressible)
@@ -1512,6 +1528,23 @@ object SparkEntry {
         |      + 0.5) / 16777216.0) / greatest(n_chars, 1) AS es
         | FROM documents) t
         |ORDER BY es DESC, doc_id LIMIT 25""".stripMargin,
+    "q74_session_grammar" ->
+      """WITH s AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS prev_state
+        | FROM events)
+        |SELECT user_id, ts, event_id, prev_state, event_type AS state,
+        | 'FIRST_EVENT' AS rule
+        |FROM s WHERE prev_state IS NULL AND event_type <> 'signup'
+        |UNION ALL
+        |SELECT user_id, ts, event_id, prev_state, event_type, 'REPEAT_SIGNUP'
+        |FROM s WHERE prev_state IS NOT NULL AND event_type = 'signup'
+        |UNION ALL
+        |SELECT user_id, ts, event_id, prev_state, event_type,
+        | 'UNPRIMED_PURCHASE'
+        |FROM s WHERE event_type = 'purchase'
+        | AND (prev_state IS NULL OR prev_state NOT IN ('click', 'view'))""".stripMargin,
     "q71_split_leakage" ->
       """WITH d AS (
         | SELECT doc_id,

@@ -19,6 +19,16 @@ final case class StreamOrderViolation(
     conv_id: String, turn_idx: Int, part_id: Int, rule_id: String,
     field: String, message: String, text: String)
 
+/** Per-conversation grammar state carried across micro-batches. */
+final case class ConvGrammarState(lastTurnIdx: Int, lastRole: String)
+
+/** Cross-batch transition-grammar violation row (same shape as the batch
+  * `Grammar.transitionViolations` output).
+  */
+final case class StreamGrammarViolation(
+    conv_id: String, turn_idx: Int, part_id: Int, prev_state: String,
+    state: String, rule: String)
+
 /** Streaming validation: the identical constraint catalog applied to a
   * `readStream` of transcript appends (SURVEY.md §2.10 stance — the batch
   * `Column` predicates transfer unchanged; no stateful ops are required by
@@ -183,6 +193,76 @@ object StreamValidator {
     * In-batch ordering is (turn_idx, ts) — same key-level semantics as the
     * batch window variant for unique keys.
     */
+  /** Scala twins of `Grammar.roleRules` with SQL null semantics (a null
+    * role never fires a rule, matching the Column comparisons' null
+    * propagation); batch/stream row parity is StreamingSpec-asserted.
+    */
+  private val roleRulesScala: Seq[(String, (String, String) => Boolean)] = Seq(
+    ("FIRST_ROLE", (prev, cur) =>
+      prev == null && cur != null && cur != "system" && cur != "user"),
+    ("SYSTEM_RESTART", (prev, cur) => prev != null && cur == "system"),
+    ("TOOL_CONTEXT", (prev, cur) =>
+      cur == "tool" && (prev == null || (prev != "assistant" && prev != "tool"))),
+    ("USER_ECHO", (prev, cur) => prev == "user" && cur == "user"))
+
+  /** STATEFUL cross-batch role grammar — `Grammar.transitionViolations`'
+    * streaming face: a conversation's turns arrive across micro-batches,
+    * and "may this role follow the previous turn's role" needs the previous
+    * batch's last (turn_idx, role) per conversation. Same state discipline
+    * as [[statefulTsOrder]]: ~16 bytes per live conversation (never the
+    * turns), event-time timeout eviction, in-batch ordering by (turn_idx,
+    * ts). Emits the same rows as the batch operator run over the
+    * accumulated turns, provided arrival respects turn order across batches
+    * (the append-log contract; StreamingSpec asserts the parity).
+    */
+  def statefulRoleGrammar(
+      stream: DataFrame,
+      watermark: String = "30 minutes",
+      stateGapMs: Long = 60L * 60 * 1000): Dataset[StreamGrammarViolation] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .withWatermark("ts", watermark)
+      .select(col("conv_id"), col("turn_idx"), col("part_id"),
+        col("role").as("text"), col("ts"))
+      .as[StreamTurn]
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvGrammarState, StreamGrammarViolation](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (convId: String, rows: Iterator[StreamTurn],
+         state: GroupState[ConvGrammarState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val turns = rows.toArray.sortBy(t => (t.turn_idx, tsMicros(t.ts)))
+            if (turns.isEmpty) Iterator.empty
+            else {
+              var prev = state.getOption.map(_.lastRole).orNull
+              var first = state.getOption.isEmpty
+              val out =
+                scala.collection.mutable.ArrayBuffer[StreamGrammarViolation]()
+              turns.foreach { t =>
+                val cur = t.text // role rides the narrow text slot
+                val p = if (first) null else prev
+                roleRulesScala.foreach { case (name, fires) =>
+                  if (fires(p, cur))
+                    out += StreamGrammarViolation(
+                      t.conv_id, t.turn_idx, t.part_id, p, cur, name)
+                }
+                prev = cur
+                first = false
+              }
+              state.update(ConvGrammarState(turns.last.turn_idx, prev))
+              val maxEventMs = turns.map(_.ts.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs(), maxEventMs) + stateGapMs)
+              out.iterator
+            }
+          }
+      }
+  }
+
   def statefulTsOrder(
       stream: DataFrame,
       watermark: String = "30 minutes",

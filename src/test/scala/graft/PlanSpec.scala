@@ -323,6 +323,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("text#")), s"text shuffled in:\n$p")
   }
 
+  test("transition grammar: payload text never reaches the window exchange") {
+    val p = plan(graft.engine.Grammar.transitionViolations(
+      turns, "conv_id", Seq("turn_idx"), "role", graft.engine.Grammar.roleRules))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"text shuffled into the grammar window:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"))
+  }
+
   test("bucket audits reduce to one row without shuffling member payloads: " +
     "only narrow (id, band) rows reach the exchange") {
     import spark.implicits._

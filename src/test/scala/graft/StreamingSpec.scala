@@ -133,4 +133,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.length === 1)
     assert(got(0) === batch(0))
   }
+
+  test("stateful role grammar: cross-batch prev-role carried; row parity " +
+    "with the batch operator on the accumulated turns") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamValidator.statefulRoleGrammar(input.toDF())
+      .writeStream.format("memory").queryName("grammar_out")
+      .outputMode("append").start()
+    // batch 1: c1 opens clean (system, user); c2 opens with assistant
+    // (FIRST_ROLE fires in-batch)
+    input.addData(
+      Turn("c1", 0, "system", "a", null, ts(0), 0),
+      Turn("c1", 1, "user", "b", null, ts(10), 0),
+      Turn("c2", 0, "assistant", "c", null, ts(0), 1))
+    q.processAllAvailable()
+    // batch 2: c1 sends user again (USER_ECHO — only carried state can see
+    // the batch-1 user), then tool after user (TOOL_CONTEXT); c2 goes
+    // system mid-stream (SYSTEM_RESTART via carried state)
+    input.addData(
+      Turn("c1", 2, "user", "d", null, ts(20), 0),
+      Turn("c1", 3, "tool", "e", null, ts(30), 0),
+      Turn("c2", 1, "system", "f", null, ts(10), 1))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("grammar_out")
+      .select("conv_id", "turn_idx", "prev_state", "state", "rule")
+      .as[(String, Int, Option[String], String, String)].collect().toSet
+    val accumulated = Seq(
+      Turn("c1", 0, "system", "a", null, ts(0), 0),
+      Turn("c1", 1, "user", "b", null, ts(10), 0),
+      Turn("c1", 2, "user", "d", null, ts(20), 0),
+      Turn("c1", 3, "tool", "e", null, ts(30), 0),
+      Turn("c2", 0, "assistant", "c", null, ts(0), 1),
+      Turn("c2", 1, "system", "f", null, ts(10), 1)).toDF()
+    val batch = graft.engine.Grammar
+      .transitionViolations(accumulated, "conv_id", Seq("turn_idx"), "role",
+        graft.engine.Grammar.roleRules)
+      .select("conv_id", "turn_idx", "prev_state", "state", "rule")
+      .as[(String, Int, Option[String], String, String)].collect().toSet
+    assert(batch === Set(
+      ("c1", 2, Some("user"), "user", "USER_ECHO"),
+      ("c1", 3, Some("user"), "tool", "TOOL_CONTEXT"),
+      ("c2", 0, None, "assistant", "FIRST_ROLE"),
+      ("c2", 1, Some("assistant"), "system", "SYSTEM_RESTART")))
+    assert(got === batch)
+  }
 }
