@@ -90,6 +90,22 @@ object SparkEntry {
       lit("0884119233010A4601" + "00" + "3B")))     // LZW sub-block, trailer
   }
 
+  /** Planted span-dedup corpus shared by q78/q79: docs ≡ 0 (mod 7) get one
+    * of 3 shared boilerplate paragraphs appended — built identically in
+    * the DuckDB oracles so the winnow pipeline is replayed end-to-end.
+    */
+  private def spanDocs(s: SparkSession, dir: String): DataFrame = {
+    val boiler = concat(
+      lit("shared boilerplate paragraph variant "),
+      pmod(col("doc_id"), lit(3)).cast("string"),
+      lit(" repeated verbatim across documents for span dedup"))
+    val planted = when(pmod(col("doc_id"), lit(7)) === 0,
+      concat(coalesce(col("text"), lit("")), lit(" "), boiler))
+      .otherwise(coalesce(col("text"), lit("")))
+    t(s, dir, "documents").filter(col("doc_id") < 250)
+      .select(col("doc_id"), planted.as("t"))
+  }
+
   /** Exact double sum via DECIMAL(18,2) accumulation (order-independent),
     * surfaced back as a rounded double — matches
     * `round(CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE), 2)` in DuckDB.
@@ -923,6 +939,52 @@ object SparkEntry {
         t(s, dir, "events"), "user_id", Seq("ts", "event_id"),
         "event_type", graft.engine.Grammar.sessionRules)
     }),
+    "q75_pack" -> ((s, dir) => {
+      // sequence packing: concatenate-then-chunk pack assignment via the
+      // two-phase distributed prefix sum (segmented windows + tiny offset
+      // frame) — oracle replays it as ONE plain window cumsum; segSize 256
+      // forces many segments at sf0.01 so the stitch itself is what's tested
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("w"))
+      graft.ops.Packing.packByBudget(docs, "doc_id", "w", budget = 4096L,
+          segSize = 256L)
+        .select("doc_id", "w", "cum_before", "pack_id")
+    }),
+    "q76_group_weighted" -> ((s, dir) => {
+      // per-source Efraimidis–Spirakis weighted top-5 (per-domain corpus
+      // selection): rank-limit window ⇒ WindowGroupLimit below the
+      // exchange, skew-resistant map-side; DuckDB replays the race per group
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          greatest(col("n_chars"), lit(1L)).as("w"))
+      graft.ops.Sampling.weightedTopKPerGroup(docs, "source", "w", "doc_id", 5)
+    }),
+    "q78_span_pairs" -> ((s, dir) => {
+      // winnowed duplicate-span pairs: docs ≡ 0 (mod 7) carry one of 3
+      // planted 80-char boilerplate paragraphs; the oracle replays
+      // gram-md5 → winnow → bucket cap → pair counting exactly, organic
+      // small-vocab overlaps included
+      graft.ops.SpanDedup.spanPairs(spanDocs(s, dir), "t", "doc_id",
+        k = 16, w = 8, minShared = 1, maxBucket = 64)
+    }),
+    "q79_span_incidence" -> ((s, dir) => {
+      // per-doc duplicated-span exposure on the same planted corpus;
+      // integer counts only (the frac is a trivial division downstream)
+      graft.ops.SpanDedup.spanIncidence(spanDocs(s, dir), "t", "doc_id")
+        .select(col("id").as("doc_id"), col("n_fps"), col("n_shared_fps"))
+    }),
+    "q77_canonicalize" -> ((s, dir) => {
+      // text canonicalization, byte-matched: plant decomposed accents
+      // (e+U+0301, A+U+030A), a BEL control, CRLF, and tab/space runs on
+      // every doc (oracle builds the identical suffix via chr()); NFC +
+      // control-strip + EOL-unify + squeeze must agree byte-for-byte with
+      // DuckDB's utf8proc nfc_normalize + RE2 regexp chain
+      val planted = concat(coalesce(col("text"), lit("")),
+        lit("  Café \r\nÅ\tx\u0007 end "))
+      t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"),
+          graft.ops.TextOps.canonicalize(planted).as("canon"))
+    }),
     "q67_pii_redact" -> ((s, dir) => {
       // PII scrub, byte-matched: plant one email and one IPv4 per doc
       // (built identically in the oracle), redact, return the FULL
@@ -1008,6 +1070,13 @@ object SparkEntry {
         .select(col("op"), col("n_buckets"), col("n_oversized_buckets"),
           col("n_dropped_rows"), col("n_dropped_pairs_ub"))
     }),
+    "t20_span_pairs_full" -> ((s, dir) =>
+      // winnowed span dedup priced at full table scale (q78 certifies the
+      // pipeline on a 250-doc slice; this is the unfiltered corpus with the
+      // production bucket cap — pair semantics are SpanDedupSpec-gated)
+      graft.ops.SpanDedup.spanPairs(
+        t(s, dir, "documents"), "text", "doc_id", k = 16, w = 8,
+        minShared = 2)),
     "t19_role_grammar" -> ((s, _) =>
       // conversation-structure grammar over the synthetic transcript table
       // (segmented==plain row-identity and rule semantics are GrammarSpec-
@@ -1078,6 +1147,31 @@ object SparkEntry {
           col("pix.mean_b").as("mean_b"))
     })
   )
+
+  /** Shared DuckDB CTE chain replaying [[spanDocs]] + the SpanDedup winnow
+    * (gram md5 → 60-bit conv → window minima → distinct) for q78/q79.
+    */
+  private val spanOracleCtes: String =
+    """WITH d AS (
+      | SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0
+      |   THEN COALESCE(text,'') || ' shared boilerplate paragraph variant ' ||
+      |        CAST(doc_id % 3 AS VARCHAR) ||
+      |        ' repeated verbatim across documents for span dedup'
+      |   ELSE COALESCE(text,'') END AS t
+      | FROM documents WHERE doc_id < 250),
+      |g AS (
+      | SELECT doc_id,
+      |  CASE WHEN length(t) < 16 THEN CAST([] AS BIGINT[])
+      |   ELSE list_transform(range(1, length(t) - 14),
+      |        i -> CAST('0x' || substr(md5(substr(t, i, 16)), 1, 15) AS BIGINT))
+      |  END AS hs
+      | FROM d),
+      |f AS (
+      | SELECT doc_id, unnest(list_distinct(list_transform(
+      |   range(1, greatest(len(hs) - 7, 1) + 1),
+      |   j -> list_min(hs[j:j+7])))) AS fp
+      | FROM g WHERE len(hs) > 0)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_required_nonempty" ->
@@ -1645,6 +1739,51 @@ object SparkEntry {
         | row_number() OVER (PARTITION BY cluster_id
         |                    ORDER BY q4 DESC, doc_id ASC) = 1 AS is_keeper
         |FROM wc""".stripMargin,
+    "q78_span_pairs" ->
+      (spanOracleCtes + """,
+        |b AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1 AND count(*) <= 64),
+        |fb AS (SELECT f.doc_id, f.fp FROM f JOIN b USING (fp))
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        | count(DISTINCT a.fp) AS n_shared
+        |FROM fb a JOIN fb c ON a.fp = c.fp AND a.doc_id < c.doc_id
+        |GROUP BY 1, 2""").stripMargin,
+    "q79_span_incidence" ->
+      (spanOracleCtes + """,
+        |cnt AS (SELECT fp, count(*) AS nf FROM f GROUP BY fp)
+        |SELECT f.doc_id, count(*) AS n_fps,
+        | CAST(sum(CASE WHEN cnt.nf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_shared_fps
+        |FROM f JOIN cnt USING (fp) GROUP BY f.doc_id""").stripMargin,
+    "q77_canonicalize" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  COALESCE(text, '') || '  Cafe' || chr(769) || ' ' || chr(13)
+        |   || chr(10) || 'A' || chr(778) || chr(9) || 'x' || chr(7)
+        |   || ' end ' AS t
+        | FROM documents WHERE doc_id < 150)
+        |SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(
+        |   nfc_normalize(regexp_replace(t,
+        |     '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
+        |   '\r\n?', chr(10), 'g'),
+        |   '[ \t]+', ' ', 'g')) AS canon
+        |FROM p""".stripMargin,
+    "q75_pack" ->
+      """SELECT doc_id, w, cb AS cum_before, cb // 4096 AS pack_id FROM (
+        | SELECT doc_id, w,
+        |  CAST(COALESCE(sum(w) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        | FROM (SELECT doc_id, COALESCE(n_chars, 0) AS w FROM documents) d) p""".stripMargin,
+    "q76_group_weighted" ->
+      """SELECT source, doc_id, w FROM (
+        | SELECT source, doc_id, w,
+        |  row_number() OVER (PARTITION BY source ORDER BY es DESC, doc_id) AS rn
+        | FROM (
+        |  SELECT source, doc_id, greatest(n_chars, 1) AS w,
+        |   ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+        |       + 0.5) / 16777216.0) / greatest(n_chars, 1) AS es
+        |  FROM documents) r) t
+        |WHERE rn <= 5""".stripMargin,
     "q65_stratified_salted" ->
       """SELECT lang, doc_id FROM (
         | SELECT lang, doc_id,

@@ -71,6 +71,14 @@ object CorpusPipeline {
   }
 
   final case class Config(
+      // Stage 0 (opt-in): rewrite the text column through
+      // [[TextOps.canonicalize]] (NFC + control strip + EOL/blank
+      // normalization) BEFORE any gate. Mixed-normal-form crawl text
+      // hashes/shingles differently, so without this two byte-wise
+      // different but visually identical documents sail through exact
+      // dedup as distinct. Opt-in because the emitted corpus then carries
+      // the canonical text, not the input bytes.
+      canonicalizeText: Boolean = false,
       langs: Set[String] = Set("en"),
       minQuality: Double = 0.3,
       nearDupShingle: Int = 3,
@@ -152,10 +160,17 @@ object CorpusPipeline {
     val id = col(keyCol)
     val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
+    // ---- stage 0 (opt-in): text canonicalization — map-only, fused into
+    // the same scan as the lang/quality gates by codegen ----
+    val docs0 =
+      if (cfg.canonicalizeText)
+        docs.withColumn(textCol, TextOps.canonicalize(col(textCol)))
+      else docs
+
     // ---- stage 1+2: map-only gates (no joins needed) ----
     val langOk = TextOps.langId(col(textCol)).isin(cfg.langs.toSeq: _*)
     val qualOk = TextOps.qualityScore(col(textCol)) >= cfg.minQuality
-    val base = docs.withColumn("__drop_early",
+    val base = docs0.withColumn("__drop_early",
       when(!langOk, "lang").when(!qualOk, "quality"))
     // the expensive stages only ever see early survivors — and only the
     // narrow (key, text) projection, persisted so the lang/quality regexes

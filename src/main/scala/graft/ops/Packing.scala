@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining corpus builds: lay documents end-to-end
+  * in a deterministic global order and cut the stream into fixed-budget
+  * packs (context windows). `pack_id` is the window a document STARTS in —
+  * the GPT-style concatenate-then-chunk assignment — and `cum_before` is
+  * its exact starting offset in the concatenated stream, so a downstream
+  * writer can materialize pack files without re-scanning.
+  *
+  * Scale shape — the classic two-phase distributed prefix sum:
+  *  1. per-segment running sums under a window PARTITIONED by a segment of
+  *     the order key (`orderCol div segSize`) — parallel, narrow, no global
+  *     sort;
+  *  2. segment totals (one small aggregate, ≤ n/segSize rows) get their own
+  *     exclusive cumulative sum on a single task and broadcast back.
+  * A naive `Window.orderBy(orderCol)` with no partition spec funnels the
+  * ENTIRE table through one reducer — the canonical scale-killer this
+  * operator exists to avoid (PlanSpec pins the full-table window as
+  * partitioned). At 10^12 rows and segSize 2^20 the phase-2 frame is 10^6
+  * 16-byte rows — one comfortable task; if segments themselves ever
+  * overflow a task, the same trick recurses (segments-of-segments).
+  *
+  * Determinism contract: `orderCol` must be unique (it is the total order
+  * of the stream); weights are summed exactly in longs, so the assignment
+  * reproduces on any partitioning, any cluster size, and in the DuckDB
+  * oracle (q75), which replays it as a plain single-window cumulative sum.
+  *
+  * Reference analog: the reference validates one record at a time and has
+  * no corpus assembly step; this is part of the training-data pipeline
+  * surface (builder brief) a 100 TB corpus build needs after
+  * filter/dedup/split.
+  */
+object Packing {
+
+  /** Assign each row the pack (context window) its document starts in.
+    *
+    * @param orderCol  unique numeric column defining the global stream order
+    * @param weightCol per-row cost (token or char count); null → 0
+    * @param budget    pack capacity in weight units
+    * @param segSize   order-key span per phase-1 segment
+    * @return input columns + `cum_before` (exclusive prefix sum, long) +
+    *         `pack_id` (= cum_before div budget, long)
+    */
+  def packByBudget(
+      df: DataFrame,
+      orderCol: String,
+      weightCol: String,
+      budget: Long,
+      segSize: Long = 1L << 20): DataFrame = {
+    require(budget > 0, "budget > 0")
+    require(segSize > 0, "segSize > 0")
+    val withSeg = df
+      .withColumn("__o", col(orderCol).cast("long"))
+      .withColumn("__w", coalesce(col(weightCol).cast("long"), lit(0L)))
+      // integral `div` keeps the segment exact for the full long range
+      // (a double floor-divide would wobble past 2^53)
+      .withColumn("__seg", expr(s"__o div ${segSize}L"))
+
+    // phase 2 frame: one row per segment; the empty-partition window is
+    // deliberate and safe — it sees n/segSize rows, not n.
+    val segOffsets = withSeg
+      .groupBy("__seg")
+      .agg(sum("__w").as("__segtot"))
+      .withColumn("__segoff",
+        coalesce(
+          sum("__segtot").over(Window.orderBy("__seg")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__seg", "__segoff")
+
+    val within = Window.partitionBy("__seg").orderBy("__o")
+      .rowsBetween(Window.unboundedPreceding, -1)
+
+    withSeg
+      .join(broadcast(segOffsets), Seq("__seg"))
+      .withColumn("cum_before",
+        col("__segoff") + coalesce(sum("__w").over(within), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div ${budget}L"))
+      .drop("__o", "__w", "__seg", "__segoff")
+  }
+
+  /** Per-pack manifest: how full each pack is and what it spans — the
+    * writer-side companion of [[packByBudget]] (a pack writer consumes one
+    * pack per task; this is its work list). One hash shuffle on pack_id.
+    * `fill` > 1.0 marks packs whose starting document overflows the budget
+    * (concatenate-then-chunk lets long documents straddle packs).
+    */
+  def packManifest(packed: DataFrame, weightCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget > 0")
+    packed
+      .groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col(weightCol).cast("long"), lit(0L))).as("total_w"),
+        min("cum_before").as("start_off"))
+      .withColumn("fill",
+        round(col("total_w").cast("double") / budget.toDouble, 4))
+  }
+}

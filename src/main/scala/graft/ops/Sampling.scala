@@ -120,6 +120,32 @@ object Sampling {
       .drop("__es")
   }
 
+  /** Per-group weighted top-k WITHOUT replacement: the [[weightedTopK]]
+    * Efraimidis–Spirakis race run independently inside every group (e.g. k
+    * quality-weighted documents per source/domain — the per-domain corpus
+    * selection step). Same determinism contract: membership depends only on
+    * (md5(key), w, group), never on partitioning, and the DuckDB oracle
+    * (q76) replays the race per group.
+    *
+    * Scale shape: `row_number() <= k` over a group-partitioned window —
+    * Spark 4 plants `WindowGroupLimit` BELOW the exchange for exactly this
+    * pattern, so each map task ships at most k rows per group and a hot
+    * group concentrates ≤ k·mapTasks rows, not its full size (the measured
+    * skew behavior of [[stratifiedSample]], PLANS.md round 3).
+    */
+  def weightedTopKPerGroup(
+      df: DataFrame, groupCol: String, weightCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k > 0")
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 6), 16, 10)
+      .cast("double") + 0.5) / (1 << 24).toDouble
+    val w = Window.partitionBy(groupCol).orderBy(desc("__es"), col(keyCol))
+    df.withColumn("__es", log(u) / col(weightCol).cast("double"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__es", "__rn")
+  }
+
   /** Deterministic train/val/test (or any n-way) split assignment: label by
     * which md5-prefix band the key falls in. `cuts` are (upperHex4, label)
     * pairs in ascending order; keys above every cut get `elseLabel`. Pure

@@ -243,4 +243,31 @@ object TextOps {
       regexp_count(afterEmail, lit(piiIpv4)).as("n_ipv4"),
       regexp_count(afterIp, lit(piiNumber)).as("n_number"))
   }
+
+  /** Text canonicalization for corpus builds: strip C0/DEL control
+    * characters (keeping tab/LF/CR), Unicode NFC (native codegen
+    * expression, [[graft.functions.NfcNormalize]]), unify CRLF/CR to LF,
+    * squeeze runs of spaces/tabs to one space, trim. Mixed-normal-form
+    * crawl text hashes, dedups, and shingles differently until this runs —
+    * it belongs BEFORE fingerprint/minhash in the funnel. Map-only,
+    * codegen'd end to end; ASCII-only regex patterns so Java (Spark) and
+    * RE2 (DuckDB `nfc_normalize` + `regexp_replace` oracle, q77) agree
+    * byte-for-byte.
+    *
+    * Stage order is load-bearing for idempotence (spec-pinned by a
+    * randomized law): controls strip BEFORE NFC — a control char sitting
+    * between a base letter and a combining mark blocks composition, so
+    * stripping it after NFC would surface a new decomposed pair that only
+    * a second pass could compose. The later stages can't reintroduce the
+    * problem: EOL-unify and squeeze replace spans (never remove them
+    * entirely) and trim only eats string edges, so no base↔mark adjacency
+    * is ever newly created after NFC runs.
+    */
+  def canonicalize(c: Column): Column = {
+    val noCtl = regexp_replace(coalesce(c, lit("")),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val nfc = graft.functions.NfcNormalize.nfcNormalize(noCtl)
+    val oneEol = regexp_replace(nfc, "\\r\\n?", "\n")
+    trim(regexp_replace(oneEol, "[ \\t]+", " "))
+  }
 }

@@ -161,4 +161,40 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert((stages - 99L).values.forall(_ == null),
       s"only the planted outlier may drop: $stages")
   }
+
+  test("canonicalizeText unifies normal forms BEFORE dedup: byte-different " +
+    "but visually identical docs become exact dups only under the knob") {
+    // same visible text, different bytes: doc 20 decomposed+CRLF+blank
+    // runs, doc 21 composed+LF — identical only after canonicalization
+    val decomposed = // decomposed accent + CRLF + a double space
+      "the cafe\u0301 menu lists the usual  coffee and\r\ntea items today"
+    val composed =    // composed accent, LF, single spaces
+      "the caf\u00e9 menu lists the usual coffee and\ntea items today"
+    val corpus = Seq(
+      (20L, decomposed, "a"),
+      (21L, composed, "a")).toDF("doc_id", "text", "src")
+    val noBench = Seq((1000L, "completely disjoint benchmark material"))
+      .toDF("doc_id", "text")
+    val open = CorpusPipeline.Config(minQuality = 0.0,
+      boilerMinCount = Some(1000L), nearDupThreshold = 2.0) // near-dup off
+    def stagesOf(cfg: CorpusPipeline.Config): Map[Long, String] =
+      CorpusPipeline.annotate(corpus, noBench, "text", "doc_id", "src", cfg)
+        .select(col("doc_id"), col("drop_stage"))
+        .as[(Long, String)].collect().toMap
+
+    val without = stagesOf(open)
+    assert(without(20L) === null && without(21L) === null,
+      "byte-different variants must BOTH survive without canonicalization")
+    val withCanon = stagesOf(open.copy(canonicalizeText = true))
+    assert(withCanon(20L) === null)
+    assert(withCanon(21L) === "exact_dup",
+      s"canonical forms must collide in exact dedup: $withCanon")
+    // and the emitted text is the canonical form
+    val kept = CorpusPipeline
+      .build(corpus, noBench, "text", "doc_id", "src",
+        open.copy(canonicalizeText = true))
+      .select(col("text")).as[String].head()
+    assert(kept.contains("caf\u00e9") && !kept.contains("\r") &&
+      !kept.contains("  "))
+  }
 }

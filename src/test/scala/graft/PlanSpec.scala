@@ -345,4 +345,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("text#") ||
       !exchanges.exists(_.contains("text#")), s"text shuffled in:\n$p")
   }
+
+  test("packByBudget: the full-table window is segment-partitioned (never an " +
+    "empty-partition global window) and the offset frame broadcasts back") {
+    val df = spark.range(0, 100000)
+      .select(col("id"), (col("id") % 97).as("w"))
+    val p = plan(graft.ops.Packing.packByBudget(df, "id", "w", 4096L, 1024L))
+    // phase-1 window must be partitioned by the segment key; the only
+    // empty-partition window allowed is phase 2 over the tiny aggregate,
+    // which sits UNDER the broadcast exchange that ships offsets back
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"segment offsets must broadcast, not shuffle-join:\n$p")
+    // phase-1 window over the full table: windowspec PARTITIONED by __seg
+    // and ordered by __o (formatted explain puts the spec in an Arguments
+    // line, not on the Window header line)
+    assert("""windowspecdefinition\(__seg#\d+L?, __o#\d+L? ASC""".r
+      .findFirstIn(p).isDefined,
+      s"no segment-partitioned full-table window found in:\n$p")
+    assert(p.contains("HashAggregate"), s"no segment-total aggregate in:\n$p")
+  }
+
+  test("weightedTopKPerGroup: rank-limit pushdown plants a map-side " +
+    "WindowGroupLimit below the exchange") {
+    val df = spark.range(0, 100000)
+      .select((col("id") % 13).as("g"), col("id"), (col("id") % 7 + 1).as("w"))
+    val p = plan(graft.ops.Sampling.weightedTopKPerGroup(df, "g", "w", "id", 5))
+    assert("""\(\d+\) WindowGroupLimit""".r.findAllIn(p).size >= 2,
+      s"expected partial+final WindowGroupLimit in:\n$p")
+  }
 }
