@@ -985,6 +985,29 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.ops.TextOps.canonicalize(planted).as("canon"))
     }),
+    "q81_epoch_expand" -> ((s, dir) => {
+      // fractional-epoch mixture upsampling: en 2.3 / de 1.0 / fr 0.7 /
+      // es 0.4 / zh 0 covers floor>=2, exactly-one, fraction-only, and
+      // vanish; the oracle replays the salted md5 band + generate_series
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val e = when(col("lang") === "en", 2.3)
+        .when(col("lang") === "de", 1.0)
+        .when(col("lang") === "fr", 0.7)
+        .when(col("lang") === "es", 0.4)
+        .otherwise(0.0)
+      graft.ops.Sampling.epochExpand(docs, "doc_id", e)
+    }),
+    "q80_pack_payloads" -> ((s, dir) => {
+      // writer-side pack materialization: slice docs into the packs their
+      // chars land in, reassemble per-pack payloads — byte-matched against
+      // DuckDB's string_agg replay; budget 2048 chars ⇒ ~73 packs at
+      // sf0.01, segSize 128 keeps the prefix-sum stitch exercised
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("txt"))
+      graft.ops.Packing.packAssemble(
+        graft.ops.Packing.packPayloads(docs, "doc_id", "txt",
+          budget = 2048L, segSize = 128L))
+    }),
     "q67_pii_redact" -> ((s, dir) => {
       // PII scrub, byte-matched: plant one email and one IPv4 per doc
       // (built identically in the oracle), redact, return the FULL
@@ -1071,10 +1094,14 @@ object SparkEntry {
           col("n_dropped_rows"), col("n_dropped_pairs_ub"))
     }),
     "t20_span_pairs_full" -> ((s, dir) =>
-      // winnowed span dedup priced at full table scale (q78 certifies the
-      // pipeline on a 250-doc slice; this is the unfiltered corpus with the
-      // production bucket cap — pair semantics are SpanDedupSpec-gated)
-      graft.ops.SpanDedup.spanPairs(
+      // winnowed span dedup priced at full table scale on the PRODUCTION
+      // face (native rolling-hash expression; q78 certifies the pipeline
+      // semantics on the md5 oracle face over a 250-doc slice, WinnowSpec
+      // pins face agreement). The md5 face is deliberately NOT priced at
+      // full scale: interpreted HOF + per-gram md5 costs ~3 orders of
+      // magnitude more (measured, PLANS.md round 4) and would dominate the
+      // whole per-query bench.
+      graft.ops.SpanDedup.spanPairsFast(
         t(s, dir, "documents"), "text", "doc_id", k = 16, w = 8,
         minShared = 2)),
     "t19_role_grammar" -> ((s, _) =>
@@ -1784,6 +1811,49 @@ object SparkEntry {
         |       + 0.5) / 16777216.0) / greatest(n_chars, 1) AS es
         |  FROM documents) r) t
         |WHERE rn <= 5""".stripMargin,
+    "q81_epoch_expand" ->
+      """WITH r AS (
+        | SELECT doc_id, lang,
+        |  CASE lang WHEN 'en' THEN CAST(2.3 AS DOUBLE)
+        |            WHEN 'de' THEN CAST(1.0 AS DOUBLE)
+        |            WHEN 'fr' THEN CAST(0.7 AS DOUBLE)
+        |            WHEN 'es' THEN CAST(0.4 AS DOUBLE)
+        |            ELSE CAST(0.0 AS DOUBLE) END AS e,
+        |  (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 6)
+        |        AS BIGINT) + 0.5) / 16777216.0 AS u
+        | FROM documents),
+        |n AS (
+        | SELECT doc_id, lang,
+        |  CAST(floor(e) AS BIGINT)
+        |   + CASE WHEN u < e - floor(e) THEN 1 ELSE 0 END AS nn
+        | FROM r)
+        |SELECT doc_id, lang, unnest(range(0, nn)) AS copy_idx
+        |FROM n WHERE nn > 0""".stripMargin,
+    "q80_pack_payloads" ->
+      """WITH d AS (
+        | SELECT doc_id, COALESCE(text, '') AS txt,
+        |        length(COALESCE(text, '')) AS len
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, txt, len,
+        |  CAST(COALESCE(sum(len) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS cb
+        | FROM d),
+        |p AS (
+        | SELECT doc_id, txt, len, cb,
+        |  unnest(range(cb // 2048, (cb + len - 1) // 2048 + 1)) AS pack_id
+        | FROM c WHERE len > 0),
+        |s AS (
+        | SELECT pack_id, doc_id,
+        |  greatest(pack_id * 2048, cb) - pack_id * 2048 AS off_in_pack,
+        |  substr(txt, CAST(greatest(pack_id * 2048, cb) - cb + 1 AS INT),
+        |   CAST(least((pack_id + 1) * 2048, cb + len)
+        |        - greatest(pack_id * 2048, cb) AS INT)) AS piece
+        | FROM p)
+        |SELECT pack_id, count(*) AS n_pieces,
+        | string_agg(piece, '' ORDER BY off_in_pack) AS payload
+        |FROM s GROUP BY pack_id""".stripMargin,
     "q65_stratified_salted" ->
       """SELECT lang, doc_id FROM (
         | SELECT lang, doc_id,

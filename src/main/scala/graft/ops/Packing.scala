@@ -100,4 +100,68 @@ object Packing {
       .withColumn("fill",
         round(col("total_w").cast("double") / budget.toDouble, 4))
   }
+
+  /** Writer-side pack materialization: slice every document into the
+    * pack(s) its characters land in under the concatenate-then-chunk
+    * layout, ready for a per-pack ordered reassembly. One row per
+    * (document × pack it touches): `pack_id`, the original order key,
+    * `off_in_pack` (where this piece starts inside the pack) and `piece`
+    * (the substring). Long documents straddle packs and emit one row per
+    * pack; every pack's pieces concatenated in `off_in_pack` order
+    * reproduce characters [pack_id·budget, (pack_id+1)·budget) of the
+    * global stream exactly.
+    *
+    * Scale shape: [[packByBudget]]'s two-phase prefix sum plus one
+    * `explode(sequence(firstPack, lastPack))` — a document emits
+    * ⌈len/budget⌉+1 rows at most, so the expansion is bounded by corpus
+    * size / budget, and the downstream writer shuffle is one hash exchange
+    * on pack_id. No row ever carries more than one document's text.
+    *
+    * The q80 oracle replays slicing AND reassembly (string_agg ordered by
+    * offset) in DuckDB — per-pack payloads hash-matched byte-for-byte.
+    */
+  def packPayloads(
+      df: DataFrame,
+      orderCol: String,
+      textCol: String,
+      budget: Long,
+      segSize: Long = 1L << 20): DataFrame = {
+    require(budget > 0, "budget > 0")
+    val withLen = df.withColumn("__len",
+      length(coalesce(col(textCol), lit(""))).cast("long"))
+    val packed = packByBudget(withLen, orderCol, "__len", budget, segSize)
+    packed
+      .filter(col("__len") > 0)
+      .withColumn("__p", explode(sequence(
+        expr(s"cum_before div ${budget}L"),
+        expr(s"(cum_before + __len - 1) div ${budget}L"))))
+      // global char range of pack __p is [__p*budget, (__p+1)*budget);
+      // intersect with this doc's [cum_before, cum_before+__len)
+      .withColumn("__from", greatest(col("__p") * budget, col("cum_before")))
+      .withColumn("__to",
+        least((col("__p") + 1) * budget, col("cum_before") + col("__len")))
+      .select(
+        col("__p").as("pack_id"),
+        col(orderCol),
+        (col("__from") - col("__p") * budget).as("off_in_pack"),
+        coalesce(col(textCol), lit(""))
+          .substr((col("__from") - col("cum_before") + 1).cast("int"),
+            (col("__to") - col("__from")).cast("int"))
+          .as("piece"))
+  }
+
+  /** Per-pack reassembled payload: pieces ordered by offset and joined —
+    * the materialized context window itself. Deterministic (offsets are a
+    * total order within a pack); one hash shuffle on pack_id.
+    */
+  def packAssemble(payloads: DataFrame): DataFrame =
+    payloads
+      .groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_pieces"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("off_in_pack"), col("piece")))),
+            x => x.getField("piece")),
+          "").as("payload"))
 }

@@ -161,4 +161,40 @@ object Sampling {
       when(pfx < hex, lit(label)).otherwise(acc)
     }
   }
+  /** Deterministic fractional-epoch upsampling — the mixture-weighting
+    * step of a pretraining corpus build ("2.3 epochs of wiki, 0.7 of
+    * crawl"): each row is replicated `floor(epochs)` times plus one more
+    * for the md5-band fraction of rows selected by the fractional part, so
+    * the expected multiplicity is exactly `epochs` and the REALIZED
+    * multiset is a pure function of (key, epochs) — identical on any
+    * cluster size, partitioning, or engine (the q81 DuckDB oracle replays
+    * it with generate_series). `copy_idx` (0-based) disambiguates copies
+    * so a downstream shuffle/pack stage can treat them as distinct rows.
+    *
+    * Scale shape: map-only explode — no shuffle, no window, and the
+    * expansion factor is the mixture weight itself (bounded by
+    * construction; a 10^12-row source at 2.3 epochs emits 2.3·10^12 rows,
+    * which is the point). The fractional-part hash is salted with
+    * ':epoch' so membership decorrelates from every other hash-derived
+    * assignment (split/mixture/sample — the round-3 lesson).
+    *
+    * `epochs` may be any non-negative column expression (per-source join,
+    * literal, quality-derived); rows with epochs = 0 vanish — epoch
+    * weighting subsumes keep-rate downsampling.
+    */
+  def epochExpand(df: DataFrame, keyCol: String, epochs: Column): DataFrame = {
+    val e = epochs.cast("double")
+    val whole = floor(e).cast("long")
+    // md5-band uniform in [0,1): same 24-bit-prefix construction as the
+    // weighted race, salted for decorrelation
+    val u = (conv(substring(md5(concat(col(keyCol).cast("string"),
+      lit(":epoch"))), 1, 6), 16, 10).cast("double") + 0.5) / (1 << 24).toDouble
+    val n = (whole + when(u < (e - whole.cast("double")), 1L).otherwise(0L))
+      .cast("long")
+    df.withColumn("__n", n)
+      .withColumn("copy_idx",
+        explode(when(col("__n") === 0L, array().cast("array<bigint>"))
+          .otherwise(sequence(lit(0L), col("__n") - 1L))))
+      .drop("__n")
+  }
 }

@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions._
   * Scale shape mirrors [[Dedup]]: fingerprinting is map-only per document
   * (no cross-row state); candidate pairs come from a bucket self-join on
   * 8-byte fingerprints with id-only rows and a `maxBucket` cap (audited,
-  * never silent); nothing is ever all-pairs. Gram hashes are the first 15
-  * hex digits of md5 (60 bits) so the DuckDB oracle replays the whole
-  * pipeline bit-for-bit (q70's conv technique); a custom rolling-hash +
-  * monotonic-deque Expression would drop the per-gram md5 and the O(w)
-  * window scan to O(1) amortized if profiling ever shows this stage hot.
+  * never silent); nothing is ever all-pairs. Two fingerprint faces share
+  * that topology: the md5 face ([[fingerprints]], 60-bit md5-prefix gram
+  * hashes) exists so the DuckDB oracle replays the whole pipeline
+  * bit-for-bit (q70's conv technique); the production face
+  * ([[fingerprintsFast]]) is the native one-pass rolling-hash +
+  * monotonic-deque expression ([[graft.functions.WinnowFingerprints]]) —
+  * O(1) amortized per byte, no per-gram allocation (measured A/B in
+  * PLANS.md).
   */
 object SpanDedup {
 
@@ -68,8 +71,21 @@ object SpanDedup {
   def spanPairs(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 16, w: Int = 8, minShared: Int = 1,
-      maxBucket: Int = 200): DataFrame = {
-    val fps = fingerprints(df, textCol, idCol, k, w)
+      maxBucket: Int = 200): DataFrame =
+    pairsFrom(fingerprints(df, textCol, idCol, k, w), minShared, maxBucket)
+
+  /** The shared pair topology behind both fingerprint faces: bucket
+    * self-join on fp (ids only), `maxBucket` capped, pair = docs sharing
+    * ≥ `minShared` distinct fingerprints. Fingerprints are persisted
+    * first (the [[Dedup.lshCandidates]] rule): they feed the bucket-count
+    * aggregate AND both sides of the self-join, so without the persist the
+    * per-character fingerprint scan re-runs 4× — at 10^12 rows that is the
+    * whole job cost three times over.
+    */
+  private def pairsFrom(
+      fpsRaw: DataFrame, minShared: Int, maxBucket: Int): DataFrame = {
+    val fps = fpsRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ok = fps.join(
       fps.groupBy("fp").agg(count(lit(1)).as("bn"))
         .filter(col("bn") > 1 && col("bn") <= maxBucket),
@@ -82,6 +98,30 @@ object SpanDedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Fast-path fingerprints via the native one-pass rolling-hash
+    * expression ([[graft.functions.WinnowFingerprints]]): same output
+    * shape and structural guarantee as [[fingerprints]], ~O(n) per
+    * document instead of O(n·(md5 + w)) — the production face for the
+    * 10^12-row corpus; the md5 face stays as the DuckDB-replayable oracle
+    * (WinnowSpec asserts the two faces find the identical duplicate-pair
+    * set on an ASCII corpus, where their gram boundaries coincide).
+    */
+  def fingerprintsFast(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 16, w: Int = 8): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(graft.functions.WinnowFingerprints.winnowFingerprints(
+        coalesce(col(textCol), lit("")), k, w)).as("fp"))
+
+  /** [[spanPairs]] over the fast fingerprint face — identical bucket-join
+    * topology, capped and auditable the same way.
+    */
+  def spanPairsFast(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 1,
+      maxBucket: Int = 200): DataFrame =
+    pairsFrom(fingerprintsFast(df, textCol, idCol, k, w), minShared, maxBucket)
+
   /** Per-document duplicated-span exposure: of a doc's fingerprints, how
     * many also occur in ≥ 1 other document (the "what fraction of me is
     * boilerplate shared with the corpus" quality signal — [[Boilerplate]]
@@ -93,7 +133,10 @@ object SpanDedup {
   def spanIncidence(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 16, w: Int = 8): DataFrame = {
+    // persisted for the same reason as [[pairsFrom]]: fps feeds both the
+    // frequency aggregate and the join-back
     val fps = fingerprints(df, textCol, idCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shared = fps.groupBy("fp").agg(count(lit(1)).as("nf"))
       .filter(col("nf") > 1)
       .select(col("fp"), lit(1L).as("is_shared"))

@@ -113,4 +113,45 @@ class PackingSpec extends AnyFunSuite {
     assert(got.contains(999L),
       "a 10^6x weight's race key ln(u)/w ~ 0 must beat unit weights")
   }
+
+  test("packPayloads + packAssemble reconstruct the concatenated stream " +
+    "exactly: every pack is budget-sized (except the last) and the joined " +
+    "payloads equal the joined documents") {
+    val budget = 50L
+    val rnd = new scala.util.Random(7)
+    val texts = (0L until 40L).map { i =>
+      // lengths 0..120 — several docs straddle multiple 50-char packs,
+      // some are empty, some tiny
+      i -> ("d%03d_".format(i) + ("x" * rnd.nextInt(115)))
+    }
+    val df = texts.toDF("doc_id", "txt")
+    val payloads = Packing.packPayloads(df, "doc_id", "txt", budget, segSize = 8L)
+    val packs = Packing.packAssemble(payloads)
+      .select("pack_id", "payload").as[(Long, String)].collect()
+      .sortBy(_._1)
+    val stream = texts.map(_._2).mkString
+    assert(packs.map(_._2).mkString === stream,
+      "reassembled packs must reproduce the concatenated stream byte-for-byte")
+    packs.dropRight(1).foreach { case (pid, pay) =>
+      assert(pay.length === budget.toInt, s"pack $pid not full: ${pay.length}")
+    }
+    assert(packs.map(_._1) === packs.indices.map(_.toLong).toArray.toSeq,
+      "pack ids must be contiguous from 0 — straddling docs cover every pack")
+  }
+
+  test("packPayloads: a document longer than the budget emits one piece per " +
+    "pack it covers, offsets consistent") {
+    val df = Seq((0L, "a" * 10), (1L, "b" * 130), (2L, "c" * 10))
+      .toDF("doc_id", "txt")
+    val rows = Packing.packPayloads(df, "doc_id", "txt", budget = 50L)
+      .filter(col("doc_id") === 1L)
+      .select("pack_id", "off_in_pack", "piece")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // doc 1 spans chars [10, 140) => packs 0,1,2
+    assert(rows.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(rows.map(_._3.length).toSeq === Seq(40, 50, 40))
+    assert(rows.head._2 === 10L && rows(1)._2 === 0L && rows(2)._2 === 0L)
+    assert(rows.forall(_._3.forall(_ == 'b')))
+  }
+
 }

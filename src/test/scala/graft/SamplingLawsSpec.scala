@@ -140,4 +140,35 @@ class SamplingLawsSpec extends AnyFunSuite {
     val expEq = ids.sortBy(i => (-uOf(i), i)).take(10).toSet
     assert(gotEq === expEq, "equal weights = largest-u race")
   }
+  test("law: epochExpand realizes floor copies always, the fractional copy " +
+    "on the salted md5 band, and is partitioning-invariant") {
+    val df = spark.range(0, 4000).select(col("id").as("doc_id"))
+    val out = Sampling.epochExpand(df, "doc_id", lit(2.3))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"),
+        max("copy_idx").as("mx"), min("copy_idx").as("mn"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length === 4000, "every doc keeps >= floor(e) = 2 copies")
+    assert(out.forall { case (_, n, mx, mn) =>
+      (n == 2L || n == 3L) && mn == 0L && mx == n - 1 })
+    val frac = out.count(_._2 == 3L).toDouble / out.length
+    assert(math.abs(frac - 0.3) < 0.03,
+      s"fractional-copy rate $frac should approximate 0.3")
+    // invariance: same multiset under a different partitioning
+    val re = Sampling.epochExpand(df.repartition(13), "doc_id", lit(2.3))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(out.forall { case (id, n, _, _) => re(id) == n })
+  }
+
+  test("law: epochExpand at 0 vanishes, at an exact integer replicates " +
+    "exactly, and subsumes keep-rate downsampling at e < 1") {
+    val df = spark.range(0, 2000).select(col("id").as("doc_id"))
+    assert(Sampling.epochExpand(df, "doc_id", lit(0.0)).count() === 0L)
+    assert(Sampling.epochExpand(df, "doc_id", lit(3.0))
+      .groupBy("doc_id").count().as[(Long, Long)].collect()
+      .forall(_._2 == 3L))
+    val kept = Sampling.epochExpand(df, "doc_id", lit(0.25)).count().toDouble
+    assert(math.abs(kept / 2000.0 - 0.25) < 0.04,
+      s"e=0.25 keeps ~25%, got ${kept / 2000.0}")
+  }
 }
