@@ -985,6 +985,23 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.ops.TextOps.canonicalize(planted).as("canon"))
     }),
+    "q82_line_dedup" -> ((s, dir) => {
+      // C4/Dolma duplicate-line removal, byte-matched end-to-end: docs
+      // ≡ 0 (mod 4) get one of 3 recurring banner lines plus a short
+      // "ok" line (below the 15-char floor, must survive); organic
+      // exact-dup texts in the synthetic corpus recur as full lines and
+      // are dropped identically by both engines
+      val banner = concat(
+        lit("Banner variant "), pmod(col("doc_id"), lit(3)).cast("string"),
+        lit(" subscribe to our newsletter today"))
+      val planted = when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(coalesce(col("text"), lit("")), lit("\n"), banner,
+          lit("\nok")))
+        .otherwise(coalesce(col("text"), lit("")))
+      graft.ops.SpanDedup.dedupLines(
+        t(s, dir, "documents").select(col("doc_id"), planted.as("t")),
+        "t", "doc_id")
+    }),
     "q81_epoch_expand" -> ((s, dir) => {
       // fractional-epoch mixture upsampling: en 2.3 / de 1.0 / fr 0.7 /
       // es 0.4 / zh 0 covers floor>=2, exactly-one, fraction-only, and
@@ -1811,6 +1828,39 @@ object SparkEntry {
         |       + 0.5) / 16777216.0) / greatest(n_chars, 1) AS es
         |  FROM documents) r) t
         |WHERE rn <= 5""".stripMargin,
+"q82_line_dedup" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0
+        |   THEN COALESCE(text,'') || chr(10) || 'Banner variant ' ||
+        |        CAST(doc_id % 3 AS VARCHAR) ||
+        |        ' subscribe to our newsletter today' || chr(10) || 'ok'
+        |   ELSE COALESCE(text,'') END AS t
+        | FROM documents),
+        |s AS (SELECT doc_id, string_split(t, chr(10)) AS parts FROM d),
+        |l0 AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(parts) + 1),
+        |   i -> {p: i - 1, ln: parts[i]})) AS u
+        | FROM s),
+        |l AS (
+        | SELECT doc_id, u.p AS pos,
+        |  CAST('0x' || substr(md5(u.ln), 1, 15) AS BIGINT) AS h
+        | FROM l0 WHERE length(trim(u.ln)) >= 15),
+        |f AS (SELECT h FROM l GROUP BY h
+        |      HAVING count(DISTINCT doc_id) >= 2),
+        |dr AS (SELECT doc_id, list_sort(list(pos)) AS dp
+        |       FROM l JOIN f USING (h) GROUP BY doc_id),
+        |r AS (SELECT s.doc_id, parts,
+        |       COALESCE(dp, CAST([] AS BIGINT[])) AS dp
+        |      FROM s LEFT JOIN dr ON s.doc_id = dr.doc_id)
+        |SELECT doc_id,
+        | array_to_string(list_transform(
+        |   list_filter(range(1, len(parts) + 1),
+        |     i -> NOT list_contains(dp, i - 1)),
+        |   i -> parts[i]), chr(10)) AS clean_text,
+        | CAST(len(parts) AS INT) AS n_lines,
+        | CAST(len(dp) AS INT) AS n_lines_removed
+        |FROM r""".stripMargin,
     "q81_epoch_expand" ->
       """WITH r AS (
         | SELECT doc_id, lang,

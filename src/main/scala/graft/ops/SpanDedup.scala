@@ -156,4 +156,78 @@ object SpanDedup {
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 16, w: Int = 8, maxBucket: Int = 200): DataFrame =
     Dedup.bucketAudit(fingerprints(df, textCol, idCol, k, w), "fp", maxBucket)
+
+  /** Exact duplicate-LINE removal (the C4/Dolma paragraph-dedup rule):
+    * drop every line whose exact text recurs in ≥ `minDocFreq` distinct
+    * documents — newsletter banners, cookie notices, nav footers — and
+    * reassemble each document with its remaining lines in order. Returns
+    * (id, clean_text, n_lines, n_lines_removed).
+    *
+    * Scale shape — the document text NEVER enters a shuffle:
+    *  1. lines → (id, pos, 60-bit md5 hash) only, via posexplode(split);
+    *  2. one hash shuffle counts distinct docs per line hash (partial
+    *     aggregates flatten hot banners); frequent hashes form the drop
+    *     set;
+    *  3. per-doc drop POSITIONS come back as one small int-array row per
+    *     affected doc (id-only join);
+    *  4. the actual removal is a map-side `filter(transform(split(...)))`
+    *     against that array on the original table.
+    * The only rows carrying text through an exchange are (hash join keys
+    * are 8-byte longs; reassembly happens where the document already
+    * lives). Compare q80's packAssemble, where moving text IS the job.
+    *
+    * Lines shorter than `minLineLen` chars (after trim) are never
+    * candidates — "Thanks!", empty lines, and list bullets recur across
+    * any corpus without being boilerplate (the C4 rule's three-sentence
+    * floor serves the same purpose). The q82 oracle replays split →
+    * hash → frequency → positional filter → reassembly in DuckDB
+    * byte-for-byte.
+    */
+  def dedupLines(
+      df: DataFrame, textCol: String, idCol: String,
+      minDocFreq: Long = 2L, minLineLen: Int = 15): DataFrame = {
+    require(minDocFreq >= 2L, "minDocFreq >= 2")
+    val t = coalesce(col(textCol), lit(""))
+    val id = col(idCol)
+
+    // persisted: feeds the frequency aggregate AND the drop-position join
+    // (the [[pairsFrom]] rule — unpersisted, the explode+hash scan re-runs)
+    val lines = df.select(
+        id.as("id"), posexplode(split(t, "\n", -1)).as(Seq("pos", "line")))
+      .filter(length(trim(col("line"))) >= minLineLen)
+      .select(col("id"), col("pos"),
+        conv(substring(md5(col("line")), 1, 15), 16, 10).cast("long").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val frequent = lines.groupBy("h")
+      .agg(count_distinct(col("id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocFreq)
+      .select("h")
+
+    val drops = lines.join(frequent, Seq("h"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("pos"))).as("__drop"))
+      .withColumnRenamed("id", "__did")
+
+    // one small row per AFFECTED doc (id + int array) broadcasts back to
+    // where the text already lives; for a corpus where the affected-doc
+    // set itself overflows broadcast limits, drop the hint and text moves
+    // through one (unavoidable) exchange instead
+    df.join(broadcast(drops), id === col("__did"), "left")
+      .select(
+        id.as(idCol),
+        array_join(
+          transform(
+            filter(
+              zip_with(
+                split(t, "\n", -1),
+                sequence(lit(0), greatest(size(split(t, "\n", -1)) - 1, lit(0))),
+                (l, i) => struct(l.as("l"), i.as("i"))),
+              s => col("__drop").isNull ||
+                !array_contains(col("__drop"), s.getField("i"))),
+            s => s.getField("l")),
+          "\n").as("clean_text"),
+        size(split(t, "\n", -1)).as("n_lines"),
+        coalesce(size(col("__drop")), lit(0)).as("n_lines_removed"))
+  }
 }

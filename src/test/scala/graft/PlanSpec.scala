@@ -373,4 +373,21 @@ class PlanSpec extends AnyFunSuite {
     assert("""\(\d+\) WindowGroupLimit""".r.findAllIn(p).size >= 2,
       s"expected partial+final WindowGroupLimit in:\n$p")
   }
+
+  test("dedupLines: the drop set broadcasts back and document text never " +
+    "enters a hash exchange — only (id, pos, hash) rows shuffle") {
+    val df = spark.range(0, 50000).select(col("id").as("doc_id"),
+      concat(lit("line one of the document body here\nshared banner "),
+        (col("id") % 3).cast("string"),
+        lit(" subscribe now\nline three unique "),
+        col("id").cast("string")).as("t"))
+    val p = plan(graft.ops.SpanDedup.dedupLines(df, "t", "doc_id"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"drop positions must broadcast back to the text side:\n$p")
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).toSeq
+    assert(exchanges.nonEmpty, s"expected line-hash aggregation shuffles:\n$p")
+    assert(!exchanges.exists(_.contains("t#")),
+      s"document text entered a hash exchange:\n$p")
+  }
 }

@@ -88,4 +88,53 @@ class SpanDedupSpec extends AnyFunSuite {
       .spanPairs(df, "t", "id", k, w, minShared = 1, maxBucket = 10).count()
     assert(pairs === 0L, "capped bucket must not produce pairs")
   }
+
+  test("dedupLines drops a line recurring across docs, keeps unique and " +
+    "short lines, and reassembles untouched docs byte-identically") {
+    val banner = "subscribe to our newsletter for all the updates"
+    val docs = Seq(
+      (0L, s"alpha unique content line zero\n$banner\nok"),
+      (1L, s"beta unique content line one\n$banner"),
+      (2L, s"$banner\ngamma unique content line two"),
+      (3L, "delta untouched document with no banner at all"),
+      (4L, s"short\nshort\nepsilon unique content line four"))
+      .toDF("doc_id", "t")
+    val out = SpanDedup.dedupLines(docs, "t", "doc_id")
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+    assert(out(0)._2 === "alpha unique content line zero\nok")
+    assert(out(0)._4 === 1)
+    assert(out(1)._2 === "beta unique content line one")
+    assert(out(2)._2 === "gamma unique content line two")
+    assert(out(3)._2 === "delta untouched document with no banner at all")
+    assert(out(3)._4 === 0 && out(3)._3 === 1)
+    // "short" recurs WITHIN one doc and is under the length floor: kept
+    assert(out(4)._2 === "short\nshort\nepsilon unique content line four")
+  }
+
+  test("dedupLines frequency is DISTINCT-doc based: a line repeated many " +
+    "times inside ONE doc is not boilerplate") {
+    val line = "this exact line repeats inside a single document"
+    val docs = Seq(
+      (0L, s"$line\n$line\n$line"),
+      (1L, "completely different material here")).toDF("doc_id", "t")
+    val out = SpanDedup.dedupLines(docs, "t", "doc_id")
+      .filter(col("doc_id") === 0L).as[(Long, String, Int, Int)].head()
+    assert(out._4 === 0, "within-doc repetition alone must not drop")
+    assert(out._2 === s"$line\n$line\n$line")
+  }
+
+  test("dedupLines is invariant under repartitioning (text-not-shuffled " +
+    "plan shape pinned in PlanSpec)") {
+    val banner = "recurring banner line for the partitioning invariance test"
+    val docs = (0L until 200L).map { i =>
+      val base = s"doc $i unique content with enough length to count"
+      (i, if (i % 3 == 0) s"$base\n$banner" else base)
+    }.toDF("doc_id", "t")
+    val a = SpanDedup.dedupLines(docs, "t", "doc_id")
+      .as[(Long, String, Int, Int)].collect().toSet
+    val b = SpanDedup.dedupLines(docs.repartition(7), "t", "doc_id")
+      .as[(Long, String, Int, Int)].collect().toSet
+    assert(a === b)
+    assert(a.count(_._4 == 1) === 67, "every third doc loses its banner")
+  }
 }
