@@ -1002,6 +1002,95 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), planted.as("t")),
         "t", "doc_id")
     }),
+    "q83_html_extract" -> ((s, dir) => {
+      // HTML→text extraction byte-matched end-to-end: planted markup
+      // exercises script/style bodies (with < and && inside), a
+      // multi-line comment, block-tag paragraph breaks, the whole
+      // entity table (incl. the &amp;-last rule: "&amp;lt;" must
+      // surface as literal "&lt;"), and whitespace normalization
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><head><title>Doc "), id.cast("string"), lit("</title>"),
+        lit("<style type=\"text/css\">body { color: #fff; }</style>"),
+        when(pmod(id, lit(3)) === 0,
+          lit("<script>if (a < b && c > 0) { alert(\"x&y\"); }</script>"))
+          .otherwise(lit("")),
+        lit("</head><!-- hidden <b>note</b>\nspans lines --><body>"),
+        lit("<h1 class=\"t\">Title &amp; more</h1><p>"),
+        substring(coalesce(col("text"), lit("")), 1, 120),
+        lit("</p><p>M&amp;A &lt;tag&gt; &quot;q&quot; &#39;s&nbsp;" +
+          "&mdash;&hellip; &amp;lt; &#38;co</p>"),
+        when(pmod(id, lit(4)) === 1,
+          lit("<ul><li>one</li><li>two</li></ul>")).otherwise(lit("")),
+        lit("</body></html>"))
+      t(s, dir, "documents")
+        .select(id, graft.ops.WebText.stripHtml(html).as("clean_text"))
+    }),
+    "q84_url_normalize" -> ((s, dir) => {
+      // URL canonicalization on planted URLs covering upper-case
+      // scheme/host, www + subdomain labels, ccTLD second-level
+      // (co.uk) vs plain domains, default (:443) and non-default
+      // (:8080) ports, empty paths, tracking params in leading /
+      // middle / only positions, and fragments
+      val p = graft.ops.WebText.urlParts(plantedUrl)
+      t(s, dir, "documents").select(col("doc_id"),
+        p.getField("url_norm").as("url_norm"),
+        p.getField("host").as("host"),
+        p.getField("domain").as("domain"))
+    }),
+    "q85_domain_stats" -> ((s, dir) => {
+      // per-registrable-domain corpus rollup (the blocklist /
+      // reputation shape): one hash shuffle on the extracted domain
+      val p = graft.ops.WebText.urlParts(plantedUrl)
+      t(s, dir, "documents")
+        .select(p.getField("domain").as("domain"),
+          p.getField("host").as("host"), col("n_chars"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("host")).as("n_hosts"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+    "q86_turn_budget" -> ((s, dir) => {
+      // context-window tail selection per conversation (user_id as the
+      // conv key): newest-first token cumsum within a 64-token budget,
+      // latest row always kept; the per-conv rollup reuses the window's
+      // hash partitioning so the whole query costs ONE exchange
+      val tok = greatest(lit(1L),
+        floor(length(coalesce(col("props"), lit(""))) / lit(4)).cast("long"))
+      graft.ops.ContextBudget
+        .tailWithinBudget(t(s, dir, "events"), "user_id", "ts", "event_id",
+          tok, 64L)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("kept_events"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+            .as("kept_tokens"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("dropped_events"))
+    }),
+    "q87_mojibake" -> ((s, dir) => {
+      // UTF-8-read-as-cp1252 repair, byte-matched: docs ≡ 0 (mod 3) get
+      // the clean sample round-tripped through the real encoding bug
+      // (computed, not hand-typed — soft hyphens and C1 controls are
+      // invisible); fix must restore the clean text and zero the marker
+      // count, clean docs must pass through untouched
+      val plant = lit(graft.ops.TextOps.utf8AsCp1252(mojibakeCleanSample))
+      val planted = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(coalesce(col("text"), lit("")), plant))
+        .otherwise(coalesce(col("text"), lit("")))
+      val fixed = graft.ops.TextOps.fixMojibake(planted)
+      t(s, dir, "documents").select(col("doc_id"),
+        fixed.as("fixed"),
+        graft.ops.TextOps.mojibakeMarkers(planted).cast("long")
+          .as("n_markers_before"),
+        graft.ops.TextOps.mojibakeMarkers(fixed).cast("long")
+          .as("n_markers_after"))
+    }),
+    "q88_ngram_repetition" -> ((s, dir) => {
+      // Gopher repetition signals on the organic corpus (the word-salad
+      // vocabulary repeats naturally — no plant needed): exact ppm
+      // integers so floor-parity is bit-exact cross-engine
+      graft.ops.NgramStats.repetitionSignals(
+        t(s, dir, "documents"), "text", "doc_id")
+    }),
     "q81_epoch_expand" -> ((s, dir) => {
       // fractional-epoch mixture upsampling: en 2.3 / de 1.0 / fr 0.7 /
       // es 0.4 / zh 0 covers floor>=2, exactly-one, fraction-only, and
@@ -1191,6 +1280,152 @@ object SparkEntry {
           col("pix.mean_b").as("mean_b"))
     })
   )
+
+  /** Planted URL column shared by q84/q85 — deterministic per doc_id,
+    * covering every [[graft.ops.WebText.urlParts]] branch. */
+  private def plantedUrl: Column = {
+    val id = col("doc_id")
+    concat(
+      when(pmod(id, lit(2)) === 0, lit("HTTPS://")).otherwise(lit("http://")),
+      when(pmod(id, lit(5)) === 0, lit("WWW.")).otherwise(lit("")),
+      when(pmod(id, lit(7)) < 3,
+        concat(lit("sub"), pmod(id, lit(7)).cast("string"), lit(".")))
+        .otherwise(lit("")),
+      when(pmod(id, lit(3)) === 0, lit("Example.CO.uk"))
+        .when(pmod(id, lit(3)) === 1, lit("Sample.COM"))
+        .otherwise(lit("news.org")),
+      when(pmod(id, lit(4)) === 0, lit(":443"))
+        .when(pmod(id, lit(4)) === 1, lit(":8080")).otherwise(lit("")),
+      when(pmod(id, lit(6)) === 5, lit(""))
+        .otherwise(concat(lit("/Path/"), id.cast("string"))),
+      when(pmod(id, lit(6)) === 0, lit("?utm_source=tw&id=1&utm_campaign=x"))
+        .when(pmod(id, lit(6)) === 1, lit("?gclid=abc"))
+        .when(pmod(id, lit(6)) === 2, lit("?a=1&fbclid=zz&b=2"))
+        .otherwise(lit("")),
+      lit("#frag"))
+  }
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** SQL string literal that splices invisible / control / C1 chars (which
+    * mojibake keys are full of) as explicit chr(n) concats, so the
+    * generated oracle stays readable and byte-exact. */
+  private def sqlStrEsc(s: String): String = {
+    val sb = new StringBuilder("'")
+    s.foreach { ch =>
+      if (ch == '\'') sb.append("''")
+      else if (ch < 0x20 || (ch >= 0x7F && ch <= 0xA0) || ch == '\u00AD')
+        sb.append("' || chr(").append(ch.toInt).append(") || '")
+      else sb.append(ch)
+    }
+    sb.append("'").toString
+  }
+
+  /** Clean text whose cp1252 round-trip plants every q87 mojibake class:
+    * punctuation (3-byte UTF-8 incl. the C1-control ” case), accented
+    * Latin-1 (incl. invisible-second-char ï/à), currency, NBSP. */
+  private val mojibakeCleanSample: String =
+    " Café — “naïve” «extra» €5 " +
+      "don’t… über ß É end"
+
+  /** DuckDB replay of [[graft.ops.TextOps.fixMojibake]] over SQL expr `x`,
+    * generated from the same table so the chains cannot drift. */
+  private def fixMojibakeSql(x: String): String =
+    graft.ops.TextOps.mojibakeTable.foldLeft(x) { case (acc, (k, v)) =>
+      "replace(" + acc + ", " + sqlStrEsc(k) + ", " + sqlStrEsc(v) + ")"
+    }
+
+  /** DuckDB replay of [[graft.ops.WebText.stripHtml]] applied to the SQL
+    * expression `x` — the exact same regex chain and entity fold order,
+    * generated from the same tables so the two can never drift. */
+  private def stripHtmlSql(x: String): String = {
+    val noComment = "regexp_replace(" + x + ", '(?s)<!--.*?-->', ' ', 'g')"
+    val noScript = "regexp_replace(" + noComment +
+      ", '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g')"
+    val noStyle = "regexp_replace(" + noScript +
+      ", '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g')"
+    val blocks = "regexp_replace(" + noStyle + ", '" +
+      graft.ops.WebText.blockTagPattern + "', chr(10), 'g')"
+    val noTags = "regexp_replace(" + blocks + ", '<[^>]*>', ' ', 'g')"
+    val decoded = graft.ops.WebText.entities.foldLeft(noTags) {
+      case (acc, (k, v)) =>
+        "replace(" + acc + ", " + sqlStr(k) + ", " + sqlStr(v) + ")"
+    }
+    "trim(regexp_replace(regexp_replace(regexp_replace(" + decoded +
+      ", '[ \\t\\x0B\\f\\r]+', ' ', 'g'), '[ ]*\\n[ ]*', chr(10), 'g'), " +
+      "'\\n{3,}', chr(10) || chr(10), 'g'), ' ' || chr(10))"
+  }
+
+  /** DuckDB replay of [[plantedUrl]] (must match it byte-for-byte). */
+  private val urlPlantSql: String =
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END || " +
+      "CASE WHEN doc_id % 7 < 3 THEN 'sub' || CAST(doc_id % 7 AS VARCHAR) " +
+      "|| '.' ELSE '' END || " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'Example.CO.uk' " +
+      "WHEN doc_id % 3 = 1 THEN 'Sample.COM' ELSE 'news.org' END || " +
+      "CASE WHEN doc_id % 4 = 0 THEN ':443' " +
+      "WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END || " +
+      "CASE WHEN doc_id % 6 = 5 THEN '' " +
+      "ELSE '/Path/' || CAST(doc_id AS VARCHAR) END || " +
+      "CASE WHEN doc_id % 6 = 0 THEN '?utm_source=tw&id=1&utm_campaign=x' " +
+      "WHEN doc_id % 6 = 1 THEN '?gclid=abc' " +
+      "WHEN doc_id % 6 = 2 THEN '?a=1&fbclid=zz&b=2' ELSE '' END || " +
+      "'#frag')"
+
+  /** DuckDB CTE chain replaying [[graft.ops.WebText.urlParts]] over the
+    * planted URL; ends with `pf(doc_id, n_chars, url_norm, host, domain)`.
+    * Shared by q84/q85. */
+  private val urlPartsSqlPrefix: String =
+    "WITH u0 AS (SELECT doc_id, n_chars, " + urlPlantSql +
+      " AS u FROM documents),\n" +
+      "p1 AS (SELECT *, regexp_replace(u, '#.*$', '', 'g') AS nf FROM u0),\n" +
+      "p2 AS (SELECT *, " +
+      "lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) " +
+      "AS scheme,\n" +
+      "  lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))" +
+      " AS hostport FROM p1),\n" +
+      "p3 AS (SELECT *, regexp_replace(hostport, ':[0-9]+$', '', 'g') " +
+      "AS host,\n" +
+      "  regexp_extract(hostport, ':([0-9]+)$', 1) AS port,\n" +
+      "  regexp_replace(regexp_replace(regexp_replace(regexp_replace(nf,\n" +
+      "    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g'),\n" +
+      "    '&(?:utm_[a-zA-Z]+|fbclid|gclid)=[^&]*', '', 'g'),\n" +
+      "    '\\?(?:utm_[a-zA-Z]+|fbclid|gclid)=[^&]*&', '?', 'g'),\n" +
+      "    '\\?(?:utm_[a-zA-Z]+|fbclid|gclid)=[^&]*$', '', 'g') " +
+      "AS rest FROM p2),\n" +
+      "p4 AS (SELECT *, CASE WHEN rest = '' THEN '/' ELSE rest END " +
+      "AS path,\n" +
+      "  CASE WHEN port = '' OR (scheme = 'https' AND port = '443') " +
+      "OR (scheme = 'http' AND port = '80')\n" +
+      "       THEN '' ELSE ':' || port END AS keep_port,\n" +
+      "  regexp_replace(host, '^www\\.', '', 'g') AS hnw FROM p3),\n" +
+      "p5 AS (SELECT *, regexp_extract(hnw, " +
+      "'([^.]+\\.(?:co|com|net|org|gov|ac|edu)\\.[a-z]{2})$', 1) AS d3,\n" +
+      "  regexp_extract(hnw, '([^.]+\\.[^.]+)$', 1) AS d2 FROM p4),\n" +
+      "pf AS (SELECT doc_id, n_chars,\n" +
+      "  CASE WHEN scheme = '' THEN u " +
+      "ELSE scheme || '://' || host || keep_port || path END AS url_norm,\n" +
+      "  host,\n" +
+      "  CASE WHEN d3 <> '' THEN d3 WHEN d2 <> '' THEN d2 ELSE hnw END " +
+      "AS domain FROM p5)"
+
+  /** DuckDB replay of the q83 planted HTML (must match the Spark plant
+    * byte-for-byte). */
+  private val htmlPlantSql: String =
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' || " +
+      "'<style type=\"text/css\">body { color: #fff; }</style>' || " +
+      "CASE WHEN doc_id % 3 = 0 THEN " +
+      "'<script>if (a < b && c > 0) { alert(\"x&y\"); }</script>' " +
+      "ELSE '' END || " +
+      "'</head><!-- hidden <b>note</b>' || chr(10) || " +
+      "'spans lines --><body>' || " +
+      "'<h1 class=\"t\">Title &amp; more</h1><p>' || " +
+      "substr(COALESCE(text,''), 1, 120) || " +
+      "'</p><p>M&amp;A &lt;tag&gt; &quot;q&quot; &#39;s&nbsp;" +
+      "&mdash;&hellip; &amp;lt; &#38;co</p>' || " +
+      "CASE WHEN doc_id % 4 = 1 THEN '<ul><li>one</li><li>two</li></ul>' " +
+      "ELSE '' END || '</body></html>'"
 
   /** Shared DuckDB CTE chain replaying [[spanDocs]] + the SpanDedup winnow
     * (gram md5 → 60-bit conv → window minima → distinct) for q78/q79.
@@ -1861,6 +2096,90 @@ object SparkEntry {
         | CAST(len(parts) AS INT) AS n_lines,
         | CAST(len(dp) AS INT) AS n_lines_removed
         |FROM r""".stripMargin,
+    "q83_html_extract" ->
+      ("WITH h AS (SELECT doc_id, " + htmlPlantSql + " AS x FROM documents)\n" +
+        "SELECT doc_id, " + stripHtmlSql("x") + " AS clean_text FROM h"),
+    "q84_url_normalize" ->
+      (urlPartsSqlPrefix + "\nSELECT doc_id, url_norm, host, domain FROM pf"),
+    "q85_domain_stats" ->
+      (urlPartsSqlPrefix + "\nSELECT domain, count(*) AS n_docs, " +
+        "count(DISTINCT host) AS n_hosts, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM pf GROUP BY domain"),
+    "q86_turn_budget" ->
+      """WITH n AS (
+        | SELECT user_id, ts, event_id,
+        |  greatest(1, CAST(floor(length(COALESCE(props,'')) / 4) AS BIGINT))
+        |    AS nt
+        | FROM events),
+        |w AS (
+        | SELECT user_id, nt,
+        |  sum(nt) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cum,
+        |  row_number() OVER (PARTITION BY user_id
+        |                     ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM n)
+        |SELECT user_id,
+        | CAST(sum(CASE WHEN cum <= 64 OR rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS kept_events,
+        | CAST(sum(CASE WHEN cum <= 64 OR rn = 1 THEN nt ELSE 0 END)
+        |   AS BIGINT) AS kept_tokens,
+        | CAST(sum(CASE WHEN cum <= 64 OR rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+        |   AS dropped_events
+        |FROM w GROUP BY user_id""".stripMargin,
+    "q87_mojibake" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN " +
+        "COALESCE(text,'') || " +
+        sqlStrEsc(graft.ops.TextOps.utf8AsCp1252(mojibakeCleanSample)) +
+        " ELSE COALESCE(text,'') END AS x FROM documents)\n" +
+        "SELECT doc_id, " + fixMojibakeSql("x") + " AS fixed,\n" +
+        " CAST(len(regexp_extract_all(x, 'Ã|â€|Â')) AS BIGINT) " +
+        "AS n_markers_before,\n" +
+        " CAST(len(regexp_extract_all(" + fixMojibakeSql("x") +
+        ", 'Ã|â€|Â')) AS BIGINT) AS n_markers_after\nFROM d"),
+    "q88_ngram_repetition" ->
+      """WITH w AS (
+        | SELECT doc_id, greatest(length(COALESCE(text,'')), 1) AS nch,
+        |  string_split_regex(trim(COALESCE(text,'')), '\s+') AS ws
+        | FROM documents),
+        |nn AS (SELECT unnest([2,3,4,5,6]) AS n),
+        |g AS (
+        | SELECT doc_id, nch, n,
+        |  unnest(list_transform(list_filter(range(1, len(ws) + 1),
+        |    i -> i + n - 1 <= len(ws)),
+        |    i -> array_to_string(ws[i:i+n-1], ' '))) AS gram
+        | FROM w, nn),
+        |e AS (
+        | SELECT doc_id, nch, n,
+        |  CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h,
+        |  CAST(length(gram) AS BIGINT) AS glen
+        | FROM g
+        | UNION ALL
+        | SELECT doc_id, greatest(length(COALESCE(text,'')), 1), 0, 0, 0
+        | FROM documents),
+        |c AS (SELECT doc_id, nch, n, h, glen, count(*) AS cnt
+        |      FROM e GROUP BY 1,2,3,4,5),
+        |p AS (SELECT doc_id, nch,
+        |  max(CASE WHEN n = 2 THEN cnt*glen END) AS t2,
+        |  max(CASE WHEN n = 3 THEN cnt*glen END) AS t3,
+        |  max(CASE WHEN n = 4 THEN cnt*glen END) AS t4,
+        |  CAST(sum(CASE WHEN n = 5 AND cnt >= 2 THEN cnt*glen ELSE 0 END)
+        |    AS BIGINT) AS d5,
+        |  CAST(sum(CASE WHEN n = 6 AND cnt >= 2 THEN cnt*glen ELSE 0 END)
+        |    AS BIGINT) AS d6
+        | FROM c GROUP BY 1, 2)
+        |SELECT doc_id,
+        | least(CAST(floor(COALESCE(t2,0) * 1000000 / nch) AS BIGINT),
+        |   1000000) AS top2_ppm,
+        | least(CAST(floor(COALESCE(t3,0) * 1000000 / nch) AS BIGINT),
+        |   1000000) AS top3_ppm,
+        | least(CAST(floor(COALESCE(t4,0) * 1000000 / nch) AS BIGINT),
+        |   1000000) AS top4_ppm,
+        | least(CAST(floor(d5 * 1000000 / nch) AS BIGINT), 1000000)
+        |   AS dup5_ppm,
+        | least(CAST(floor(d6 * 1000000 / nch) AS BIGINT), 1000000)
+        |   AS dup6_ppm
+        |FROM p""".stripMargin,
     "q81_epoch_expand" ->
       """WITH r AS (
         | SELECT doc_id, lang,

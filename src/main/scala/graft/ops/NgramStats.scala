@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style n-gram repetition signals (Rae et al. 2021, "Scaling
+  * Language Models", table A1): per document, the fraction of characters
+  * covered by (a) the single heaviest word n-gram for small n — catches
+  * "subscribe now subscribe now …" loops — and (b) all n-grams occurring
+  * more than once for larger n — catches templated paragraph churn.
+  *
+  * Scale shape, the part that matters at 100 TB:
+  *  - ALL n values ride ONE explode: each row emits (n, gram) structs for
+  *    every requested n, so the corpus is scanned once, not once per n;
+  *  - gram text never enters an exchange — grams hash to 60-bit md5
+  *    longs (+ their char length) in the projection BEFORE the shuffle,
+  *    the established house rule (cf. SpanDedup, Dedup);
+  *  - two shuffles total: count (doc, n, hash) with map-side partial
+  *    aggregation flattening hot grams, then one conditional-aggregate
+  *    rollup straight to (doc) — no per-n intermediate aggregate.
+  *
+  * Fractions are emitted as exact parts-per-million BIGINTs
+  * (`floor(cover·10⁶ / chars)`, clamped to 10⁶): both engines do the
+  * same IEEE double division on the same exact integers, so floor-parity
+  * is bit-exact and the q88 oracle hash-matches without any
+  * round()-tie risk (the q73 lesson — see TextOps.qualityScoreScaled).
+  *
+  * "Cover" counts every occurrence times the gram's char length, the
+  * standard Dolma/Gopher approximation (overlaps and shared words are
+  * not de-duplicated), hence the clamp to 1.0.
+  */
+object NgramStats {
+
+  /** Per-document repetition signals over whitespace words: columns
+    * `top{n}_ppm` for n in `topNs` (heaviest single n-gram's char cover)
+    * and `dup{n}_ppm` for n in `dupNs` (total cover of n-grams seen ≥2×
+    * within the document). Documents with fewer words than some n score
+    * ppm 0 for it (a zero sentinel row keeps even one-word docs in the
+    * output).
+    */
+  def repetitionSignals(
+      df: DataFrame, textCol: String, idCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4), dupNs: Seq[Int] = Seq(5, 6)): DataFrame = {
+    require(topNs.nonEmpty || dupNs.nonEmpty, "at least one n")
+    require((topNs ++ dupNs).forall(_ >= 2), "n >= 2")
+    val t0 = coalesce(col(textCol), lit(""))
+    val nch = greatest(length(t0), lit(1)).cast("long")
+    val w = split(trim(t0), "\\s+")
+    val ns = (topNs ++ dupNs).distinct.sorted
+    // one nested-lambda pass builds (n, gram) for every n; sequence(1,
+    // size) is always non-empty (split of "" yields [""]), the filter
+    // drops start positions whose window would run past the end
+    val grams = flatten(transform(
+      array(ns.map(n => lit(n)): _*),
+      n => transform(
+        filter(sequence(lit(1), size(w)), i => i + n - lit(1) <= size(w)),
+        i => struct(n.as("n"), concat_ws(" ", slice(w, i, n)).as("g")))))
+    val exploded = df
+      .select(col(idCol), nch.as("__nch"), explode(grams).as("t"))
+      .select(col(idCol), col("__nch"), col("t.n").as("__n"),
+        conv(substring(md5(col("t.g")), 1, 15), 16, 10).cast("long")
+          .as("__h"),
+        length(col("t.g")).cast("long").as("__glen"))
+      // zero sentinel keeps docs alive that are too short for ANY n
+      // (n=0 never matches a requested n, so it contributes no cover)
+      .unionByName(df.select(col(idCol), nch.as("__nch"),
+        lit(0).as("__n"), lit(0L).as("__h"), lit(0L).as("__glen")))
+    val counts = exploded
+      .groupBy(col(idCol), col("__nch"), col("__n"), col("__h"), col("__glen"))
+      .agg(count(lit(1)).as("__cnt"))
+    val cover = col("__cnt") * col("__glen")
+    val aggs =
+      topNs.map(n =>
+        max(when(col("__n") === n, cover)).as(s"__top${n}")) ++
+      dupNs.map(n =>
+        sum(when(col("__n") === n && col("__cnt") >= 2, cover)
+          .otherwise(lit(0L))).as(s"__dup${n}"))
+    val perDoc = counts.groupBy(col(idCol), col("__nch"))
+      .agg(aggs.head, aggs.tail: _*)
+    def ppm(src: String, name: String): Column =
+      least(floor(coalesce(col(src), lit(0L)) * lit(1000000L) /
+        col("__nch")), lit(1000000L)).cast("long").as(name)
+    val outCols = col(idCol) +:
+      (topNs.map(n => ppm(s"__top${n}", s"top${n}_ppm")) ++
+        dupNs.map(n => ppm(s"__dup${n}", s"dup${n}_ppm")))
+    perDoc.select(outCols: _*)
+  }
+}

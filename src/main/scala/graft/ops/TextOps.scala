@@ -270,4 +270,49 @@ object TextOps {
     val oneEol = regexp_replace(nfc, "\\r\\n?", "\n")
     trim(regexp_replace(oneEol, "[ \\t]+", " "))
   }
+
+  /** How `target` looks after the classic mojibake round-trip: its UTF-8
+    * bytes re-decoded as windows-1252 (the real-world path — browsers and
+    * legacy pipelines treat "latin-1" as cp1252; the five cp1252-undefined
+    * bytes fall back to C1 controls, which is exactly what the JVM
+    * charset does). Deterministic, so both the fix table and the planted
+    * q87 input derive from it instead of fragile source literals full of
+    * soft hyphens and C1 controls.
+    */
+  def utf8AsCp1252(target: String): String =
+    new String(target.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.Charset.forName("windows-1252"))
+
+  /** Mojibake fix table: (broken, fixed), longest keys first so the
+    * 3-char `â€x` family never gets half-eaten by a 2-char rule. Covers
+    * the high-frequency Latin-1 Supplement + General Punctuation set that
+    * dominates real crawl mojibake (the ftfy top table); UTF-8-as-cp1252
+    * NBSP additionally folds to a plain space.
+    */
+  val mojibakeTable: Seq[(String, String)] = {
+    val targets = Seq(
+      "’", "‘", "“", "”", "–", "—", "…", "•", "€", "™",
+      "á", "é", "í", "ó", "ú", "ñ", "ü", "ö", "ä", "ç",
+      "è", "ê", "à", "â", "ô", "û", "ï", "ß", "É", "Ç",
+      "«", "»", "°", "·")
+    targets.map(t => utf8AsCp1252(t) -> t).sortBy(-_._1.length) :+
+      (utf8AsCp1252("\u00A0") -> " ")
+  }
+
+  /** Repair UTF-8-read-as-cp1252 mojibake via the [[mojibakeTable]] fold —
+    * a pure `replace` chain (codegen'd, map-only). Sequences outside the
+    * table pass through unchanged, so the fix is safe to run on clean
+    * text; [[mojibakeMarkers]] before/after quantifies what it did.
+    */
+  def fixMojibake(c: Column): Column =
+    mojibakeTable.foldLeft(coalesce(c, lit(""))) { case (acc, (k, v)) =>
+      replace(acc, lit(k), lit(v))
+    }
+
+  /** Count of mojibake marker sequences (`Ã`, `â€`, `Â` — the lead chars
+    * every UTF-8-as-cp1252 two/three-byte sequence starts with). A rate
+    * of markers per char is the detection signal; near zero on clean text.
+    */
+  def mojibakeMarkers(c: Column): Column =
+    regexp_count(coalesce(c, lit("")), lit("Ã|â€|Â"))
 }

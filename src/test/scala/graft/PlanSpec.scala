@@ -390,4 +390,61 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("t#")),
       s"document text entered a hash exchange:\n$p")
   }
+
+  test("stripHtml and urlParts are map-only codegen string chains — " +
+    "zero exchanges, no UDF nodes") {
+    val df = spark.range(0, 1000).select(
+      concat(lit("<p>row "), col("id").cast("string"),
+        lit(" &amp; more</p>")).as("t"),
+      concat(lit("HTTPS://sub"), (col("id") % 5).cast("string"),
+        lit(".Example.CO.uk:443/P?utm_source=a&id=1#f")).as("u"))
+    val p = plan(df.select(
+      graft.ops.WebText.stripHtml(col("t")).as("clean"),
+      graft.ops.WebText.urlParts(col("u")).as("parts")))
+    assert(!p.contains("Exchange"), s"map-only web-text op shuffled:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), s"UDF in web-text plan:\n$p")
+    assert(p.contains("* Project"), s"no codegen'd projection in:\n$p")
+  }
+
+  test("ngram repetitionSignals: gram text never enters an exchange " +
+    "(only 60-bit hashes shuffle) and the whole op is two shuffles") {
+    val df = spark.range(0, 20000).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta epsilon zeta row "),
+        col("id").cast("string"),
+        lit(" alpha beta gamma delta tail")).as("t"))
+    val p = plan(graft.ops.NgramStats.repetitionSignals(df, "t", "doc_id"))
+    val shuffles = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(shuffles === 2, s"expected 2 shuffles, got $shuffles:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(l => l.contains("t#") || l.contains(" g#")),
+      s"gram/document text entered an exchange:\n$p")
+  }
+
+  test("fixMojibake + markers is a map-only codegen replace chain") {
+    val df = spark.range(0, 1000).select(
+      concat(lit("CafÃ© row "), col("id").cast("string")).as("t"))
+    val p = plan(df.select(
+      graft.ops.TextOps.fixMojibake(col("t")).as("f"),
+      graft.ops.TextOps.mojibakeMarkers(col("t")).as("m")))
+    assert(!p.contains("Exchange"), s"map-only mojibake op shuffled:\n$p")
+    assert(p.contains("* Project"), s"no codegen'd projection in:\n$p")
+  }
+
+  test("turn-budget rollup reuses the window's hash partitioning — the " +
+    "whole query plans exactly one shuffle exchange") {
+    val df = spark.range(0, 20000).select(
+      (col("id") % 100).as("conv"),
+      timestamp_seconds(col("id") / lit(100)).as("ts"),
+      col("id").as("eid"),
+      (col("id") % 7 + 1).as("tok"))
+    val out = graft.ops.ContextBudget
+      .tailWithinBudget(df, "conv", "ts", "eid", col("tok"), 10L)
+      .groupBy(col("conv"))
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("kept"))
+    val p = plan(out)
+    // count detail headers "(n) Exchange" so tree + detail aren't doubled
+    val shuffles = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(shuffles === 1,
+      s"expected one reused hash partitioning, got $shuffles:\n$p")
+  }
 }
