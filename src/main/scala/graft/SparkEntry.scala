@@ -1008,23 +1008,35 @@ object SparkEntry {
       // multi-line comment, block-tag paragraph breaks, the whole
       // entity table (incl. the &amp;-last rule: "&amp;lt;" must
       // surface as literal "&lt;"), and whitespace normalization
-      val id = col("doc_id")
-      val html = concat(
-        lit("<html><head><title>Doc "), id.cast("string"), lit("</title>"),
-        lit("<style type=\"text/css\">body { color: #fff; }</style>"),
-        when(pmod(id, lit(3)) === 0,
-          lit("<script>if (a < b && c > 0) { alert(\"x&y\"); }</script>"))
-          .otherwise(lit("")),
-        lit("</head><!-- hidden <b>note</b>\nspans lines --><body>"),
-        lit("<h1 class=\"t\">Title &amp; more</h1><p>"),
-        substring(coalesce(col("text"), lit("")), 1, 120),
-        lit("</p><p>M&amp;A &lt;tag&gt; &quot;q&quot; &#39;s&nbsp;" +
-          "&mdash;&hellip; &amp;lt; &#38;co</p>"),
-        when(pmod(id, lit(4)) === 1,
-          lit("<ul><li>one</li><li>two</li></ul>")).otherwise(lit("")),
-        lit("</body></html>"))
-      t(s, dir, "documents")
-        .select(id, graft.ops.WebText.stripHtml(html).as("clean_text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.WebText.stripHtml(plantedHtml).as("clean_text"))
+    }),
+    "q89_html_signals" -> ((s, dir) => {
+      // structural boilerplate signals over the same planted HTML:
+      // docs ≡ 2 (mod 5) carry two anchors, so link density separates
+      // them; all-integer ppm so both engines floor the same doubles
+      val sig = graft.ops.WebText.htmlSignals(plantedHtml)
+      t(s, dir, "documents").select(col("doc_id"),
+        sig.getField("text_ratio_ppm").as("text_ratio_ppm"),
+        sig.getField("link_density_ppm").as("link_density_ppm"),
+        sig.getField("n_tags").as("n_tags"),
+        sig.getField("n_links").as("n_links"))
+    }),
+    "q90_chat_render" -> ((s, dir) => {
+      // chat-template rendering: conversations (user_id) flatten to
+      // model-ready "<|role|>text" lines in (ts, event_id) order — one
+      // hash shuffle, per-conv work bounded by conversation length
+      graft.ops.ChatOps.renderConversations(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        "props")
+    }),
+    "q91_prefix_dedup" -> ((s, dir) => {
+      // shared-prefix dedup: conversations branching from the same
+      // first-3-turn setup collapse to one keeper; turn text never
+      // leaves the first aggregate (signatures shuffle, not turns)
+      graft.ops.ChatOps.prefixDedup(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        "props", 3)
     }),
     "q84_url_normalize" -> ((s, dir) => {
       // URL canonicalization on planted URLs covering upper-case
@@ -1281,6 +1293,29 @@ object SparkEntry {
     })
   )
 
+  /** Planted HTML column shared by q83/q89 (Spark side; [[htmlPlantSql]]
+    * is the byte-matched DuckDB twin). */
+  private def plantedHtml: Column = {
+    val id = col("doc_id")
+    concat(
+      lit("<html><head><title>Doc "), id.cast("string"), lit("</title>"),
+      lit("<style type=\"text/css\">body { color: #fff; }</style>"),
+      when(pmod(id, lit(3)) === 0,
+        lit("<script>if (a < b && c > 0) { alert(\"x&y\"); }</script>"))
+        .otherwise(lit("")),
+      lit("</head><!-- hidden <b>note</b>\nspans lines --><body>"),
+      lit("<h1 class=\"t\">Title &amp; more</h1><p>"),
+      substring(coalesce(col("text"), lit("")), 1, 120),
+      lit("</p><p>M&amp;A &lt;tag&gt; &quot;q&quot; &#39;s&nbsp;" +
+        "&mdash;&hellip; &amp;lt; &#38;co</p>"),
+      when(pmod(id, lit(4)) === 1,
+        lit("<ul><li>one</li><li>two</li></ul>")).otherwise(lit("")),
+      when(pmod(id, lit(5)) === 2,
+        lit("<p>See <a href=\"https://e.com/x\">this link</a> and " +
+          "<a href=\"#\">that</a>.</p>")).otherwise(lit("")),
+      lit("</body></html>"))
+  }
+
   /** Planted URL column shared by q84/q85 — deterministic per doc_id,
     * covering every [[graft.ops.WebText.urlParts]] branch. */
   private def plantedUrl: Column = {
@@ -1425,7 +1460,10 @@ object SparkEntry {
       "'</p><p>M&amp;A &lt;tag&gt; &quot;q&quot; &#39;s&nbsp;" +
       "&mdash;&hellip; &amp;lt; &#38;co</p>' || " +
       "CASE WHEN doc_id % 4 = 1 THEN '<ul><li>one</li><li>two</li></ul>' " +
-      "ELSE '' END || '</body></html>'"
+      "ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 2 THEN " +
+      "'<p>See <a href=\"https://e.com/x\">this link</a> and " +
+      "<a href=\"#\">that</a>.</p>' ELSE '' END || '</body></html>'"
 
   /** Shared DuckDB CTE chain replaying [[spanDocs]] + the SpanDedup winnow
     * (gram md5 → 60-bit conv → window minima → distinct) for q78/q79.
@@ -2127,6 +2165,50 @@ object SparkEntry {
         | CAST(sum(CASE WHEN cum <= 64 OR rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
         |   AS dropped_events
         |FROM w GROUP BY user_id""".stripMargin,
+    "q89_html_signals" ->
+      ("WITH h AS (SELECT doc_id, " + htmlPlantSql + " AS x FROM documents),\n" +
+        "s AS (SELECT doc_id, greatest(length(x), 1) AS total,\n" +
+        " CAST(length(" + stripHtmlSql("x") + ") AS BIGINT) AS text_len,\n" +
+        " CAST(len(regexp_extract_all(x, '<[^>]*>')) AS BIGINT) AS n_tags,\n" +
+        " CAST(len(regexp_extract_all(x, '(?i)<a\\b')) AS BIGINT) " +
+        "AS n_links,\n" +
+        " CAST(length(x) - length(regexp_replace(x, " +
+        "'(?is)<a\\b[^>]*>.*?</a\\s*>', '', 'g')) AS BIGINT) AS link_chars\n" +
+        " FROM h)\n" +
+        "SELECT doc_id,\n" +
+        " least(CAST(floor(text_len * 1000000 / total) AS BIGINT), 1000000) " +
+        "AS text_ratio_ppm,\n" +
+        " least(CAST(floor(link_chars * 1000000 / total) AS BIGINT), " +
+        "1000000) AS link_density_ppm,\n" +
+        " n_tags, n_links\nFROM s"),
+    "q90_chat_render" ->
+      """WITH r AS (
+        | SELECT user_id,
+        |  string_agg('<|' || COALESCE(event_type, 'unknown') || '|>' ||
+        |    COALESCE(props, ''), chr(10) ORDER BY ts, event_id)
+        |    AS rendered,
+        |  count(*) AS n_turns
+        | FROM events GROUP BY user_id)
+        |SELECT user_id, rendered, n_turns,
+        | greatest(1, CAST(floor(length(rendered) / 4) AS BIGINT))
+        |   AS n_tokens
+        |FROM r""".stripMargin,
+    "q91_prefix_dedup" ->
+      """WITH r AS (
+        | SELECT user_id, event_type, props, ts, event_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS nt
+        | FROM events),
+        |s AS (
+        | SELECT user_id, max(nt) AS n_turns,
+        |  md5(string_agg(COALESCE(event_type, 'unknown') || ':' ||
+        |    COALESCE(props, ''), chr(30) ORDER BY ts, event_id))
+        |    AS prefix_sig
+        | FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT prefix_sig, min(user_id) AS keeper,
+        | count(*) AS n_convs, CAST(sum(n_turns) AS BIGINT) AS n_turns_total
+        |FROM s GROUP BY prefix_sig""".stripMargin,
     "q87_mojibake" ->
       ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN " +
         "COALESCE(text,'') || " +

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Conversation-level assembly operators over transcript-shaped tables
+  * (conv key, time-ordered turns with a role and text) — the step between
+  * a validated transcript table and an actual training corpus:
+  * chat-template rendering and shared-prefix deduplication.
+  *
+  * Both group whole conversations, so the working unit per task is one
+  * conversation's turns — bounded by construction (a transcript is
+  * thousands of turns at most, not millions), which is why
+  * collect_list + sort_array is the right shape here where it would be
+  * wrong for unbounded groups. One hash shuffle on the conv key each;
+  * the turn ordering (ts, then tie) is part of the struct so the sort is
+  * deterministic under any partitioning.
+  */
+object ChatOps {
+
+  private def turnStruct(
+      tsCol: String, tieCol: String, roleCol: String, textCol: String) =
+    struct(col(tsCol).as("ts"), col(tieCol).as("tie"),
+      coalesce(col(roleCol), lit("unknown")).as("role"),
+      coalesce(col(textCol), lit("")).as("txt"))
+
+  /** Render each conversation into model-ready text: turns sorted by
+    * (tsCol, tieCol), each emitted as `<|role|>text`, joined with
+    * newlines. Returns (convCol, rendered, n_turns, n_tokens) where
+    * n_tokens is the standard chars/4 estimate (≥1).
+    */
+  def renderConversations(
+      df: DataFrame, convCol: String, tsCol: String, tieCol: String,
+      roleCol: String, textCol: String): DataFrame =
+    df.groupBy(col(convCol))
+      .agg(sort_array(collect_list(
+        turnStruct(tsCol, tieCol, roleCol, textCol))).as("__turns"))
+      .select(col(convCol),
+        array_join(transform(col("__turns"),
+          t => concat(lit("<|"), t.getField("role"), lit("|>"),
+            t.getField("txt"))), "\n").as("rendered"),
+        size(col("__turns")).cast("long").as("n_turns"))
+      .withColumn("n_tokens", greatest(lit(1L),
+        floor(length(col("rendered")) / lit(4)).cast("long")))
+
+  /** Per-conversation signature of the first `k` turns (role:text joined
+    * on an RS control char, md5'd). Agent transcripts that branch from a
+    * shared setup collide here; conversations shorter than k sign what
+    * they have. Returns (convCol, prefix_sig, n_turns).
+    */
+  def prefixSignatures(
+      df: DataFrame, convCol: String, tsCol: String, tieCol: String,
+      roleCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    df.groupBy(col(convCol))
+      .agg(sort_array(collect_list(
+        turnStruct(tsCol, tieCol, roleCol, textCol))).as("__turns"))
+      .select(col(convCol),
+        md5(array_join(transform(slice(col("__turns"), 1, k),
+          t => concat(t.getField("role"), lit(":"), t.getField("txt"))),
+          "\u001E")).as("prefix_sig"),
+        size(col("__turns")).cast("long").as("n_turns"))
+  }
+
+  /** Shared-prefix dedup rollup: group conversations by their first-k-turn
+    * signature; keep the lowest conv id as representative. Returns
+    * (prefix_sig, keeper, n_convs, n_turns_total). Two shuffles: conv
+    * grouping, then signature grouping — signatures are 32-char hashes,
+    * turn text never leaves the first aggregate.
+    */
+  def prefixDedup(
+      df: DataFrame, convCol: String, tsCol: String, tieCol: String,
+      roleCol: String, textCol: String, k: Int): DataFrame =
+    prefixSignatures(df, convCol, tsCol, tieCol, roleCol, textCol, k)
+      .groupBy(col("prefix_sig"))
+      .agg(min(col(convCol)).as("keeper"),
+        count(lit(1)).as("n_convs"),
+        sum(col("n_turns")).as("n_turns_total"))
+}

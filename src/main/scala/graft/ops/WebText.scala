@@ -78,6 +78,30 @@ object WebText {
     trim(regexp_replace(ws2, "\\n{3,}", "\n\n"), " \n")
   }
 
+  /** Structural HTML signals for boilerplate/navigation filtering, all
+    * map-only: extracted-text-to-markup ratio and link density (chars
+    * inside `<a>` elements, tags included) as exact ppm BIGINTs (same
+    * floor-parity trick as NgramStats — no round() ties cross-engine),
+    * plus tag and anchor counts. High link density + low text ratio is
+    * the classic nav/footer page profile (the jusText / boilerpipe
+    * heuristic family).
+    */
+  def htmlSignals(c: Column): Column = {
+    val x = coalesce(c, lit(""))
+    val total = greatest(length(x), lit(1)).cast("long")
+    val textLen = length(stripHtml(x)).cast("long")
+    val linkChars = (length(x) -
+      length(regexp_replace(x, "(?is)<a\\b[^>]*>.*?</a\\s*>", "")))
+      .cast("long")
+    def ppm(n: Column) =
+      least(floor(n * lit(1000000L) / total), lit(1000000L)).cast("long")
+    struct(
+      ppm(textLen).as("text_ratio_ppm"),
+      ppm(linkChars).as("link_density_ppm"),
+      regexp_count(x, lit("<[^>]*>")).cast("long").as("n_tags"),
+      regexp_count(x, lit("(?i)<a\\b")).cast("long").as("n_links"))
+  }
+
   /** URL normalization + registrable-domain extraction as one struct
     * `(url_norm, host, domain)`:
     *

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ChatOps
+
+class ChatOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+
+  private val turns = Seq(
+    (1L, ts(1), 10L, "user", "hello there"),
+    (1L, ts(2), 11L, "assistant", "hi, how can I help?"),
+    (1L, ts(3), 12L, "user", "run the tests"),
+    (2L, ts(1), 20L, "user", "hello there"),
+    (2L, ts(2), 21L, "assistant", "hi, how can I help?"),
+    (2L, ts(3), 22L, "user", "different third turn"),
+    (3L, ts(9), 30L, "system", null))
+
+  test("renderConversations orders turns by (ts, tie) and renders " +
+    "role-tagged lines; null text/role are safe") {
+    val df = turns.toDF("conv", "ts", "eid", "role", "txt")
+    val out = ChatOps
+      .renderConversations(df, "conv", "ts", "eid", "role", "txt")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0)._2 ===
+      "<|user|>hello there\n<|assistant|>hi, how can I help?\n" +
+        "<|user|>run the tests")
+    assert(out(0)._3 === 3L)
+    assert(out(2)._2 === "<|system|>")
+    assert(out(2)._4 === 2L, "10-char render estimates floor(10/4) tokens")
+  }
+
+  test("render order is deterministic under repartitioning even with " +
+    "tied timestamps (tie column breaks them)") {
+    val tied = Seq(
+      (1L, ts(5), 2L, "b", "second"), (1L, ts(5), 1L, "a", "first"))
+      .toDF("conv", "ts", "eid", "role", "txt")
+    val a = ChatOps
+      .renderConversations(tied, "conv", "ts", "eid", "role", "txt")
+      .as[(Long, String, Long, Long)].head()
+    val b = ChatOps
+      .renderConversations(tied.repartition(5), "conv", "ts", "eid", "role",
+        "txt")
+      .as[(Long, String, Long, Long)].head()
+    assert(a === b)
+    assert(a._2 === "<|a|>first\n<|b|>second")
+  }
+
+  test("prefixDedup groups conversations sharing their first k turns and " +
+    "keeps the lowest conv id") {
+    val df = turns.toDF("conv", "ts", "eid", "role", "txt")
+    val byK2 = ChatOps
+      .prefixDedup(df, "conv", "ts", "eid", "role", "txt", k = 2)
+      .as[(String, Long, Long, Long)].collect()
+    // convs 1 and 2 share their first two turns; conv 3 is alone
+    assert(byK2.length === 2)
+    val shared = byK2.find(_._3 === 2L).get
+    assert(shared._2 === 1L, "keeper is min conv id")
+    assert(shared._4 === 6L, "total turns across the cluster")
+    val byK3 = ChatOps
+      .prefixDedup(df, "conv", "ts", "eid", "role", "txt", k = 3)
+      .as[(String, Long, Long, Long)].collect()
+    assert(byK3.length === 3, "k=3 separates the diverging third turn")
+  }
+}

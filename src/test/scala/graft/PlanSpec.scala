@@ -430,6 +430,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("* Project"), s"no codegen'd projection in:\n$p")
   }
 
+  test("chat render is one conv-key shuffle; prefix dedup is two, and " +
+    "turn text never enters the second (signatures shuffle, not turns)") {
+    val df = spark.range(0, 10000).select(
+      (col("id") % 500).as("conv"),
+      timestamp_seconds(col("id") / lit(50)).as("ts"),
+      col("id").as("eid"),
+      concat(lit("role"), (col("id") % 3).cast("string")).as("role"),
+      concat(lit("turn text payload "), col("id").cast("string")).as("txt"))
+    val pr = plan(graft.ops.ChatOps
+      .renderConversations(df, "conv", "ts", "eid", "role", "txt"))
+    assert("""\(\d+\) Exchange""".r.findAllIn(pr).size === 1,
+      s"render should be one shuffle:\n$pr")
+    val pd = plan(graft.ops.ChatOps
+      .prefixDedup(df, "conv", "ts", "eid", "role", "txt", 3))
+    assert("""\(\d+\) Exchange""".r.findAllIn(pd).size === 2,
+      s"prefix dedup should be two shuffles:\n$pd")
+    val lines = pd.linesIterator.toVector
+    val argIdx = lines.indexWhere(_.contains("hashpartitioning(prefix_sig"))
+    assert(argIdx >= 0, s"expected a prefix_sig shuffle:\n$pd")
+    // the Input line of that exchange's detail block lists what shuffles
+    val input = lines.lastIndexWhere(_.trim.startsWith("Input"), argIdx)
+    assert(input >= 0 && !lines(input).contains("txt#") &&
+      !lines(input).contains("__turns#"),
+      s"turn text entered the signature shuffle:\n${lines(input)}")
+  }
+
   test("turn-budget rollup reuses the window's hash partitioning — the " +
     "whole query plans exactly one shuffle exchange") {
     val df = spark.range(0, 20000).select(

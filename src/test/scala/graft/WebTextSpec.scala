@@ -78,6 +78,24 @@ class WebTextSpec extends AnyFunSuite {
     assert(n === "not a url at all" && h === "" && d === "")
   }
 
+  test("htmlSignals: ppm ratios, tag and anchor counts on a known doc") {
+    val html = "<html><body><p>twelve chars</p>" +
+      "<a href=\"/x\">nav</a><a href=\"/y\">more nav</a></body></html>"
+    val (tr, ld, nt, nl) = Seq(html).toDF("t")
+      .select(graft.ops.WebText.htmlSignals(col("t")).as("s"))
+      .select(col("s.text_ratio_ppm"), col("s.link_density_ppm"),
+        col("s.n_tags"), col("s.n_links"))
+      .as[(Long, Long, Long, Long)].head()
+    val total = html.length.toLong
+    // extracted text = "twelve chars\nnav more nav" (block break after p)
+    assert(tr === 25L * 1000000L / total)
+    val linkChars = "<a href=\"/x\">nav</a>".length +
+      "<a href=\"/y\">more nav</a>".length
+    assert(ld === linkChars * 1000000L / total)
+    assert(nt === 10L)
+    assert(nl === 2L)
+  }
+
   test("urlParts single-label host falls back to itself as domain") {
     val (_, h, d) = parts("http://localhost:9000/x")
     assert(h === "localhost" && d === "localhost")
