@@ -1103,6 +1103,28 @@ object SparkEntry {
       graft.ops.NgramStats.repetitionSignals(
         t(s, dir, "documents"), "text", "doc_id")
     }),
+    "q92_messages_json" -> ((s, dir) =>
+      // JSONL-ready messages arrays, byte-matched: props carry quotes
+      // (JSON-in-JSON) so the escape chain is exercised on every turn
+      graft.ops.ChatOps.messagesJson(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", "props")),
+    "q93_mixture_plan" -> ((s, dir) => {
+      // mixture sizing: per-lang inventory → exact-ppm sampling rates
+      // for a 200k-token target; all-integer so no cross-engine ulps
+      val tok = greatest(lit(1L),
+        floor(length(coalesce(col("text"), lit(""))) / lit(4)).cast("long"))
+      graft.ops.Sampling.mixturePlan(t(s, dir, "documents"), "lang", tok,
+        Map("en" -> 500000L, "de" -> 200000L, "fr" -> 150000L,
+          "es" -> 100000L, "zh" -> 50000L), 200000L)
+    }),
+    "q94_length_buckets" -> ((s, dir) => {
+      // power-of-two padding-waste planner; the bucket is an integer
+      // when-chain, NOT ceil(log2(n)) — LOG2 differs by a ulp across
+      // engines at exact powers of two and would flip buckets
+      val tok = greatest(lit(1L),
+        floor(length(coalesce(col("text"), lit(""))) / lit(4)).cast("long"))
+      graft.ops.Packing.lengthBuckets(t(s, dir, "documents"), tok)
+    }),
     "q81_epoch_expand" -> ((s, dir) => {
       // fractional-epoch mixture upsampling: en 2.3 / de 1.0 / fr 0.7 /
       // es 0.4 / zh 0 covers floor>=2, exactly-one, fraction-only, and
@@ -1362,6 +1384,22 @@ object SparkEntry {
   private val mojibakeCleanSample: String =
     " Café — “naïve” «extra» €5 " +
       "don’t… über ß É end"
+
+  /** DuckDB twin of ChatOps' private jsonEscape chain (same order:
+    * backslash, quote, then \n \r \t). */
+  private def jsonEscSql(x: String): String =
+    "replace(replace(replace(replace(replace(" + x +
+      ", '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'), " +
+      "chr(9), '\\t')"
+
+  /** DuckDB twin of Packing.lengthBuckets' integer bucket when-chain
+    * (over column `n`). */
+  private val bucketCaseSql: String = {
+    val branches = (1 to 21)
+      .map(k => s"WHEN n <= ${1L << (k - 1)} THEN ${1L << (k - 1)}")
+      .mkString(" ")
+    s"CASE $branches ELSE ${1L << 21} END"
+  }
 
   /** DuckDB replay of [[graft.ops.TextOps.fixMojibake]] over SQL expr `x`,
     * generated from the same table so the chains cannot drift. */
@@ -2209,6 +2247,47 @@ object SparkEntry {
         |SELECT prefix_sig, min(user_id) AS keeper,
         | count(*) AS n_convs, CAST(sum(n_turns) AS BIGINT) AS n_turns_total
         |FROM s GROUP BY prefix_sig""".stripMargin,
+    "q92_messages_json" ->
+      ("WITH r AS (SELECT user_id,\n" +
+        " '[' || string_agg('{\"role\":\"' || " +
+        jsonEscSql("COALESCE(event_type, 'unknown')") +
+        " || '\",\"content\":\"' || " + jsonEscSql("COALESCE(props, '')") +
+        " || '\"}', ',' ORDER BY ts, event_id) || ']' AS messages_json,\n" +
+        " count(*) AS n_turns\n FROM events GROUP BY user_id)\n" +
+        "SELECT user_id, messages_json, n_turns FROM r"),
+    "q93_mixture_plan" ->
+      """WITH inv AS (
+        | SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(greatest(1, CAST(floor(length(COALESCE(text,'')) / 4)
+        |    AS BIGINT))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY lang),
+        |p AS (
+        | SELECT lang, n_docs, n_tokens,
+        |  CAST(CASE WHEN lang = 'de' THEN 200000
+        |   WHEN lang = 'en' THEN 500000 WHEN lang = 'es' THEN 100000
+        |   WHEN lang = 'fr' THEN 150000 WHEN lang = 'zh' THEN 50000
+        |   ELSE 0 END AS BIGINT) AS weight_ppm
+        | FROM inv),
+        |q AS (SELECT *, CAST((weight_ppm * 200000) // 1000000 AS BIGINT)
+        |        AS target_tokens FROM p),
+        |r AS (SELECT *, CAST(least(1000000,
+        |        (target_tokens * 1000000) // greatest(n_tokens, 1))
+        |        AS BIGINT) AS rate_ppm FROM q)
+        |SELECT lang, n_docs, n_tokens, weight_ppm, target_tokens, rate_ppm,
+        | CAST((n_tokens * rate_ppm) // 1000000 AS BIGINT) AS expected_tokens
+        |FROM r""".stripMargin,
+    "q94_length_buckets" ->
+      ("WITH n0 AS (SELECT greatest(1, CAST(floor(length(COALESCE(text,''))" +
+        " / 4) AS BIGINT)) AS n FROM documents),\n" +
+        "b AS (SELECT CAST(" + bucketCaseSql + " AS BIGINT) AS bucket, n " +
+        "FROM n0),\n" +
+        "g AS (SELECT bucket, count(*) AS n_seqs, " +
+        "CAST(sum(n) AS BIGINT) AS sum_tokens FROM b GROUP BY bucket)\n" +
+        "SELECT bucket, n_seqs, sum_tokens,\n" +
+        " CAST(greatest(bucket * n_seqs - sum_tokens, 0) AS BIGINT) " +
+        "AS padding_tokens,\n" +
+        " CAST((sum_tokens * 1000000) // (bucket * n_seqs) AS BIGINT) " +
+        "AS fill_ppm\nFROM g"),
     "q87_mojibake" ->
       ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN " +
         "COALESCE(text,'') || " +

@@ -62,6 +62,41 @@ object ChatOps {
         size(col("__turns")).cast("long").as("n_turns"))
   }
 
+  /** Minimal JSON string escaping shared (structurally) with the q92
+    * oracle: backslash first, then quote, then the C0 escapes that occur
+    * in practice (\n, \r, \t). Other C0 controls are assumed pre-stripped
+    * by `TextOps.canonicalize` — that is its job in the funnel; this op
+    * stays a pure codegen'd replace chain rather than paying a per-char
+    * higher-order pass for bytes the pipeline already removed.
+    */
+  private def jsonEscape(c: Column): Column =
+    replace(replace(replace(replace(replace(c,
+      lit("\\"), lit("\\\\")),
+      lit("\""), lit("\\\"")),
+      lit("\n"), lit("\\n")),
+      lit("\r"), lit("\\r")),
+      lit("\t"), lit("\\t"))
+
+  /** Render each conversation as a JSONL-ready messages array —
+    * `[{"role":"…","content":"…"}, …]` in (tsCol, tieCol) order — the
+    * standard SFT interchange format. Built by explicit concatenation
+    * (not `to_json`) so the byte layout is engine-independent and the
+    * DuckDB oracle reproduces it exactly. Returns
+    * (convCol, messages_json, n_turns).
+    */
+  def messagesJson(
+      df: DataFrame, convCol: String, tsCol: String, tieCol: String,
+      roleCol: String, textCol: String): DataFrame =
+    df.groupBy(col(convCol))
+      .agg(sort_array(collect_list(
+        turnStruct(tsCol, tieCol, roleCol, textCol))).as("__turns"))
+      .select(col(convCol),
+        concat(lit("["), array_join(transform(col("__turns"),
+          t => concat(lit("{\"role\":\""), jsonEscape(t.getField("role")),
+            lit("\",\"content\":\""), jsonEscape(t.getField("txt")),
+            lit("\"}"))), ","), lit("]")).as("messages_json"),
+        size(col("__turns")).cast("long").as("n_turns"))
+
   /** Shared-prefix dedup rollup: group conversations by their first-k-turn
     * signature; keep the lowest conv id as representative. Returns
     * (prefix_sig, keeper, n_convs, n_turns_total). Two shuffles: conv

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -154,6 +154,38 @@ object Packing {
     * the materialized context window itself. Deterministic (offsets are a
     * total order within a pack); one hash shuffle on pack_id.
     */
+  /** Power-of-two length-bucket stats — the padding-waste planner for
+    * bucketed batching (the alternative to [[packByBudget]] when the
+    * serving stack pads instead of packing): per bucket, sequence count,
+    * token sum, padded-slot waste, and exact fill ratio in ppm.
+    *
+    * The bucket is computed by a GENERATED when-chain over powers of two
+    * (up to 2^`maxLog2`) instead of `ceil(log2(n))` — `LOG2` is
+    * `Math.log(x)/Math.log(2)` in one engine and native `log2` in the
+    * other, and a one-ulp disagreement at an exact power of two would
+    * flip the bucket. Integer comparisons cannot disagree. Sequences
+    * longer than the top bucket clamp into it — there `fill_ppm` can
+    * exceed 10⁶ (the overflow signal) and padding clamps at 0.
+    */
+  def lengthBuckets(
+      df: DataFrame, tokens: Column, maxLog2: Int = 21): DataFrame = {
+    require(maxLog2 >= 1 && maxLog2 <= 62, "maxLog2 in [1, 62]")
+    val n = greatest(tokens.cast("long"), lit(1L))
+    val top = 1L << maxLog2
+    val bucket = (1 to maxLog2).reverse.foldLeft(lit(top)) {
+      case (acc, k) => when(n <= (1L << (k - 1)), lit(1L << (k - 1)))
+        .otherwise(acc)
+    }
+    df.select(bucket.as("bucket"), n.as("__n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("__n")).as("sum_tokens"))
+      .withColumn("padding_tokens",
+        greatest(col("bucket") * col("n_seqs") - col("sum_tokens"), lit(0L)))
+      .withColumn("fill_ppm",
+        call_function("div", col("sum_tokens") * lit(1000000L),
+          col("bucket") * col("n_seqs")))
+  }
+
   def packAssemble(payloads: DataFrame): DataFrame =
     payloads
       .groupBy("pack_id")

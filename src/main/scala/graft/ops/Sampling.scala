@@ -182,6 +182,44 @@ object Sampling {
     * literal, quality-derived); rows with epochs = 0 vanish — epoch
     * weighting subsumes keep-rate downsampling.
     */
+  /** Mixture PLANNING (the sizing face; [[weightedMixture]] /
+    * [[epochExpand]] are the apply faces): given per-stratum target
+    * weights and a total token budget, compute per-stratum inventory and
+    * the sampling rate that realizes the mixture. ALL-INTEGER arithmetic
+    * (ppm weights, `div` integer division) so two engines can never
+    * disagree by a ulp — rates land as exact ppm BIGINTs.
+    *
+    * One hash shuffle (the inventory aggregate); output is one row per
+    * stratum, so the plan itself is driver-scale by construction.
+    * `rate_ppm` is capped at 10⁶ — a stratum with fewer tokens than its
+    * target keeps everything (upsampling beyond 1.0 is [[epochExpand]]'s
+    * job; compare target_tokens vs n_tokens to find those strata).
+    */
+  def mixturePlan(
+      df: DataFrame, stratumCol: String, tokens: Column,
+      weightsPpm: Map[String, Long], targetTokens: Long): DataFrame = {
+    require(targetTokens >= 1L, "targetTokens >= 1")
+    require(weightsPpm.values.forall(w => w >= 0L && w <= 1000000L),
+      "weights in [0, 1e6] ppm")
+    val w = weightsPpm.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val inv = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))
+      .withColumn("weight_ppm", w)
+    inv
+      .withColumn("target_tokens",
+        call_function("div", col("weight_ppm") * lit(targetTokens),
+          lit(1000000L)))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), call_function("div",
+          col("target_tokens") * lit(1000000L),
+          greatest(col("n_tokens"), lit(1L)))))
+      .withColumn("expected_tokens",
+        call_function("div", col("n_tokens") * col("rate_ppm"),
+          lit(1000000L)))
+  }
+
   def epochExpand(df: DataFrame, keyCol: String, epochs: Column): DataFrame = {
     val e = epochs.cast("double")
     val whole = floor(e).cast("long")

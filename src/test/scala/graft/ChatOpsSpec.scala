@@ -52,6 +52,31 @@ class ChatOpsSpec extends AnyFunSuite {
     assert(a._2 === "<|a|>first\n<|b|>second")
   }
 
+  test("messagesJson emits valid, order-preserving JSON that round-trips " +
+    "through from_json, with quotes/backslashes/newlines escaped") {
+    val tricky = Seq(
+      (1L, ts(1), 1L, "user", "say \"hi\" with a \\ and\nnewline\ttab"),
+      (1L, ts(2), 2L, "assistant", "{\"k\": 1}"))
+      .toDF("conv", "ts", "eid", "role", "txt")
+    val out = ChatOps
+      .messagesJson(tricky, "conv", "ts", "eid", "role", "txt")
+    val json = out.select(col("messages_json")).as[String].head()
+    val parsed = out.select(from_json(col("messages_json"),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("role",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.StringType))))).as("a"))
+      .select(explode(col("a")).as("m"))
+      .select(col("m.role"), col("m.content"))
+      .as[(String, String)].collect()
+    assert(parsed.toSeq === Seq(
+      ("user", "say \"hi\" with a \\ and\nnewline\ttab"),
+      ("assistant", "{\"k\": 1}")))
+    assert(json.startsWith("[{\"role\":\"user\",\"content\":\"say \\\"hi\\\""))
+  }
+
   test("prefixDedup groups conversations sharing their first k turns and " +
     "keeps the lowest conv id") {
     val df = turns.toDF("conv", "ts", "eid", "role", "txt")

@@ -154,4 +154,18 @@ class PackingSpec extends AnyFunSuite {
     assert(rows.forall(_._3.forall(_ == 'b')))
   }
 
+
+  test("lengthBuckets: integer power-of-two buckets, padding and exact " +
+    "fill ppm; boundary values land in their own bucket") {
+    val df = Seq(1L, 2L, 3L, 4L, 5L, 64L, 65L).toDF("tok")
+    val out = Packing.lengthBuckets(df, col("tok"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === (1L, 1L, 1L, 0L, 1000000L))
+    assert(out(2L) === (2L, 1L, 2L, 0L, 1000000L))
+    assert(out(4L) === (4L, 2L, 7L, 1L, 875000L))
+    assert(out(8L) === (8L, 1L, 5L, 3L, 625000L))
+    assert(out(64L) === (64L, 1L, 64L, 0L, 1000000L))
+    assert(out(128L) === (128L, 1L, 65L, 63L, 507812L))
+  }
 }

@@ -171,4 +171,22 @@ class SamplingLawsSpec extends AnyFunSuite {
     assert(math.abs(kept / 2000.0 - 0.25) < 0.04,
       s"e=0.25 keeps ~25%, got ${kept / 2000.0}")
   }
+
+  test("mixturePlan: exact integer sizing, rate capped at 1e6, unknown " +
+    "strata weight 0") {
+    val df = Seq(
+      ("en", 100L), ("en", 300L), ("de", 50L), ("xx", 10L))
+      .toDF("lang", "tok")
+    val out = Sampling
+      .mixturePlan(df, "lang", col("tok"),
+        Map("en" -> 500000L, "de" -> 500000L), 600L)
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // en: 400 tokens, target 300, rate 750000 ppm, expected 300
+    assert(out("en") === ("en", 2L, 400L, 500000L, 300L, 750000L, 300L))
+    // de: 50 tokens but target 300 -> rate caps at 1e6, expected all 50
+    assert(out("de") === ("de", 1L, 50L, 500000L, 300L, 1000000L, 50L))
+    // xx: no weight -> everything zero
+    assert(out("xx") === ("xx", 1L, 10L, 0L, 0L, 0L, 0L))
+  }
 }
