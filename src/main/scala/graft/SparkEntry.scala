@@ -1125,6 +1125,24 @@ object SparkEntry {
         floor(length(coalesce(col("text"), lit(""))) / lit(4)).cast("long"))
       graft.ops.Packing.lengthBuckets(t(s, dir, "documents"), tok)
     }),
+    "q95_incremental_dedup" -> ((s, dir) => {
+      // day-2 ingest: docs < 250 are the historical store (as md5
+      // hashes only), the rest arrive. Docs ≡ 3 (mod 7) share 4
+      // planted texts spanning both halves, so both drop paths fire:
+      // arrivals matching history drop, then arrivals dedup among
+      // themselves (min id keeps)
+      val planted = when(pmod(col("doc_id"), lit(7)) === 3,
+        concat(lit("planted shared document variant "),
+          pmod(col("doc_id"), lit(4)).cast("string")))
+        .otherwise(coalesce(col("text"), lit("")))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), planted.as("text"))
+      val seen = docs.filter(col("doc_id") < 250)
+        .select(md5(col("text")).as("ch")).distinct()
+      graft.ops.Dedup.incrementalNew(
+        docs.filter(col("doc_id") >= 250), "text", "doc_id", seen, "ch")
+        .select(col("doc_id"), col("n_chars"))
+    }),
     "q81_epoch_expand" -> ((s, dir) => {
       // fractional-epoch mixture upsampling: en 2.3 / de 1.0 / fr 0.7 /
       // es 0.4 / zh 0 covers floor>=2, exactly-one, fraction-only, and
@@ -2288,6 +2306,24 @@ object SparkEntry {
         "AS padding_tokens,\n" +
         " CAST((sum_tokens * 1000000) // (bucket * n_seqs) AS BIGINT) " +
         "AS fill_ppm\nFROM g"),
+    "q95_incremental_dedup" ->
+      """WITH d AS (
+        | SELECT doc_id, n_chars,
+        |  CASE WHEN doc_id % 7 = 3
+        |   THEN 'planted shared document variant ' ||
+        |        CAST(doc_id % 4 AS VARCHAR)
+        |   ELSE COALESCE(text,'') END AS text
+        | FROM documents),
+        |seen AS (
+        | SELECT DISTINCT md5(text) AS ch FROM d WHERE doc_id < 250),
+        |arr AS (
+        | SELECT doc_id, n_chars, md5(text) AS ch
+        | FROM d WHERE doc_id >= 250),
+        |fresh AS (
+        | SELECT * FROM arr WHERE ch NOT IN (SELECT ch FROM seen)),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY ch)
+        |SELECT f.doc_id, f.n_chars FROM fresh f
+        |JOIN keep k ON f.doc_id = k.doc_id""".stripMargin,
     "q87_mojibake" ->
       ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN " +
         "COALESCE(text,'') || " +

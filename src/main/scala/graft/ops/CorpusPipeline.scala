@@ -71,13 +71,20 @@ object CorpusPipeline {
   }
 
   final case class Config(
-      // Stage 0 (opt-in): rewrite the text column through
+      // Stage 0 (opt-in, ingest order): raw-crawl pre-processing applied
+      // BEFORE any gate — HTML→text extraction ([[WebText.stripHtml]]),
+      // then mojibake repair ([[TextOps.fixMojibake]]), then
       // [[TextOps.canonicalize]] (NFC + control strip + EOL/blank
-      // normalization) BEFORE any gate. Mixed-normal-form crawl text
-      // hashes/shingles differently, so without this two byte-wise
-      // different but visually identical documents sail through exact
-      // dedup as distinct. Opt-in because the emitted corpus then carries
-      // the canonical text, not the input bytes.
+      // normalization). All three are map-only codegen chains, so codegen
+      // fuses them into the same scan as the lang/quality gates — three
+      // opt-ins cost zero extra passes. The dedup rationale is shared:
+      // byte-wise different but visually identical documents (markup
+      // variants, encoding damage, mixed normal forms) hash/shingle
+      // differently and sail through exact AND near dedup as distinct.
+      // Opt-in because the emitted corpus then carries the cleaned text,
+      // not the input bytes.
+      extractHtml: Boolean = false,
+      repairMojibake: Boolean = false,
       canonicalizeText: Boolean = false,
       langs: Set[String] = Set("en"),
       minQuality: Double = 0.3,
@@ -160,12 +167,17 @@ object CorpusPipeline {
     val id = col(keyCol)
     val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-    // ---- stage 0 (opt-in): text canonicalization — map-only, fused into
-    // the same scan as the lang/quality gates by codegen ----
-    val docs0 =
-      if (cfg.canonicalizeText)
-        docs.withColumn(textCol, TextOps.canonicalize(col(textCol)))
-      else docs
+    // ---- stage 0 (opt-in): raw-crawl pre-processing in ingest order
+    // (extract → repair → canonicalize) — all map-only, fused into the
+    // same scan as the lang/quality gates by codegen ----
+    val pre: Seq[(Boolean, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
+      cfg.extractHtml -> WebText.stripHtml _,
+      cfg.repairMojibake -> TextOps.fixMojibake _,
+      cfg.canonicalizeText -> TextOps.canonicalize _)
+    val docs0 = pre.foldLeft(docs) {
+      case (acc, (on, f)) =>
+        if (on) acc.withColumn(textCol, f(col(textCol))) else acc
+    }
 
     // ---- stage 1+2: map-only gates (no joins needed) ----
     val langOk = TextOps.langId(col(textCol)).isin(cfg.langs.toSeq: _*)

@@ -21,6 +21,29 @@ object Dedup {
         count(lit(1)).as("n"),
         min(col(keyCol)).as("keep_id"))
 
+  /** Incremental ingest dedup (day-2 of a living corpus): drop arriving
+    * documents whose exact content hash already exists in the historical
+    * store, then exact-dedup within the arrivals themselves (keeper =
+    * min key). The history side is a HASH table — one md5 per document,
+    * never text — so at 10¹² docs the store is ~TBs of hashes against
+    * 100s of TBs of corpus, and the comparison is a left_anti equi-join
+    * on the hash (broadcast when stats allow, SMJ otherwise; text never
+    * crosses an exchange). Returns the surviving arrival rows with their
+    * original columns.
+    */
+  def incrementalNew(
+      arrivals: DataFrame, textCol: String, keyCol: String,
+      seenHashes: DataFrame, hashCol: String): DataFrame = {
+    val withHash = arrivals.withColumn("__ch",
+      md5(coalesce(col(textCol), lit(""))))
+    val fresh = withHash.join(
+      seenHashes.select(col(hashCol).as("__ch")), Seq("__ch"), "left_anti")
+    val keep = fresh.groupBy(col("__ch"))
+      .agg(min(col(keyCol)).as(keyCol))
+      .select(col(keyCol))
+    fresh.join(keep, Seq(keyCol), "left_semi").drop("__ch")
+  }
+
   /** Lowercased word `n`-gram shingles, distinct. */
   def shingles(c: Column, n: Int = 3): Column = {
     val words = split(lower(trim(coalesce(c, lit("")))), "\\s+")

@@ -197,4 +197,38 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(kept.contains("caf\u00e9") && !kept.contains("\r") &&
       !kept.contains("  "))
   }
+
+  test("extractHtml + repairMojibake pre-stages: a markup/encoding-damaged " +
+    "variant collides with its clean twin in exact dedup only under the " +
+    "knobs, and survivors carry the cleaned text") {
+    val clean = "the caf\u00e9 menu lists the usual coffee and tea today"
+    val damaged = "<html><body><p>" +
+      graft.ops.TextOps.utf8AsCp1252(clean) +
+      "</p><!-- tracking --></body></html>"
+    val corpus = Seq(
+      (30L, clean, "a"),
+      (31L, damaged, "a")).toDF("doc_id", "text", "src")
+    val noBench = Seq((1000L, "completely disjoint benchmark material"))
+      .toDF("doc_id", "text")
+    val open = CorpusPipeline.Config(minQuality = 0.0,
+      boilerMinCount = Some(1000L), nearDupThreshold = 2.0)
+    def stagesOf(cfg: CorpusPipeline.Config): Map[Long, String] =
+      CorpusPipeline.annotate(corpus, noBench, "text", "doc_id", "src", cfg)
+        .select(col("doc_id"), col("drop_stage"))
+        .as[(Long, String)].collect().toMap
+
+    val without = stagesOf(open)
+    assert(without(30L) === null && without(31L) === null,
+      "raw variants must BOTH survive without the pre-stages")
+    val cleaned = stagesOf(open.copy(extractHtml = true,
+      repairMojibake = true))
+    assert(cleaned(30L) === null)
+    assert(cleaned(31L) === "exact_dup",
+      s"extracted+repaired forms must collide in exact dedup: $cleaned")
+    val kept = CorpusPipeline
+      .build(corpus, noBench, "text", "doc_id", "src",
+        open.copy(extractHtml = true, repairMojibake = true))
+      .select(col("text")).as[String].collect()
+    assert(kept.toSeq === Seq(clean))
+  }
 }

@@ -23,6 +23,23 @@ class OpsSpec extends AnyFunSuite {
     assert(g.toSeq === Seq((2L, 1L))) // docs 1 and 4 identical
   }
 
+  test("incrementalNew drops arrivals already in the history store, then " +
+    "dedups within the arrivals (min key keeps)") {
+    val history = Seq("seen before content alpha", "seen before content beta")
+      .toDF("t").select(md5(col("t")).as("ch"))
+    val arrivals = Seq(
+      (10L, "seen before content alpha"),     // in history → drop
+      (11L, "brand new content one"),         // fresh, unique → keep
+      (12L, "brand new content two"),         // fresh dup pair → 12 keeps
+      (13L, "brand new content two"),         // … 13 drops
+      (14L, "seen before content beta"))      // in history → drop
+      .toDF("doc_id", "text")
+    val kept = Dedup
+      .incrementalNew(arrivals, "text", "doc_id", history, "ch")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(11L, 12L))
+  }
+
   test("jaccard: identical=1, near-dup high, different low") {
     val j = docs.as("a").crossJoin(docs.as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
