@@ -375,12 +375,16 @@ object SparkEntry {
     }),
     "q29_ngram_jaccard" -> ((s, dir) => {
       // exact word-3-gram Jaccard over all pairs of the first 10 docs
+      // (bounded exact baseline); shingle arrays materialize BEFORE the
+      // cross join — attribute reads in the verify, no per-pair re-split
       val d = t(s, dir, "documents").filter(col("doc_id") < 10)
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), Dedup.splitWords(col("text")).as("__w"))
+        .select(col("doc_id"), Dedup.shinglesOfWords(col("__w"), 3).as("sh"))
       d.as("a").crossJoin(d.as("b"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          round(Dedup.jaccard(col("a.text"), col("b.text"), 3), 4).as("jaccard"))
+          round(Dedup.jaccardOfShingles(col("a.sh"), col("b.sh")), 4)
+            .as("jaccard"))
     }),
     "q28_sessionize" -> ((s, dir) => {
       // gap-based sessionization: new session when >30 min since previous
@@ -2292,7 +2296,9 @@ object SparkEntry {
         |        (target_tokens * 1000000) // greatest(n_tokens, 1))
         |        AS BIGINT) AS rate_ppm FROM q)
         |SELECT lang, n_docs, n_tokens, weight_ppm, target_tokens, rate_ppm,
-        | CAST((n_tokens * rate_ppm) // 1000000 AS BIGINT) AS expected_tokens
+        | CAST((n_tokens // 1000000) * rate_ppm +
+        |   ((n_tokens % 1000000) * rate_ppm) // 1000000 AS BIGINT)
+        |   AS expected_tokens
         |FROM r""".stripMargin,
     "q94_length_buckets" ->
       ("WITH n0 AS (SELECT greatest(1, CAST(floor(length(COALESCE(text,''))" +
@@ -2304,7 +2310,8 @@ object SparkEntry {
         "SELECT bucket, n_seqs, sum_tokens,\n" +
         " CAST(greatest(bucket * n_seqs - sum_tokens, 0) AS BIGINT) " +
         "AS padding_tokens,\n" +
-        " CAST((sum_tokens * 1000000) // (bucket * n_seqs) AS BIGINT) " +
+        " CAST(floor(CAST(sum_tokens AS DOUBLE) * 1000000.0 / " +
+        "(CAST(bucket AS DOUBLE) * CAST(n_seqs AS DOUBLE))) AS BIGINT) " +
         "AS fill_ppm\nFROM g"),
     "q95_incremental_dedup" ->
       """WITH d AS (

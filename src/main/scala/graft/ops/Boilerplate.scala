@@ -25,13 +25,19 @@ object Boilerplate {
     * [[Dedup.shingles]] — coverage needs every occurrence): same
     * tokenization contract as the dedup family (lower, trim, split \s+).
     */
-  def gramsAll(c: Column, n: Int): Column = {
-    val words = split(lower(trim(coalesce(c, lit("")))), "\\s+")
+  def gramsAll(c: Column, n: Int): Column =
+    gramsAllOfWords(Dedup.splitWords(c), n)
+
+  /** [[gramsAll]] over an ALREADY-MATERIALIZED word array — the form the
+    * DataFrame-level coverage ops use (an inlined split() re-tokenizes
+    * per gram inside the interpreted lambda — the O(words²) trap, see
+    * [[Dedup.shinglesOfWords]]).
+    */
+  def gramsAllOfWords(words: Column, n: Int): Column =
     when(size(words) < n, array(concat_ws(" ", words)))
       .otherwise(transform(
         sequence(lit(1), size(words) - (n - 1)),
         i => concat_ws(" ", slice(words, i, lit(n)))))
-  }
 
   /** Per-document boilerplate coverage: (id, n_grams, n_boiler,
     * boiler_frac) where n_boiler counts gram occurrences whose corpus-wide
@@ -88,8 +94,9 @@ object Boilerplate {
       n: Int,
       frequentFilter: DataFrame => DataFrame): DataFrame = {
     val grams = corpus
-      .select(col(keyCol).as("id"),
-        explode(gramsAll(col(textCol), n)).as("g"))
+      .select(col(keyCol).as("id"), Dedup.splitWords(col(textCol)).as("__w"))
+      .select(col("id"),
+        explode(gramsAllOfWords(col("__w"), n)).as("g"))
       .select(col("id"), xxhash64(col("g")).as("gh"))
     val frequent = frequentFilter(
       grams.groupBy("gh").agg(count(lit(1)).as("cnt")))

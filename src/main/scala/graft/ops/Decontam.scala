@@ -33,12 +33,14 @@ object Decontam {
       keyCol: String,
       n: Int = 13): DataFrame = {
     val benchGrams = bench
-      .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(Dedup.splitWords(col(textCol)).as("__w"))
+      .select(explode(Dedup.shinglesOfWords(col("__w"), n)).as("g"))
       .select(xxhash64(col("g")).as("gh"))
       .distinct()
     corpus
-      .select(col(keyCol).as("id"),
-        explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(col(keyCol).as("id"), Dedup.splitWords(col(textCol)).as("__w"))
+      .select(col("id"),
+        explode(Dedup.shinglesOfWords(col("__w"), n)).as("g"))
       .select(col("id"), xxhash64(col("g")).as("gh"))
       .join(broadcast(benchGrams), Seq("gh"))
       .groupBy("id")
@@ -68,7 +70,9 @@ object Decontam {
       n: Int = 13): DataFrame = {
     val grams = df
       .select(col(splitCol).as("split"), col(keyCol).as("id"),
-        explode(Dedup.shingles(col(textCol), n)).as("g"))
+        Dedup.splitWords(col(textCol)).as("__w"))
+      .select(col("split"), col("id"),
+        explode(Dedup.shinglesOfWords(col("__w"), n)).as("g"))
       .select(col("split"), col("id"), xxhash64(col("g")).as("gh"))
     val trainGrams =
       grams.filter(col("split") === trainLabel).select("gh").distinct()
@@ -105,7 +109,8 @@ object Decontam {
       n: Int = 13,
       fpp: Double = 0.01): DataFrame = {
     val benchGrams = bench
-      .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(Dedup.splitWords(col(textCol)).as("__w"))
+      .select(explode(Dedup.shinglesOfWords(col("__w"), n)).as("g"))
       .select(xxhash64(col("g")).as("gh"))
       .distinct()
     val expected = math.max(benchGrams.count(), 1L)
@@ -114,8 +119,9 @@ object Decontam {
       .head().getAs[Array[Byte]](0)
     val filter = BloomFilterAgg.fromBytes(bytes)
     corpus
-      .select(col(keyCol).as("id"),
-        explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(col(keyCol).as("id"), Dedup.splitWords(col(textCol)).as("__w"))
+      .select(col("id"),
+        explode(Dedup.shinglesOfWords(col("__w"), n)).as("g"))
       .select(col("id"), xxhash64(col("g")).as("gh"))
       .filter(BloomMightContainLong.bloomMightContain(col("gh"), filter))
       .groupBy("id")

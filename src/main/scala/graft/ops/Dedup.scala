@@ -44,15 +44,34 @@ object Dedup {
     fresh.join(keep, Seq(keyCol), "left_semi").drop("__ch")
   }
 
-  /** Lowercased word `n`-gram shingles, distinct. */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val words = split(lower(trim(coalesce(c, lit("")))), "\\s+")
+  /** The dedup family's shared tokenization: lowercase, trim, split on
+    * whitespace. Materialize THIS as a column before building shingles in
+    * any DataFrame-level operator — see [[shinglesOfWords]].
+    */
+  def splitWords(c: Column): Column =
+    split(lower(trim(coalesce(c, lit("")))), "\\s+")
+
+  /** Distinct word `n`-gram shingles over an ALREADY-MATERIALIZED word
+    * array. The array must be a projected column, not an inline split():
+    * interpreted higher-order lambdas have no subexpression elimination,
+    * so an inlined split re-tokenizes the document for every gram —
+    * O(words²) splits per doc (found round 4 at 50–70× on the span/ngram
+    * ops; this family had the same disease via [[shingles]]).
+    */
+  def shinglesOfWords(words: Column, n: Int): Column =
     array_distinct(
       when(size(words) < n, array(concat_ws(" ", words)))
         .otherwise(transform(
           sequence(lit(1), size(words) - (n - 1)),
           i => concat_ws(" ", slice(words, i, lit(n))))))
-  }
+
+  /** Lowercased word `n`-gram shingles, distinct — the scalar-context
+    * form (specs, one-off expressions). DataFrame-level operators must
+    * project [[splitWords]] first and call [[shinglesOfWords]]: used
+    * inline, this form pays the O(words²) interpreted-lambda re-split.
+    */
+  def shingles(c: Column, n: Int = 3): Column =
+    shinglesOfWords(splitWords(c), n)
 
   /** MinHash signatures: explode shingles to rows, hash each shingle string
     * ONCE, then compute all k running minima in a single native
@@ -75,7 +94,8 @@ object Dedup {
       n: Int = 3,
       k: Int = 64): DataFrame = {
     df
-      .select(col(keyCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .select(col(keyCol).as("id"), splitWords(col(textCol)).as("__w"))
+      .select(col("id"), explode(shinglesOfWords(col("__w"), n)).as("sh"))
       .select(col("id"), xxhash64(col("sh")).as("h"))
       .groupBy("id")
       .agg(graft.functions.MinHashSignature.minhashSig(col("h"), k).as("sig"))
@@ -215,11 +235,25 @@ object Dedup {
       maxBucket: Int = 200): DataFrame = {
     val sigs = minhashSignatures(df, textCol, keyCol, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // text joins back to the (rare) candidate pairs as before — but the
+    // exact-Jaccard verify is STAGED: words, then shingle arrays, then
+    // the intersection, each in its own projection. Inline jaccard()
+    // here re-split the text per shingle element (the interpreted-HOF
+    // trap); joining pre-built shingle ARRAYS instead was measured 6×
+    // WORSE (every doc pays the build and the join moves arrays bigger
+    // than the text) — staging after the join computes shingles only
+    // for candidates and moves only text.
     lshCandidates(sigs, k, bands, maxBucket)
       .join(df.select(col(keyCol).as("id_a"), col(textCol).as("text_a")), "id_a")
       .join(df.select(col(keyCol).as("id_b"), col(textCol).as("text_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccard(col("text_a"), col("text_b"), n).as("jaccard"))
+        splitWords(col("text_a")).as("__wa"),
+        splitWords(col("text_b")).as("__wb"))
+      .select(col("id_a"), col("id_b"),
+        shinglesOfWords(col("__wa"), n).as("sh_a"),
+        shinglesOfWords(col("__wb"), n).as("sh_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccardOfShingles(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -298,15 +332,22 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact word-shingle Jaccard between two text columns — the verification
-    * primitive for near-dup candidates and the n-gram-Jaccard operator in
-    * its own right.
+  /** Exact Jaccard over two ALREADY-MATERIALIZED shingle-array columns —
+    * the verification primitive the pair ops use (each operand is an
+    * attribute read, evaluated twice: intersect + union).
     */
-  def jaccard(a: Column, b: Column, n: Int = 3): Column = {
-    val sa = shingles(a, n)
-    val sb = shingles(b, n)
+  def jaccardOfShingles(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")
     val uni = size(array_union(sa, sb)).cast("double")
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
+
+  /** Exact word-shingle Jaccard between two text columns — the scalar
+    * convenience form (specs, one-off comparisons). DataFrame-level pair
+    * verification must materialize shingle arrays and use
+    * [[jaccardOfShingles]] — this form inlines the shingle build and
+    * pays the interpreted-lambda O(words²) re-split per row.
+    */
+  def jaccard(a: Column, b: Column, n: Int = 3): Column =
+    jaccardOfShingles(shingles(a, n), shingles(b, n))
 }

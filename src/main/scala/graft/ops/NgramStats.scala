@@ -45,8 +45,15 @@ object NgramStats {
     require((topNs ++ dupNs).forall(_ >= 2), "n >= 2")
     val t0 = coalesce(col(textCol), lit(""))
     val nch = greatest(length(t0), lit(1)).cast("long")
-    val w = split(trim(t0), "\\s+")
     val ns = (topNs ++ dupNs).distinct.sorted
+    // the word array MUST be materialized in its own projection before
+    // the gram lambdas: interpreted HOFs have no subexpression
+    // elimination, so an inlined split() re-tokenizes the document for
+    // EVERY gram element (O(words²) splits per doc — the same trap as
+    // SpanDedup.fingerprints' gram array, measured there at 50×)
+    val withW = df.select(col(idCol), nch.as("__nch"),
+      split(trim(t0), "\\s+").as("__w"))
+    val w = col("__w")
     // one nested-lambda pass builds (n, gram) for every n; sequence(1,
     // size) is always non-empty (split of "" yields [""]), the filter
     // drops start positions whose window would run past the end
@@ -55,11 +62,15 @@ object NgramStats {
       n => transform(
         filter(sequence(lit(1), size(w)), i => i + n - lit(1) <= size(w)),
         i => struct(n.as("n"), concat_ws(" ", slice(w, i, n)).as("g")))))
-    val exploded = df
-      .select(col(idCol), nch.as("__nch"), explode(grams).as("t"))
+    // xxhash64, NOT the md5-60bit idiom: this hash is internal grouping
+    // state (never exposed, the outputs are coverage integers), so the
+    // engines need not hash identically — they only must count the same
+    // groups, and a full 64-bit xxhash collides strictly less often than
+    // a 60-bit md5 truncation.
+    val exploded = withW
+      .select(col(idCol), col("__nch"), explode(grams).as("t"))
       .select(col(idCol), col("__nch"), col("t.n").as("__n"),
-        conv(substring(md5(col("t.g")), 1, 15), 16, 10).cast("long")
-          .as("__h"),
+        xxhash64(col("t.g")).as("__h"),
         length(col("t.g")).cast("long").as("__glen"))
       // zero sentinel keeps docs alive that are too short for ANY n
       // (n=0 never matches a requested n, so it contributes no cover)

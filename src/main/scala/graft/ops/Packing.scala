@@ -181,9 +181,16 @@ object Packing {
       .agg(count(lit(1)).as("n_seqs"), sum(col("__n")).as("sum_tokens"))
       .withColumn("padding_tokens",
         greatest(col("bucket") * col("n_seqs") - col("sum_tokens"), lit(0L)))
+      // fill as ORDER-PINNED double ops — (sum·10⁶) then ÷ (bucket·n),
+      // each operand cast first: identical IEEE sequences cross-engine, so
+      // floor-parity holds, and no 64-bit overflow at any corpus size
+      // (sum·10⁶ as a LONG overflows past ~9.2e12 tokens in one bucket —
+      // one day of a 100 TB corpus). padding stays exact-integer; its own
+      // bound (bucket·n_seqs < 2⁶³) allows ~4.4e12 sequences per bucket.
       .withColumn("fill_ppm",
-        call_function("div", col("sum_tokens") * lit(1000000L),
-          col("bucket") * col("n_seqs")))
+        floor(col("sum_tokens").cast("double") * lit(1000000.0) /
+          (col("bucket").cast("double") * col("n_seqs").cast("double")))
+          .cast("long"))
   }
 
   def packAssemble(payloads: DataFrame): DataFrame =

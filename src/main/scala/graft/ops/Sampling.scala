@@ -198,7 +198,12 @@ object Sampling {
   def mixturePlan(
       df: DataFrame, stratumCol: String, tokens: Column,
       weightsPpm: Map[String, Long], targetTokens: Long): DataFrame = {
-    require(targetTokens >= 1L, "targetTokens >= 1")
+    // exact-integer arithmetic bounds the budget: target_tokens·10⁶ must
+    // fit in 63 bits, so budgets beyond ~9.2e12 tokens should be planned
+    // in kilotoken units (scale `tokens` and `targetTokens` together —
+    // the ppm rates are unit-invariant)
+    require(targetTokens >= 1L && targetTokens <= 9_000_000_000_000L,
+      "targetTokens in [1, 9e12] (use kilotoken units beyond)")
     require(weightsPpm.values.forall(w => w >= 0L && w <= 1000000L),
       "weights in [0, 1e6] ppm")
     val w = weightsPpm.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
@@ -215,9 +220,16 @@ object Sampling {
         least(lit(1000000L), call_function("div",
           col("target_tokens") * lit(1000000L),
           greatest(col("n_tokens"), lit(1L)))))
-      .withColumn("expected_tokens",
-        call_function("div", col("n_tokens") * col("rate_ppm"),
-          lit(1000000L)))
+      .withColumn("expected_tokens", {
+        // n·rate/10⁶ via the exact q/r split — n = q·10⁶ + r makes
+        // div(n·rate, 10⁶) = q·rate + div(r·rate, 10⁶) identically, and
+        // neither product can overflow even for a 10¹⁴-token stratum
+        // (n·rate directly would overflow past ~9.2e12 tokens)
+        val q = call_function("div", col("n_tokens"), lit(1000000L))
+        val r = col("n_tokens") - q * lit(1000000L)
+        q * col("rate_ppm") +
+          call_function("div", r * col("rate_ppm"), lit(1000000L))
+      })
   }
 
   def epochExpand(df: DataFrame, keyCol: String, epochs: Column): DataFrame = {

@@ -53,14 +53,21 @@ object SpanDedup {
       k: Int = 16, w: Int = 8): DataFrame = {
     require(k > 0 && w > 0, "k > 0, w > 0")
     val t = coalesce(col(textCol), lit(""))
-    val hs = gramHashes(t, k)
+    // the gram array MUST land in its own projection: interpreted HOFs
+    // have no subexpression elimination, so inlining it makes every one
+    // of the ~len window slices re-evaluate ALL the md5s — O(len²) md5
+    // calls (measured: 69 s cold for 250×300-char docs; sub-second once
+    // materialized). The multi-reference non-cheap alias also stops
+    // CollapseProject from folding it back in.
+    val withHs = df.select(col(idCol).as("id"), gramHashes(t, k).as("__hs"))
+    val hs = col("__hs")
     val fps = when(size(hs) === 0, array().cast("array<bigint>"))
       .otherwise(array_distinct(transform(
         // window starts [1, nGrams−w+1], clamped to one window for short
         // docs; slice() clamps the tail itself (DuckDB list-slice parity)
         sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
         j => array_min(slice(hs, j, lit(w))))))
-    df.select(col(idCol).as("id"), explode(fps).as("fp"))
+    withHs.select(col("id"), explode(fps).as("fp"))
   }
 
   /** Document pairs sharing ≥ `minShared` fingerprints — i.e. sharing that
