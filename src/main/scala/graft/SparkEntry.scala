@@ -909,6 +909,15 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", minFrac = 1e-5)
     }),
+    "q96_xent_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail: q72's byte-matched scores bucketed by
+      // exact percentile cuts (distributed aggregate + broadcast, never
+      // a global ntile window)
+      graft.ops.LangModel.xentBuckets(
+        graft.ops.LangModel.scoreAgainst(
+          t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", minFrac = 1e-5))
+    }),
     "q73_keep_best" -> ((s, dir) => {
       // dedup APPLY: q52's connected clusters, but the keeper is the
       // highest-quality member (ties to min id) via a skew-proof
@@ -1422,6 +1431,41 @@ object SparkEntry {
       .mkString(" ")
     s"CASE $branches ELSE ${1L << 21} END"
   }
+
+  /** DuckDB replay of the full char-trigram LM train+score (q72); q96
+    * wraps it as a CTE to bucket the same scores. */
+  private val lmXentOracleSql: String =
+    """WITH lt AS (
+      | SELECT doc_id, lang, lower(COALESCE(text, '')) AS t FROM documents),
+      |tri AS (
+      | SELECT doc_id, lang,
+      |  unnest(list_transform(range(1, greatest(length(t) - 1, 1)),
+      |                        i -> substr(t, i, 3))) AS tri
+      | FROM lt),
+      |c3full AS (
+      | SELECT tri, count(*) AS c3 FROM tri WHERE lang = 'en' GROUP BY tri),
+      |tot AS (SELECT sum(c3) AS total FROM c3full),
+      |m3 AS (
+      | SELECT tri, c3 FROM c3full, tot
+      | WHERE c3 >= CAST(ceil(1e-05 * total) AS BIGINT)),
+      |m2 AS (
+      | SELECT bg, c2 FROM (
+      |   SELECT substr(tri, 1, 2) AS bg, sum(c3) AS c2
+      |   FROM c3full GROUP BY 1) p, tot
+      | WHERE c2 >= CAST(ceil(1e-05 * total) AS BIGINT)),
+      |v AS (SELECT count(DISTINCT substr(tri, 3, 1)) AS vs FROM c3full),
+      |sc AS (
+      | SELECT t.doc_id, count(*) AS n_tris,
+      |  sum(ln(CAST(COALESCE(m3.c3, 0) + 1 AS DOUBLE)
+      |         / (COALESCE(m2.c2, 0) + v.vs))) AS s
+      | FROM tri t
+      | CROSS JOIN v
+      | LEFT JOIN m3 ON t.tri = m3.tri
+      | LEFT JOIN m2 ON substr(t.tri, 1, 2) = m2.bg
+      | GROUP BY t.doc_id)
+      |SELECT doc_id, n_tris,
+      | round(-s / (n_tris * 0.6931471805599453), 4) AS xent_bits
+      |FROM sc""".stripMargin
 
   /** DuckDB replay of [[graft.ops.TextOps.fixMojibake]] over SQL expr `x`,
     * generated from the same table so the chains cannot drift. */
@@ -2036,38 +2080,16 @@ object SparkEntry {
         |SELECT ev.split, ev.doc_id, count(DISTINCT ev.g) AS n_leaked_grams
         |FROM ev JOIN tr ON ev.g = tr.g
         |GROUP BY 1, 2""".stripMargin,
-    "q72_lm_xent" ->
-      """WITH lt AS (
-        | SELECT doc_id, lang, lower(COALESCE(text, '')) AS t FROM documents),
-        |tri AS (
-        | SELECT doc_id, lang,
-        |  unnest(list_transform(range(1, greatest(length(t) - 1, 1)),
-        |                        i -> substr(t, i, 3))) AS tri
-        | FROM lt),
-        |c3full AS (
-        | SELECT tri, count(*) AS c3 FROM tri WHERE lang = 'en' GROUP BY tri),
-        |tot AS (SELECT sum(c3) AS total FROM c3full),
-        |m3 AS (
-        | SELECT tri, c3 FROM c3full, tot
-        | WHERE c3 >= CAST(ceil(1e-05 * total) AS BIGINT)),
-        |m2 AS (
-        | SELECT bg, c2 FROM (
-        |   SELECT substr(tri, 1, 2) AS bg, sum(c3) AS c2
-        |   FROM c3full GROUP BY 1) p, tot
-        | WHERE c2 >= CAST(ceil(1e-05 * total) AS BIGINT)),
-        |v AS (SELECT count(DISTINCT substr(tri, 3, 1)) AS vs FROM c3full),
-        |sc AS (
-        | SELECT t.doc_id, count(*) AS n_tris,
-        |  sum(ln(CAST(COALESCE(m3.c3, 0) + 1 AS DOUBLE)
-        |         / (COALESCE(m2.c2, 0) + v.vs))) AS s
-        | FROM tri t
-        | CROSS JOIN v
-        | LEFT JOIN m3 ON t.tri = m3.tri
-        | LEFT JOIN m2 ON substr(t.tri, 1, 2) = m2.bg
-        | GROUP BY t.doc_id)
-        |SELECT doc_id, n_tris,
-        | round(-s / (n_tris * 0.6931471805599453), 4) AS xent_bits
-        |FROM sc""".stripMargin,
+    "q72_lm_xent" -> lmXentOracleSql,
+    "q96_xent_buckets" ->
+      ("WITH base AS (" + lmXentOracleSql + "),\n" +
+        "cuts AS (SELECT quantile_cont(xent_bits, 0.3333333333333333) " +
+        "AS c1, quantile_cont(xent_bits, 0.6666666666666666) AS c2 " +
+        "FROM base)\n" +
+        "SELECT CASE WHEN xent_bits <= c1 THEN 'head' " +
+        "WHEN xent_bits <= c2 THEN 'middle' ELSE 'tail' END AS bucket,\n" +
+        " count(*) AS n_docs, CAST(sum(n_tris) AS BIGINT) AS n_tris_total\n" +
+        "FROM base, cuts GROUP BY 1"),
     "q73_keep_best" ->
       """WITH RECURSIVE
         | f AS (

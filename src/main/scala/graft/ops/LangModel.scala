@@ -121,4 +121,28 @@ object LangModel {
     val (m3, m2, v) = train(docs.filter(refFilter), idCol, textCol, minFrac)
     crossEntropy(docs, idCol, textCol, m3, m2, v)
   }
+
+  /** CCNet's head/middle/tail perplexity buckets over a scored frame —
+    * NOT via a global `ntile` window (one partition holding the whole
+    * corpus): the cut points are exact percentiles from one distributed
+    * aggregate, broadcast back, and the label is a map-side when-chain.
+    * Ties sit on byte-identical rounded xent values, so `<=` lands every
+    * row in the same bucket on any engine (q45 pinned Spark
+    * `percentile` ≡ DuckDB `quantile_cont`; at 10¹² rows swap in the
+    * t-digest aggregate for the cuts — same shape, approximate cuts).
+    * Returns one row per bucket: (bucket, n_docs, n_tris_total).
+    */
+  def xentBuckets(scored: DataFrame): DataFrame = {
+    val cuts = scored.agg(
+      expr("percentile(xent_bits, 0.3333333333333333)").as("__c1"),
+      expr("percentile(xent_bits, 0.6666666666666666)").as("__c2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(
+        when(col("xent_bits") <= col("__c1"), "head")
+          .when(col("xent_bits") <= col("__c2"), "middle")
+          .otherwise("tail").as("bucket"),
+        col("n_tris"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tris")).as("n_tris_total"))
+  }
 }

@@ -84,4 +84,18 @@ class LangModelSpec extends AnyFunSuite {
     // zzzz never seen by the en model: both trigrams hit the 1/V floor
     assert(r(2)._3 === 1.0)
   }
+
+  test("xentBuckets: percentile cuts split into thirds; bucket rollup " +
+    "carries doc and trigram counts") {
+    val scored = Seq(
+      (1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 10L, 3.0),
+      (4L, 10L, 4.0), (5L, 10L, 5.0), (6L, 10L, 6.0))
+      .toDF("doc_id", "n_tris", "xent_bits")
+    val out = LangModel.xentBuckets(scored)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // cuts at 2.667 / 4.333: {1,2} head, {3,4} middle, {5,6} tail
+    assert(out("head") === ("head", 2L, 20L))
+    assert(out("middle") === ("middle", 2L, 20L))
+    assert(out("tail") === ("tail", 2L, 20L))
+  }
 }
