@@ -918,6 +918,25 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text",
           col("lang") === "en", minFrac = 1e-5))
     }),
+    "q97_bm25" -> ((s, dir) => {
+      // BM25 top-5 retrieval against a fixed probe-query set: broadcast
+      // query terms prune the postings before anything wide; per-term
+      // weights land as exact ppm longs (floor parity — round() ties
+      // differ cross-engine, the q73 lesson) so the per-doc score is an
+      // order-independent integer sum
+      import s.implicits._
+      val probes = Seq(
+        (1, "spark window merge"),
+        (2, "hash join filter"),
+        (3, "stream batch query table"),
+        (4, "vector column scan"),
+        (5, "customer order the")).toDF("query_id", "qtext")
+      graft.ops.Tfidf.bm25TopK(
+          t(s, dir, "documents").filter(col("doc_id") < 300),
+          "text", "doc_id", probes, "query_id", "qtext", k = 5)
+        .select(col("query_id"), col("id").as("doc_id"),
+          col("score_ppm"), col("rank"))
+    }),
     "q73_keep_best" -> ((s, dir) => {
       // dedup APPLY: q52's connected clusters, but the keeper is the
       // highest-quality member (ties to min id) via a skew-proof
@@ -2090,6 +2109,48 @@ object SparkEntry {
         "WHEN xent_bits <= c2 THEN 'middle' ELSE 'tail' END AS bucket,\n" +
         " count(*) AS n_docs, CAST(sum(n_tris) AS BIGINT) AS n_tris_total\n" +
         "FROM base, cuts GROUP BY 1"),
+    // BM25: constants forced to DOUBLE (a bare 1.2 is a DuckDB DECIMAL and
+    // decimal·bigint math would diverge from Spark's double sequence at the
+    // ulp level); operand order mirrors Tfidf.bm25TopK exactly, and the
+    // per-term floor(w·10⁶) long makes the per-doc sum exact cross-engine.
+    "q97_bm25" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |  (1, 'spark window merge'),
+        |  (2, 'hash join filter'),
+        |  (3, 'stream batch query table'),
+        |  (4, 'vector column scan'),
+        |  (5, 'customer order the')),
+        |d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |tok AS (SELECT doc_id, unnest(list_filter(
+        |  regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z]+'),
+        |  t -> len(t) >= 3)) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+        |st AS (SELECT (SELECT count(*) FROM d) AS n_docs,
+        |              (SELECT count(*) FROM tok) AS tot_toks),
+        |qt AS (SELECT DISTINCT query_id, unnest(list_filter(
+        |  regexp_split_to_array(lower(qtext), '[^a-z]+'),
+        |  t -> len(t) >= 3)) AS term FROM q),
+        |pt AS (
+        | SELECT qt.query_id, tf.doc_id,
+        |  CAST(floor(
+        |   ln(1.0 + (st.n_docs - dfq.dft + 0.5) / (dfq.dft + 0.5))
+        |   * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+        |   / (tf.tf + CAST(1.2 AS DOUBLE) * (0.25 +
+        |      CAST(0.75 AS DOUBLE) * dl.dl /
+        |      (CAST(st.tot_toks AS DOUBLE) / st.n_docs)))
+        |   * 1000000.0) AS BIGINT) AS w_ppm
+        | FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+        |   JOIN dl USING (doc_id) CROSS JOIN st),
+        |pd AS (SELECT query_id, doc_id,
+        |       CAST(sum(w_ppm) AS BIGINT) AS score_ppm
+        |       FROM pt GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score_ppm,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_ppm DESC, doc_id) AS INT) AS rank FROM pd)
+        |SELECT query_id, doc_id, score_ppm, rank FROM r
+        |WHERE rank <= 5""".stripMargin,
     "q73_keep_best" ->
       """WITH RECURSIVE
         | f AS (

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{broadcast => bcast}
 
 /** TF-IDF keyword extraction: the top-k characteristic terms per document.
   *
@@ -55,6 +56,92 @@ object Tfidf {
     val w = Window.partitionBy("id")
       .orderBy(col("score").desc, col("term").asc)
     scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** BM25 top-k retrieval: score every document against a (small) query
+    * set and keep the best `k` documents per query — the lexical
+    * similarity-search face of the engine (embedding ANN lives in
+    * [[Similarity]]; this is its sparse twin, the retrieval step a
+    * RAG-style training-data pipeline runs to mine positives/negatives).
+    *
+    * Scale shape: the QUERY side is the small side by definition, so its
+    * tokenized distinct (query_id, term) frame broadcasts and the first
+    * join prunes the corpus term frame down to query-term postings before
+    * anything wide happens. Corpus-side frames are all narrow aggregates
+    * of the one tokenize pass — (id, term, tf), (id, dl), (term, dft) —
+    * with map-side combine; document text never reaches an exchange. The
+    * per-query top-k is a rank-limit window over (query_id), bounded by
+    * the candidate postings, and plans with WindowGroupLimit partial mode
+    * (map-side heap) like `Sampling.groupWeightedTopK`. Corpus totals ride
+    * one broadcast one-row crossJoin (the Tfidf/Boilerplate pattern).
+    *
+    * Cross-engine parity (q97): every per-term factor is computed in ONE
+    * pinned operand order — `ln(1.0 + (n_docs - dft + 0.5)/(dft + 0.5))`
+    * for idf, `idf * (tf * (k1+1)) / (tf + k1 * ((1-b) + b * dl/avgdl))`
+    * for the weight, `avgdl = CAST(tot_toks AS DOUBLE)/n_docs` — all
+    * inputs exact longs (the constants pinned as DOUBLE literals in the
+    * twin, never DuckDB DECIMALs), so both engines run identical IEEE
+    * sequences. The per-term weight lands as `floor(w · 10⁶)` — an exact
+    * ppm long (floor parity holds on identical doubles; round() tie
+    * behavior differs cross-engine, the q73 lesson) — so the per-doc score
+    * is an exact integer sum, order-independent across any partitioning,
+    * and ties at the k boundary break on doc id.
+    *
+    * @param queries (queryIdCol, queryTextCol) frame — must be small
+    *                (it is broadcast); typically dozens-to-thousands of
+    *                probe queries, never corpus-scale.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      textCol: String,
+      keyCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      minTokenLen: Int = 3): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val tok = docs.select(
+      col(keyCol).as("id"),
+      explode(split(lower(coalesce(col(textCol), lit(""))), "[^a-z]+"))
+        .as("term"))
+      .filter(length(col("term")) >= minTokenLen)
+    val tf = tok.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dft"))
+    // one-row corpus totals: doc count from the input frame (empty docs
+    // count toward N and avgdl, the standard convention), token total from
+    // the postings — broadcast, never a driver collect
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tok.agg(count(lit(1)).as("tot_toks")))
+    val qterms = queries.select(
+      col(queryIdCol).as("query_id"),
+      explode(split(lower(coalesce(col(queryTextCol), lit(""))), "[^a-z]+"))
+        .as("term"))
+      .filter(length(col("term")) >= minTokenLen)
+      .distinct()
+    val avgdl = col("tot_toks").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("dft") + lit(0.5)) / (col("dft") + lit(0.5)))
+    val weight = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val perTerm = tf
+      .join(bcast(qterms), Seq("term"))
+      .join(dfreq, Seq("term"))
+      .join(dl, Seq("id"))
+      .crossJoin(bcast(stats))
+      .select(col("query_id"), col("id"),
+        floor(weight * lit(1000000.0)).cast("long").as("w_ppm"))
+    val perDoc = perTerm
+      .groupBy("query_id", "id")
+      .agg(sum("w_ppm").as("score_ppm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_ppm").desc, col("id").asc)
+    perDoc
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

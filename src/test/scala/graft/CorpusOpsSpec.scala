@@ -154,4 +154,63 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select(col("term")).as[String].collect()
     assert(r.toSeq === Seq("apple", "zebra"))
   }
+
+  test("bm25: exact ppm parity with a driver-side reference implementation") {
+    val corpus = Seq(
+      (1L, "apple banana cherry apple"),
+      (2L, "banana banana banana durian elderberry fig"),
+      (3L, "cherry durian apple grape honeydew"),
+      (4L, ""),
+      (5L, "grape grape grape grape grape grape grape grape grape grape"))
+    val probes = Seq((1, "apple banana"), (2, "grape"), (3, "durian cherry"))
+    val got = Tfidf.bm25TopK(corpus.toDF("doc_id", "text"), "text", "doc_id",
+        probes.toDF("qid", "qtext"), "qid", "qtext", k = 10)
+      .select(col("query_id"), col("id"), col("score_ppm"))
+      .as[(Int, Long, Long)].collect()
+      .map { case (q, d, s) => (q, d) -> s }.toMap
+
+    // independent scalar replica of the documented formula
+    def toks(s: String) =
+      s.toLowerCase.split("[^a-z]+").filter(_.length >= 3).toSeq
+    val docToks = corpus.map { case (id, t) => id -> toks(t) }.toMap
+    val nDocs = corpus.size.toLong
+    val totToks = docToks.values.map(_.size.toLong).sum
+    val avgdl = totToks.toDouble / nDocs
+    val dft = docToks.values.flatMap(_.distinct).toSeq
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val (k1, b) = (1.2, 0.75)
+    val expect = (for {
+      (qid, qtext) <- probes
+      (did, dtoks) <- docToks
+      terms = toks(qtext).distinct.filter(dtoks.contains)
+      if terms.nonEmpty // no shared term → no posting row → pair absent
+    } yield {
+      val s = terms.map { t =>
+        val tf = dtoks.count(_ == t).toLong
+        val dl = dtoks.size.toLong
+        val idf = math.log(1.0 + (nDocs - dft(t) + 0.5) / (dft(t) + 0.5))
+        val w = idf * (tf * (k1 + 1.0)) /
+          (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+        math.floor(w * 1000000.0).toLong
+      }.sum
+      (qid, did) -> s
+    }).toMap
+    assert(got === expect)
+  }
+
+  test("bm25: idf ranks rare terms above common, length norm favors the " +
+    "shorter doc, and k bounds every query's result") {
+    val corpus = (1L to 20L).map(i => (i, "filler common words here")) ++ Seq(
+      (21L, "needle common words here"),
+      (22L, "needle common words here plus many extra padding tokens making" +
+        " this document substantially longer than the short twin"))
+    val probes = Seq((1, "needle"))
+    val r = Tfidf.bm25TopK(corpus.toDF("doc_id", "text"), "text", "doc_id",
+        probes.toDF("qid", "qtext"), "qid", "qtext", k = 2)
+      .orderBy("rank")
+      .select(col("id"), col("score_ppm")).as[(Long, Long)].collect()
+    assert(r.map(_._1).toSeq === Seq(21L, 22L)) // same tf=1; shorter doc wins
+    assert(r(0)._2 > r(1)._2 && r(1)._2 > 0L)
+    assert(r.length <= 2)
+  }
 }

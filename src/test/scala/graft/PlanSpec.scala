@@ -473,4 +473,21 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles === 1,
       s"expected one reused hash partitioning, got $shuffles:\n$p")
   }
+
+  test("bm25: query terms broadcast onto the postings, the per-query top-k " +
+    "plants a map-side WindowGroupLimit, and document text never shuffles") {
+    import spark.implicits._
+    val docs = (0 until 200)
+      .map(i => (i.toLong, s"some document body text number $i with words"))
+      .toDF("doc_id", "text")
+    val probes = Seq((1, "document words"), (2, "number text")).toDF("q", "t")
+    val p = plan(graft.ops.Tfidf.bm25TopK(
+      docs, "text", "doc_id", probes, "q", "t", k = 3))
+    assert(p.contains("BroadcastHashJoin"), s"query side must broadcast:\n$p")
+    assert("""\(\d+\) WindowGroupLimit""".r.findAllIn(p).size >= 2,
+      s"expected partial+final WindowGroupLimit in:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")), s"text shuffled in:\n$p")
+  }
 }
