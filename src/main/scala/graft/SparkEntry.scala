@@ -937,6 +937,23 @@ object SparkEntry {
         .select(col("query_id"), col("id").as("doc_id"),
           col("score_ppm"), col("rank"))
     }),
+    "q98_chunks" -> ((s, dir) => {
+      // sliding-window chunking (size 16, stride 11 → 5-token overlap):
+      // map-only bounded explode, zero exchanges; uneven tails and
+      // zero-token docs exercised by construction
+      graft.ops.Packing.chunkByTokens(
+        t(s, dir, "documents"), "doc_id", "text", size = 16, stride = 11)
+    }),
+    "q99_turn_dedup" -> ((s, dir) => {
+      // cross-conversation turn dedup: (event_type, props) content present
+      // in ≥ 15% of distinct conversations is boilerplate and drops; the
+      // drop set broadcasts back left_anti so full turn rows never shuffle
+      graft.ops.ChatOps.dedupTurns(
+          t(s, dir, "events"), "user_id", "event_type", "props",
+          minConvFrac = 0.15)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("props"))
+    }),
     "q73_keep_best" -> ((s, dir) => {
       // dedup APPLY: q52's connected clusters, but the keeper is the
       // highest-quality member (ties to min id) via a skew-proof
@@ -2151,6 +2168,32 @@ object SparkEntry {
         |    ORDER BY score_ppm DESC, doc_id) AS INT) AS rank FROM pd)
         |SELECT query_id, doc_id, score_ppm, rank FROM r
         |WHERE rank <= 5""".stripMargin,
+    "q98_chunks" ->
+      """WITH d AS (
+        | SELECT doc_id, list_filter(
+        |   regexp_split_to_array(COALESCE(text, ''), '\s+'),
+        |   t -> len(t) > 0) AS toks
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, toks, len(toks) AS n,
+        |   unnest(range(1, len(toks) + 1, 11)) AS start
+        | FROM d WHERE len(toks) >= 1)
+        |SELECT doc_id,
+        | CAST((start - 1) // 11 AS INT) AS chunk_idx,
+        | CAST(least(16, n - start + 1) AS INT) AS n_toks,
+        | array_to_string(toks[start:start + 15], ' ') AS chunk_text
+        |FROM s""".stripMargin,
+    "q99_turn_dedup" ->
+      """WITH f AS (
+        | SELECT COALESCE(event_type, 'unknown') || ':' ||
+        |        COALESCE(props, '') AS s,
+        |   count(DISTINCT user_id) AS nc
+        | FROM events GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT user_id) AS n FROM events),
+        |drops AS (SELECT s FROM f, tot WHERE nc >= ceil(0.15 * n))
+        |SELECT event_id, user_id, event_type, props FROM events
+        |WHERE COALESCE(event_type, 'unknown') || ':' || COALESCE(props, '')
+        |  NOT IN (SELECT s FROM drops)""".stripMargin,
     "q73_keep_best" ->
       """WITH RECURSIVE
         | f AS (

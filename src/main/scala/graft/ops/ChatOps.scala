@@ -97,6 +97,48 @@ object ChatOps {
             lit("\"}"))), ","), lit("]")).as("messages_json"),
         size(col("__turns")).cast("long").as("n_turns"))
 
+  /** Cross-conversation turn-level dedup: drop turns whose (role, text)
+    * content recurs in at least ⌈minConvFrac · total_convs⌉ DISTINCT
+    * conversations — canned greetings, templated tool banners, retry
+    * boilerplate — and return the surviving turn rows. The threshold is
+    * the scale-invariant fraction form (the q64 lesson: an absolute count
+    * silently reclassifies everything when the corpus grows 100×).
+    *
+    * Scale shape — the dedupLines pattern one level up:
+    *  1. turns leave the scan as (sig = md5(role:text), conv) — the
+    *     distinct-conversation count is a narrow two-phase aggregate;
+    *     turn text never enters its exchanges.
+    *  2. the total-conversation count rides a one-row broadcast crossJoin
+    *     (never a driver collect).
+    *  3. the drop set (sigs over threshold) BROADCASTS back onto the
+    *     original rows as a left_anti hash join — map-side, so the
+    *     full-width turn rows are never shuffled at all. The drop set is
+    *     small by construction for any sane fraction (≤ 1/frac sigs can
+    *     exceed frac of conversations... per conversation-slot, and in
+    *     practice boilerplate sets are tiny); if a pathological corpus
+    *     outgrew broadcast, the BloomAgg path (Decontam.contaminatedBloom)
+    *     is the documented escape hatch.
+    */
+  def dedupTurns(
+      df: DataFrame, convCol: String, roleCol: String, textCol: String,
+      minConvFrac: Double): DataFrame = {
+    require(minConvFrac > 0 && minConvFrac <= 1, "minConvFrac in (0,1]")
+    val sig = md5(concat(coalesce(col(roleCol), lit("unknown")), lit(":"),
+      coalesce(col(textCol), lit(""))))
+    val withSig = df.withColumn("__sig", sig)
+    val total = df.select(countDistinct(col(convCol)).as("__total"))
+    val dropSigs = withSig
+      .groupBy("__sig")
+      .agg(countDistinct(col(convCol)).as("__nc"))
+      .crossJoin(broadcast(total))
+      .filter(col("__nc") >=
+        ceil(lit(minConvFrac) * col("__total")).cast("long"))
+      .select("__sig")
+    withSig
+      .join(broadcast(dropSigs), Seq("__sig"), "left_anti")
+      .drop("__sig")
+  }
+
   /** Shared-prefix dedup rollup: group conversations by their first-k-turn
     * signature; keep the lowest conv id as representative. Returns
     * (prefix_sig, keeper, n_convs, n_turns_total). Two shuffles: conv

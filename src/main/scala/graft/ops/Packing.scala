@@ -193,6 +193,45 @@ object Packing {
           .cast("long"))
   }
 
+  /** Sliding-window chunking: cut each document's whitespace-token stream
+    * into windows of `size` tokens starting every `stride` tokens — the
+    * retrieval/context-window prep step (overlap = size − stride keeps
+    * boundary context in both neighbors). The last window of a document is
+    * short when the stream doesn't divide evenly; zero-token documents
+    * emit nothing.
+    *
+    * Scale shape: map-only — one split + one bounded explode per document
+    * (⌈n/stride⌉ rows), zero exchanges; a downstream writer shuffle is the
+    * consumer's choice. The chunk text is the window's tokens re-joined on
+    * single spaces (whitespace runs normalize — the op tokenizes, so the
+    * output is token-stream-faithful, not byte-faithful; byte-faithful
+    * slicing is [[packPayloads]]' job).
+    *
+    * Parity (q98): token filter + slice + join replayed in DuckDB on the
+    * same regex; all chunk geometry is integer math (chunk_idx =
+    * (start−1) div stride), so nothing can disagree by a ulp.
+    */
+  def chunkByTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size >= 1, "size >= 1")
+    require(stride >= 1 && stride <= size, "stride in [1, size]")
+    val toks = filter(
+      split(coalesce(col(textCol), lit("")), "\\s+"),
+      t => length(t) > 0)
+    val n = org.apache.spark.sql.functions.size(col("__toks"))
+    df.select(col(idCol), toks.as("__toks"))
+      .filter(n >= 1)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(1), n, lit(stride))).as("__start"))
+      .select(
+        col(idCol),
+        floor((col("__start") - 1) / lit(stride)).cast("int").as("chunk_idx"),
+        least(lit(size), n - col("__start") + 1).cast("int").as("n_toks"),
+        array_join(slice(col("__toks"), col("__start"), lit(size)), " ")
+          .as("chunk_text"))
+  }
+
   def packAssemble(payloads: DataFrame): DataFrame =
     payloads
       .groupBy("pack_id")

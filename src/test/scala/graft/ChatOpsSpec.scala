@@ -93,4 +93,30 @@ class ChatOpsSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long)].collect()
     assert(byK3.length === 3, "k=3 separates the diverging third turn")
   }
+
+  test("dedupTurns drops exactly the (role, text) contents recurring in " +
+    "≥ ⌈frac·convs⌉ distinct conversations; within-conv repeats don't " +
+    "count twice; null role/text are hashable") {
+    val df = turns.toDF("conv", "ts", "eid", "role", "txt")
+    // 3 distinct convs; frac 0.6 → threshold ceil(1.8)=2 distinct convs.
+    // "hello there" and "hi, how can I help?" appear in convs 1 AND 2 →
+    // drop; every other turn (incl. conv 3's null text) appears in one
+    // conv only → keep.
+    val kept = ChatOps.dedupTurns(df, "conv", "role", "txt", 0.6)
+      .select("eid").as[Long].collect().toSet
+    assert(kept === Set(12L, 22L, 30L))
+
+    // a turn REPEATED inside one conversation is one distinct conv, not
+    // two: it must survive the same threshold
+    val rep = (df.union(Seq((1L, ts(4), 13L, "user", "run the tests"))
+      .toDF("conv", "ts", "eid", "role", "txt")))
+    val kept2 = ChatOps.dedupTurns(rep, "conv", "role", "txt", 0.6)
+      .select("eid").as[Long].collect().toSet
+    assert(kept2 === Set(12L, 13L, 22L, 30L))
+
+    // frac above every content's share keeps everything
+    val all = ChatOps.dedupTurns(df, "conv", "role", "txt", 1.0)
+      .select("eid").as[Long].collect().toSet
+    assert(all.size === turns.size)
+  }
 }

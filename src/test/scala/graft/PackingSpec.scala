@@ -168,4 +168,34 @@ class PackingSpec extends AnyFunSuite {
     assert(out(64L) === (64L, 1L, 64L, 0L, 1000000L))
     assert(out(128L) === (128L, 1L, 65L, 63L, 507812L))
   }
+
+  test("chunkByTokens: stride == size partitions the token stream exactly; " +
+    "overlapping windows share size-stride tokens; empty docs vanish") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),   // 10 tokens
+      (2L, "  x   y\tz\n"),          // whitespace runs + 3 tokens
+      (3L, ""),                      // no tokens → no chunks
+      (4L, "solo")).toDF("doc_id", "text")
+
+    // partition mode: stride == size → concatenated chunks == token stream
+    val part = Packing.chunkByTokens(docs, "doc_id", "text", 4, 4)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Int, String)].collect()
+    assert(part.map(_._1).toSet === Set(1L, 2L, 4L))
+    val d1 = part.filter(_._1 == 1L)
+    assert(d1.map(_._4).mkString(" ") === "a b c d e f g h i j")
+    assert(d1.map(_._3).toSeq === Seq(4, 4, 2))
+    assert(d1.map(_._2).toSeq === Seq(0, 1, 2))
+    assert(part.filter(_._1 == 2L).map(_._4).toSeq === Seq("x y z"))
+
+    // overlap mode: consecutive windows share size - stride tokens
+    val ov = Packing.chunkByTokens(docs.filter(col("doc_id") === 1), "doc_id",
+        "text", 4, 2)
+      .orderBy("chunk_idx").as[(Long, Int, Int, String)].collect()
+    assert(ov.map(_._4).toSeq === Seq(
+      "a b c d", "c d e f", "e f g h", "g h i j", "i j"))
+    ov.sliding(2).foreach { case Array(p, q) =>
+      assert(p._4.split(" ").drop(2).toSeq === q._4.split(" ").take(2).toSeq)
+    }
+  }
 }

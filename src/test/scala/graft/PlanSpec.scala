@@ -474,6 +474,32 @@ class PlanSpec extends AnyFunSuite {
       s"expected one reused hash partitioning, got $shuffles:\n$p")
   }
 
+  test("chunkByTokens is map-only: zero Exchange, no UDF") {
+    import spark.implicits._
+    val docs = (0 until 50)
+      .map(i => (i.toLong, s"some document body text number $i with words"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.ops.Packing.chunkByTokens(docs, "doc_id", "text", 8, 5))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"))
+  }
+
+  test("dedupTurns: the drop set broadcasts back (left_anti, map-side) and " +
+    "turn text never enters an exchange — only (sig, conv) rows shuffle") {
+    import spark.implicits._
+    val df = (0 until 300)
+      .map(i => (i.toLong % 20, i.toLong,
+        if (i % 3 == 0) "assistant" else "user",
+        if (i % 5 == 0) "canned greeting" else s"unique turn body $i"))
+      .toDF("conv", "eid", "role", "txt")
+    val p = plan(graft.ops.ChatOps.dedupTurns(df, "conv", "role", "txt", 0.3))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"drop set must broadcast as left_anti:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("txt#")), s"text shuffled in:\n$p")
+  }
+
   test("bm25: query terms broadcast onto the postings, the per-query top-k " +
     "plants a map-side WindowGroupLimit, and document text never shuffles") {
     import spark.implicits._
