@@ -954,6 +954,22 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("props"))
     }),
+    "q101_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights: target trigram LM (lang='en') vs raw LM
+      // (whole corpus), one shared trigram stream broadcast-joining both
+      // bounded models; positive bits = more target-like than average
+      graft.ops.LangModel.importanceWeights(
+        t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", minFrac = 1e-5)
+    }),
+    "q100_quantize_int8" -> ((s, dir) => {
+      // symmetric int8 quantization of the embedding table: map-only,
+      // scale materialized before the transform that references it (the
+      // q78/q88 interpreted-HOF lesson); code vector byte-matched as a
+      // comma-joined string, checksums exact integers
+      graft.ops.Similarity.quantizeInt8(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+    }),
     "q73_keep_best" -> ((s, dir) => {
       // dedup APPLY: q52's connected clusters, but the keeper is the
       // highest-quality member (ties to min id) via a skew-proof
@@ -2194,6 +2210,73 @@ object SparkEntry {
         |SELECT event_id, user_id, event_type, props FROM events
         |WHERE COALESCE(event_type, 'unknown') || ':' || COALESCE(props, '')
         |  NOT IN (SELECT s FROM drops)""".stripMargin,
+    "q101_dsir_weights" ->
+      """WITH lt AS (
+        | SELECT doc_id, lang, lower(COALESCE(text, '')) AS t FROM documents),
+        |tri AS (
+        | SELECT doc_id, lang,
+        |  unnest(list_transform(range(1, greatest(length(t) - 1, 1)),
+        |                        i -> substr(t, i, 3))) AS tri
+        | FROM lt),
+        |c3t AS (
+        | SELECT tri, count(*) AS c3 FROM tri WHERE lang = 'en' GROUP BY tri),
+        |tott AS (SELECT sum(c3) AS total FROM c3t),
+        |m3t AS (
+        | SELECT tri, c3 FROM c3t, tott
+        | WHERE c3 >= CAST(ceil(1e-05 * total) AS BIGINT)),
+        |m2t AS (
+        | SELECT bg, c2 FROM (
+        |   SELECT substr(tri, 1, 2) AS bg, sum(c3) AS c2
+        |   FROM c3t GROUP BY 1) p, tott
+        | WHERE c2 >= CAST(ceil(1e-05 * total) AS BIGINT)),
+        |vt AS (SELECT count(DISTINCT substr(tri, 3, 1)) AS vs FROM c3t),
+        |c3r AS (SELECT tri, count(*) AS c3 FROM tri GROUP BY tri),
+        |totr AS (SELECT sum(c3) AS total FROM c3r),
+        |m3r AS (
+        | SELECT tri, c3 FROM c3r, totr
+        | WHERE c3 >= CAST(ceil(1e-05 * total) AS BIGINT)),
+        |m2r AS (
+        | SELECT bg, c2 FROM (
+        |   SELECT substr(tri, 1, 2) AS bg, sum(c3) AS c2
+        |   FROM c3r GROUP BY 1) p, totr
+        | WHERE c2 >= CAST(ceil(1e-05 * total) AS BIGINT)),
+        |vr AS (SELECT count(DISTINCT substr(tri, 3, 1)) AS vs FROM c3r),
+        |sc AS (
+        | SELECT t.doc_id, count(*) AS n_tris,
+        |  sum(ln(CAST(COALESCE(m3t.c3, 0) + 1 AS DOUBLE)
+        |         / (COALESCE(m2t.c2, 0) + vt.vs))
+        |    - ln(CAST(COALESCE(m3r.c3, 0) + 1 AS DOUBLE)
+        |         / (COALESCE(m2r.c2, 0) + vr.vs))) AS s
+        | FROM tri t
+        | CROSS JOIN vt CROSS JOIN vr
+        | LEFT JOIN m3t ON t.tri = m3t.tri
+        | LEFT JOIN m2t ON substr(t.tri, 1, 2) = m2t.bg
+        | LEFT JOIN m3r ON t.tri = m3r.tri
+        | LEFT JOIN m2r ON substr(t.tri, 1, 2) = m2r.bg
+        | GROUP BY t.doc_id)
+        |SELECT doc_id, n_tris,
+        | round(s / (n_tris * 0.6931471805599453), 4) AS weight_bits
+        |FROM sc""".stripMargin,
+    "q100_quantize_int8" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(COALESCE(embedding,
+        |   CAST([] AS FLOAT[])), x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |s AS (
+        | SELECT vec_id, v,
+        |  COALESCE(list_max(list_transform(v, x -> abs(x))), 0.0) AS scale
+        | FROM e),
+        |q AS (
+        | SELECT vec_id, scale,
+        |  list_transform(v, x -> CASE WHEN scale = 0.0 THEN 0
+        |    ELSE CAST(floor(x / scale * 127.0 + 0.5) AS INT) END) AS qv
+        | FROM s)
+        |SELECT vec_id, CAST(len(qv) AS INT) AS n_dims, scale,
+        | array_to_string(qv, ',') AS qvec,
+        | CAST(COALESCE(list_aggregate(qv, 'sum'), 0) AS BIGINT) AS q_sum,
+        | CAST(COALESCE(list_aggregate(list_transform(qv, x -> abs(x)),
+        |   'sum'), 0) AS BIGINT) AS q_l1
+        |FROM q""".stripMargin,
     "q73_keep_best" ->
       """WITH RECURSIVE
         | f AS (

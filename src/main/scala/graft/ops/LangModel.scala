@@ -132,6 +132,48 @@ object LangModel {
     * t-digest aggregate for the cuts — same shape, approximate cuts).
     * Returns one row per bucket: (bucket, n_docs, n_tris_total).
     */
+  /** DSIR-style importance weights: score every document by the mean
+    * per-trigram log-likelihood RATIO between a target model (trained on
+    * the slice `targetFilter` picks — the distribution you want more of)
+    * and a raw model (trained on the whole corpus). Positive
+    * `weight_bits` = the document looks more like the target than like
+    * the average of the corpus; downstream, [[Sampling.weightedTopK]] /
+    * `weightedMixture` consume the weight (Xie et al.'s data-selection
+    * recipe with hashed-trigram features).
+    *
+    * Scale shape = [[crossEntropy]]'s, doubled: ONE trigram stream over
+    * the corpus broadcast-joins BOTH bounded models (each ≤ 1/minFrac
+    * entries by construction), then one partial-agg per-doc sum — text
+    * never reaches an exchange, and the stream is not re-tokenized per
+    * model. Parity: the per-trigram summand is the difference of the two
+    * q72-shaped ln terms in pinned order; the 4-dp rounded mean is
+    * hash-stable cross-engine (q72 precedent at both test scales).
+    */
+  def importanceWeights(
+      docs: DataFrame, idCol: String, textCol: String, targetFilter: Column,
+      minFrac: Double = 1e-5): DataFrame = {
+    val (m3t, m2t, vt) = train(docs.filter(targetFilter), idCol, textCol, minFrac)
+    val (m3r, m2r, vr) = train(docs, idCol, textCol, minFrac)
+    require(vt > 0 && vr > 0, "empty training slice")
+    val tris = trigramStream(docs, idCol, textCol)
+    val joined = tris
+      .join(broadcast(m3t.withColumnRenamed("c3", "c3t")), Seq("tri"), "left")
+      .join(broadcast(m2t.select(col("bg").as("__bgt"), col("c2").as("c2t"))),
+        substring(col("tri"), 1, 2) === col("__bgt"), "left")
+      .join(broadcast(m3r.withColumnRenamed("c3", "c3r")), Seq("tri"), "left")
+      .join(broadcast(m2r.select(col("bg").as("__bgr"), col("c2").as("c2r"))),
+        substring(col("tri"), 1, 2) === col("__bgr"), "left")
+    val lt = log((coalesce(col("c3t"), lit(0L)) + 1).cast("double") /
+      (coalesce(col("c2t"), lit(0L)) + vt))
+    val lr = log((coalesce(col("c3r"), lit(0L)) + 1).cast("double") /
+      (coalesce(col("c2r"), lit(0L)) + vr))
+    joined
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tris"), sum(lt - lr).as("__s"))
+      .select(col(idCol), col("n_tris"),
+        round(col("__s") / (col("n_tris") * Ln2), 4).as("weight_bits"))
+  }
+
   def xentBuckets(scored: DataFrame): DataFrame = {
     val cuts = scored.agg(
       expr("percentile(xent_bits, 0.3333333333333333)").as("__c1"),

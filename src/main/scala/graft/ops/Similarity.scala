@@ -260,4 +260,44 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Symmetric per-vector int8 quantization — the storage/bandwidth face
+    * of the ANN family (a 10^12-vector index at float32 is 4× the bytes of
+    * its int8 twin; IVF/LSH candidate scans read the int8 form and only
+    * re-rank finalists at full precision). Each vector maps to
+    * `q_i = floor(x_i / scale · 127 + 0.5)` with `scale = max|x_i|`, so
+    * q ∈ [−127, 127] with no clamp branch; all-zero/empty/null vectors
+    * quantize to scale 0 and an all-zero code.
+    *
+    * Scale shape: map-only, zero exchanges. `scale` materializes in its
+    * own projection BEFORE the transform that references it — an inlined
+    * array_max inside the lambda would re-reduce the whole vector per
+    * element (the q78/q88 O(n²) interpreted-HOF lesson).
+    *
+    * Parity (q100): float→double casts are exact, the quantize expression
+    * is one pinned IEEE sequence ending in floor (never round — the q73
+    * tie lesson), and the integer checksums are exact sums. The code
+    * vector itself travels as a comma-joined string so the oracle compare
+    * is byte-for-byte.
+    */
+  def quantizeInt8(embeddings: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val v = asDouble(coalesce(col(vecCol), array().cast("array<float>")))
+    embeddings
+      .select(col(idCol), v.as("__v"))
+      .select(col(idCol), col("__v"),
+        coalesce(array_max(transform(col("__v"), x => abs(x))), lit(0.0))
+          .as("scale"))
+      .select(col(idCol), col("scale"),
+        transform(col("__v"), x =>
+          when(col("scale") === 0.0, lit(0))
+            .otherwise(floor(x / col("scale") * lit(127.0) + lit(0.5))
+              .cast("int"))).as("__q"))
+      .select(col(idCol),
+        size(col("__q")).as("n_dims"),
+        col("scale"),
+        array_join(transform(col("__q"), _.cast("string")), ",").as("qvec"),
+        aggregate(col("__q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        aggregate(col("__q"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"))
+  }
 }

@@ -85,6 +85,40 @@ class LangModelSpec extends AnyFunSuite {
     assert(r(2)._3 === 1.0)
   }
 
+  test("importanceWeights: target-like docs weigh positive, off-target " +
+    "negative; the weight equals xent_raw - xent_target on the same " +
+    "models (compositional identity within rounding)") {
+    // corpus: half english-ish (lang en), half consonant gibberish —
+    // the raw model is the mixture, the target model is the en slice
+    val corpus = ((0 until 30).map(i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog $i", "en")) ++
+      (100 until 130).map(i =>
+        (i.toLong, s"zxq vwk pqf jjx wzk vqp xjz kwv $i", "xx")))
+      .toDF("doc_id", "text", "lang")
+    val w = LangModel
+      .importanceWeights(corpus, "doc_id", "text", col("lang") === "en")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val enMean = (0 until 30).map(i => w(i.toLong)).sum / 30
+    val xxMean = (100 until 130).map(i => w(i.toLong)).sum / 30
+    assert(enMean > 0, s"en docs should be target-like: $enMean")
+    assert(xxMean < 0, s"gibberish should be anti-target: $xxMean")
+    assert(enMean > xxMean)
+
+    // identity: weight = xent(raw model) - xent(target model), both per
+    // q72's estimator on the same doc stream (4-dp rounding slack)
+    val (m3t, m2t, vt) = LangModel.train(
+      corpus.filter(col("lang") === "en"), "doc_id", "text", 1e-5)
+    val (m3r, m2r, vr) = LangModel.train(corpus, "doc_id", "text", 1e-5)
+    val xt = LangModel.crossEntropy(corpus, "doc_id", "text", m3t, m2t, vt)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val xr = LangModel.crossEntropy(corpus, "doc_id", "text", m3r, m2r, vr)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    w.keys.foreach { id =>
+      assert(math.abs(w(id) - (xr(id) - xt(id))) <= 2e-4,
+        s"doc $id: ${w(id)} vs ${xr(id) - xt(id)}")
+    }
+  }
+
   test("xentBuckets: percentile cuts split into thirds; bucket rollup " +
     "carries doc and trigram counts") {
     val scored = Seq(

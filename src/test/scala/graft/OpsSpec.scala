@@ -727,4 +727,45 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4) === ("mp3", None, None, None))
     assert(got(5) === ("unknown", None, None, None))
   }
+
+  test("quantizeInt8: exact codes vs a scalar replica, codes bounded in " +
+    "[-127,127] with the argmax element at ±127, zero/empty vectors safe, " +
+    "and dequantization error within scale/254 per dimension") {
+    val vecs: Seq[(Long, Seq[Float])] = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(-3.5f, 3.5f, 1.75f)),
+      (3L, Seq(0.0f, 0.0f)),
+      (4L, Seq.empty[Float]),
+      (5L, Seq(0.001f, -0.002f, 0.0005f)))
+    val got = Similarity.quantizeInt8(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .as[(Long, Int, Double, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+
+    def replica(v: Seq[Float]): (Double, Seq[Int]) = {
+      val scale = if (v.isEmpty) 0.0 else v.map(x => math.abs(x.toDouble)).max
+      val q = v.map { x =>
+        if (scale == 0.0) 0
+        else math.floor(x.toDouble / scale * 127.0 + 0.5).toInt
+      }
+      (scale, q)
+    }
+    vecs.foreach { case (id, v) =>
+      val (scale, q) = replica(v)
+      val (_, nDims, gotScale, qvec, qSum, qL1) = got(id)
+      assert(nDims === v.size)
+      assert(gotScale === scale)
+      assert(qvec === q.mkString(","))
+      assert(qSum === q.map(_.toLong).sum)
+      assert(qL1 === q.map(x => math.abs(x).toLong).sum)
+      assert(q.forall(x => x >= -127 && x <= 127))
+      if (scale > 0) {
+        assert(q.map(math.abs).max === 127, "argmax element saturates")
+        v.zip(q).foreach { case (x, qi) =>
+          assert(math.abs(x.toDouble - qi * scale / 127.0) <=
+            scale / 254.0 + 1e-12)
+        }
+      }
+    }
+  }
 }

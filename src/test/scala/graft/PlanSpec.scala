@@ -484,6 +484,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("scalaudf"))
   }
 
+  test("quantizeInt8 is map-only: zero Exchange, no UDF") {
+    import spark.implicits._
+    val df = (0 until 40)
+      .map(i => (i.toLong, Seq(i.toFloat, -i.toFloat, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val p = plan(graft.ops.Similarity.quantizeInt8(df, "vec_id", "embedding"))
+    assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"))
+  }
+
   test("dedupTurns: the drop set broadcasts back (left_anti, map-side) and " +
     "turn text never enters an exchange — only (sig, conv) rows shuffle") {
     import spark.implicits._
