@@ -962,6 +962,23 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", minFrac = 1e-5)
     }),
+    "q102_pagerank" -> ((s, dir) => {
+      // exact-integer PageRank (ppm ranks, 85/100 damping as a rational,
+      // q/r-split overflow-safe) over the q73 planted link graph — 4
+      // power iterations, each one narrow equi-join + one hash aggregate
+      val docs = t(s, dir, "documents")
+      val w = Window.partitionBy("source", "lang").orderBy("doc_id")
+      val chain = docs
+        .select(col("doc_id").as("src"),
+          lead(col("doc_id"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+      val cross = docs
+        .filter(col("doc_id") % 100 === 0 && col("doc_id") > 0)
+        .select(col("doc_id").as("src"),
+          (col("doc_id") / 2).cast("long").as("dst"))
+      graft.ops.Graph.pagerankInt(
+        chain.unionAll(cross).distinct(), "src", "dst", iters = 4)
+    }),
     "q100_quantize_int8" -> ((s, dir) => {
       // symmetric int8 quantization of the embedding table: map-only,
       // scale materialized before the transform that references it (the
@@ -2257,6 +2274,53 @@ object SparkEntry {
         |SELECT doc_id, n_tris,
         | round(s / (n_tris * 0.6931471805599453), 4) AS weight_bits
         |FROM sc""".stripMargin,
+    // PageRank: all-integer ppm ranks — DuckDB's `//` floor-div equals
+    // Spark's `div` truncation on the all-positive values here; sum()
+    // widens to HUGEINT so the damped form is CAST back to BIGINT.
+    "q102_pagerank" ->
+      """WITH chain AS (
+        | SELECT doc_id AS src,
+        |  lead(doc_id) OVER (PARTITION BY source, lang ORDER BY doc_id)
+        |    AS dst
+        | FROM documents),
+        |e AS (
+        | SELECT src, dst FROM chain WHERE dst IS NOT NULL
+        | UNION
+        | SELECT doc_id, doc_id // 2 FROM documents
+        | WHERE doc_id % 100 = 0 AND doc_id > 0),
+        |nodes AS (SELECT DISTINCT node FROM
+        | (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM nodes),
+        |c1 AS (SELECT e.dst AS node, sum(r.rank_ppm // d.deg) AS s
+        |  FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.node
+        |  GROUP BY 1),
+        |r1 AS (SELECT n.node, CAST(150000 + CASE WHEN c.s IS NULL THEN 0
+        |   ELSE 85 * (c.s // 100) + (85 * (c.s % 100)) // 100 END
+        |   AS BIGINT) AS rank_ppm
+        |  FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+        |c2 AS (SELECT e.dst AS node, sum(r.rank_ppm // d.deg) AS s
+        |  FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.node
+        |  GROUP BY 1),
+        |r2 AS (SELECT n.node, CAST(150000 + CASE WHEN c.s IS NULL THEN 0
+        |   ELSE 85 * (c.s // 100) + (85 * (c.s % 100)) // 100 END
+        |   AS BIGINT) AS rank_ppm
+        |  FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+        |c3 AS (SELECT e.dst AS node, sum(r.rank_ppm // d.deg) AS s
+        |  FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.node
+        |  GROUP BY 1),
+        |r3 AS (SELECT n.node, CAST(150000 + CASE WHEN c.s IS NULL THEN 0
+        |   ELSE 85 * (c.s // 100) + (85 * (c.s % 100)) // 100 END
+        |   AS BIGINT) AS rank_ppm
+        |  FROM nodes n LEFT JOIN c3 c ON n.node = c.node),
+        |c4 AS (SELECT e.dst AS node, sum(r.rank_ppm // d.deg) AS s
+        |  FROM e JOIN r3 r ON e.src = r.node JOIN deg d ON e.src = d.node
+        |  GROUP BY 1),
+        |r4 AS (SELECT n.node, CAST(150000 + CASE WHEN c.s IS NULL THEN 0
+        |   ELSE 85 * (c.s // 100) + (85 * (c.s % 100)) // 100 END
+        |   AS BIGINT) AS rank_ppm
+        |  FROM nodes n LEFT JOIN c4 c ON n.node = c.node)
+        |SELECT node, rank_ppm FROM r4""".stripMargin,
     "q100_quantize_int8" ->
       """WITH e AS (
         | SELECT vec_id, list_transform(COALESCE(embedding,
