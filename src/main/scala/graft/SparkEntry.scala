@@ -962,6 +962,15 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", minFrac = 1e-5)
     }),
+    "q103_inverted_index" -> ((s, dir) => {
+      // inverted-index build: per-term df/cf stats (partial-combine
+      // aggregate) + top-3 postings via the rank-limit window
+      // (WindowGroupLimit map-side heaps — a corpus-common term ships 3
+      // rows per task, never its whole posting list)
+      graft.ops.Tfidf.invertedIndex(
+        t(s, dir, "documents"), "text", "doc_id",
+        maxPostings = 3, minTokenLen = 5)
+    }),
     "q102_pagerank" -> ((s, dir) => {
       // exact-integer PageRank (ppm ranks, 85/100 damping as a rational,
       // q/r-split overflow-safe) over the q73 planted link graph — 4
@@ -2274,6 +2283,24 @@ object SparkEntry {
         |SELECT doc_id, n_tris,
         | round(s / (n_tris * 0.6931471805599453), 4) AS weight_bits
         |FROM sc""".stripMargin,
+    "q103_inverted_index" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(list_filter(
+        |   regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z]+'),
+        |   t -> len(t) >= 5)) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |st AS (SELECT term, count(*) AS dft,
+        |        CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+        |r AS (SELECT term, doc_id, tf,
+        |  row_number() OVER (PARTITION BY term
+        |    ORDER BY tf DESC, doc_id) AS rank FROM tf),
+        |po AS (SELECT term,
+        |  string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+        |    ' ' ORDER BY rank) AS postings
+        | FROM r WHERE rank <= 3 GROUP BY 1)
+        |SELECT st.term, st.dft, st.cf, po.postings
+        |FROM st JOIN po ON st.term = po.term""".stripMargin,
     // PageRank: all-integer ppm ranks — DuckDB's `//` floor-div equals
     // Spark's `div` truncation on the all-positive values here; sum()
     // widens to HUGEINT so the damped form is CAST back to BIGINT.

@@ -60,6 +60,53 @@ object Tfidf {
       .filter(col("rank") <= k)
   }
 
+  /** Inverted-index construction: one row per term carrying document
+    * frequency, collection frequency, and the top-`maxPostings` posting
+    * entries ("doc:tf", highest-tf first, doc id tie-break) — the index
+    * build step behind [[bm25TopK]]-style retrieval when the index is
+    * materialized rather than recomputed per query batch.
+    *
+    * Scale shape: stats (dft, cf) are a plain hash aggregate over the
+    * (id, term, tf) frame — partial combine bounds hot terms. The posting
+    * CAP is the part that needs care: a rank-limit window over term
+    * plants partial+final WindowGroupLimit (map-side heaps), so a
+    * corpus-common term — "the", a billion documents — ships at most
+    * `maxPostings` rows per map task instead of serializing its whole
+    * posting list through one window task. collect_list then only ever
+    * sees ≤ maxPostings rows per term (bounded by construction — the
+    * ChatOps rule for when collect_list is legitimate).
+    */
+  def invertedIndex(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      maxPostings: Int = 10,
+      minTokenLen: Int = 3): DataFrame = {
+    require(maxPostings >= 1, "maxPostings >= 1")
+    val tok = df.select(
+      col(keyCol).as("id"),
+      explode(split(lower(coalesce(col(textCol), lit(""))), "[^a-z]+"))
+        .as("term"))
+      .filter(length(col("term")) >= minTokenLen)
+    val tf = tok.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("term")
+      .agg(count(lit(1)).as("dft"), sum("tf").as("cf"))
+    val w = Window.partitionBy("term")
+      .orderBy(col("tf").desc, col("id").asc)
+    val posts = tf
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= maxPostings)
+      .groupBy("term")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("rank"),
+            concat(col("id").cast("string"), lit(":"),
+              col("tf").cast("string")).as("p")))),
+          x => x.getField("p")),
+        " ").as("postings"))
+    stats.join(posts, Seq("term"))
+  }
+
   /** BM25 top-k retrieval: score every document against a (small) query
     * set and keep the best `k` documents per query — the lexical
     * similarity-search face of the engine (embedding ANN lives in

@@ -198,6 +198,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("invertedIndex: df/cf exact, postings capped and ordered by " +
+    "(tf desc, doc asc)") {
+    val corpus = Seq(
+      (1L, "alpha alpha alpha bravo"),
+      (2L, "alpha alpha bravo bravo"),
+      (3L, "alpha bravo charlie"),
+      (4L, "alpha delta"),
+      (5L, "")).toDF("doc_id", "text")
+    val idx = Tfidf.invertedIndex(corpus, "text", "doc_id",
+        maxPostings = 2, minTokenLen = 3)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(idx("alpha") === ("alpha", 4L, 7L, "1:3 2:2"))  // cap drops 3,4
+    assert(idx("bravo") === ("bravo", 3L, 4L, "2:2 1:1")) // tf desc, id asc
+    assert(idx("charlie") === ("charlie", 1L, 1L, "3:1"))
+    assert(idx("delta") === ("delta", 1L, 1L, "4:1"))
+    assert(idx.size === 4)
+  }
+
   test("bm25: idf ranks rare terms above common, length norm favors the " +
     "shorter doc, and k bounds every query's result") {
     val corpus = (1L to 20L).map(i => (i, "filler common words here")) ++ Seq(

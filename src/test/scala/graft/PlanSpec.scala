@@ -494,6 +494,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("scalaudf"))
   }
 
+  test("invertedIndex: the posting cap plants a map-side WindowGroupLimit " +
+    "and document text never shuffles") {
+    import spark.implicits._
+    val docs = (0 until 200)
+      .map(i => (i.toLong, s"some document body text number $i with words"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.ops.Tfidf.invertedIndex(docs, "text", "doc_id", 3))
+    assert("""\(\d+\) WindowGroupLimit""".r.findAllIn(p).size >= 2,
+      s"expected partial+final WindowGroupLimit in:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")), s"text shuffled in:\n$p")
+  }
+
   test("dedupTurns: the drop set broadcasts back (left_anti, map-side) and " +
     "turn text never enters an exchange — only (sig, conv) rows shuffle") {
     import spark.implicits._
