@@ -156,6 +156,30 @@ object StreamValidator {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
 
+  /** Streaming incremental ingest dedup — [[graft.ops.Dedup.incrementalNew]]'s
+    * streaming face: an arriving turn/document drops when its md5 content
+    * hash exists in the STATIC historical store (stream-static left_anti
+    * join, re-planned per micro-batch; the store carries hashes only,
+    * never text — TBs vs 100s of TBs at 10^12 docs), then exact-dedups
+    * WITHIN the stream via `dropDuplicatesWithinWatermark` on the same
+    * hash. State is bounded by content hashes inside the watermark window
+    * — deduping against deep history is the store's job, not state's.
+    *
+    * @param historyHashes static frame with one `h` (md5 hex) column
+    */
+  def incrementalNew(
+      stream: DataFrame,
+      historyHashes: DataFrame,
+      textCol: String,
+      watermark: String = "30 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .withColumn("__h",
+        md5(coalesce(col(textCol).cast("string"), lit(""))))
+      .join(historyHashes.select(col("h").as("__h")), Seq("__h"), "left_anti")
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   /** Spark-style UTC timestamp rendering (what `cast(ts as string)` emits):
     * no fraction for whole seconds, trailing zeros trimmed otherwise — keeps
     * the stateful path's messages byte-identical to the batch validator's

@@ -119,6 +119,21 @@ class RecallSpec extends AnyFunSuite {
     assert(ivfRecall >= 0.85, s"IVF recall $ivfRecall")
   }
 
+  test("int8-quantized retrieval: brute-force top-10 over vectors " +
+    "dequantized from the emitted codes keeps recall ≥ 0.9 vs full " +
+    "precision") {
+    // end-to-end through the op's OUTPUT (codes parsed back from the
+    // qvec string), both corpus and query sides quantized — the setup an
+    // int8 index scan actually runs
+    val q = Similarity.quantizeInt8(clusteredEmb, "vec_id", "embedding")
+    val deq = q.select(col("vec_id"),
+      transform(split(col("qvec"), ","),
+        s => s.cast("double") * col("scale") / 127.0).as("embedding"))
+    val r = recallOf(
+      Similarity.bruteForceTopK(deq, deq.filter(col("vec_id") < 5), 10))
+    assert(r >= 0.9, s"int8 retrieval recall $r")
+  }
+
   test("kmeans-refined centroids: deterministic, fit no worse than the " +
     "hash-sampled seeds, IVF recall holds") {
     val km = Similarity.kmeansCentroids(clusteredEmb, 16, iters = 2)

@@ -69,6 +69,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(texts.toSeq === Seq("first", "new-key"))
   }
 
+  test("streaming incremental ingest: history hits drop via the static " +
+    "hash store; within-stream content dups drop cross-batch via " +
+    "watermark state") {
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq("known doc").toDF("t")
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("t")).as("h"))
+    val input = MemoryStream[Turn]
+    val q = StreamValidator.incrementalNew(input.toDF(), history, "text")
+      .writeStream.format("memory").queryName("incr_out")
+      .outputMode("append").start()
+    input.addData(
+      Turn("c1", 0, "user", "known doc", null, ts(0), 0),   // history hit
+      Turn("c1", 1, "user", "fresh one", null, ts(1), 0),   // keep
+      Turn("c1", 2, "user", "fresh one", null, ts(2), 0))   // in-batch dup
+    q.processAllAvailable()
+    input.addData(
+      Turn("c2", 0, "user", "fresh one", null, ts(3), 0),   // cross-batch dup
+      Turn("c2", 1, "user", "another", null, ts(4), 0),     // keep
+      Turn("c2", 2, "user", "known doc", null, ts(5), 0))   // history, again
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("incr_out")
+      .select("text").as[String].collect().sorted
+    assert(kept.toSeq === Seq("another", "fresh one"))
+  }
+
   test("windowed drift: skewed window fires chi2, conforming window stays quiet") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Turn]
