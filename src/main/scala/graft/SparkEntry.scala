@@ -962,6 +962,13 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", minFrac = 1e-5)
     }),
+    "q104_collocations" -> ((s, dir) => {
+      // PMI collocations: top-50 adjacent word pairs by pointwise mutual
+      // information — two partial-combine aggregates + broadcast totals +
+      // TakeOrderedAndProject; pinned double chain, floor-ppm score
+      graft.ops.NgramStats.collocations(
+        t(s, dir, "documents"), "doc_id", "text", k = 50, minCount = 5)
+    }),
     "q103_inverted_index" -> ((s, dir) => {
       // inverted-index build: per-term df/cf stats (partial-combine
       // aggregate) + top-3 postings via the rank-limit window
@@ -2283,6 +2290,34 @@ object SparkEntry {
         |SELECT doc_id, n_tris,
         | round(s / (n_tris * 0.6931471805599453), 4) AS weight_bits
         |FROM sc""".stripMargin,
+    "q104_collocations" ->
+      """WITH d AS (
+        | SELECT doc_id, list_filter(
+        |   regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z]+'),
+        |   w -> len(w) >= 3) AS ws
+        | FROM documents),
+        |uni AS (SELECT unnest(ws) AS w FROM d),
+        |u AS (SELECT w, count(*) AS cu FROM uni GROUP BY 1),
+        |bi0 AS (
+        | SELECT unnest(list_transform(range(1, len(ws)),
+        |   i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+        | FROM d WHERE len(ws) >= 2),
+        |bi AS (
+        | SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS n_pair
+        | FROM bi0 GROUP BY 1, 2 HAVING count(*) >= 5),
+        |tu AS (SELECT sum(cu) AS tu FROM u),
+        |tb AS (SELECT sum(greatest(len(ws) - 1, 0)) AS tb FROM d),
+        |sc AS (
+        | SELECT w1, w2, n_pair,
+        |  CAST(floor(ln(CAST(n_pair AS DOUBLE) / tb
+        |    * (CAST(tu AS DOUBLE) / cx)
+        |    * (CAST(tu AS DOUBLE) / cy)) * 1000000.0) AS BIGINT) AS pmi_ppm
+        | FROM bi
+        | JOIN (SELECT w AS w1, cu AS cx FROM u) USING (w1)
+        | JOIN (SELECT w AS w2, cu AS cy FROM u) USING (w2)
+        | CROSS JOIN tu CROSS JOIN tb)
+        |SELECT w1, w2, n_pair, pmi_ppm FROM sc
+        |ORDER BY pmi_ppm DESC, w1, w2 LIMIT 50""".stripMargin,
     "q103_inverted_index" ->
       """WITH tok AS (
         | SELECT doc_id, unnest(list_filter(

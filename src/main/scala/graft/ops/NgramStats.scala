@@ -96,4 +96,60 @@ object NgramStats {
         dupNs.map(n => ppm(s"__dup${n}", s"dup${n}_ppm")))
     perDoc.select(outCols: _*)
   }
+
+  /** PMI collocations: the corpus's top-k adjacent word pairs by pointwise
+    * mutual information, `ln(p(xy) / (p(x)·p(y)))` over adjacent-bigram
+    * and unigram frequencies — the collocation-extraction step of corpus
+    * analytics (tokenizer merge candidates, multi-word-entity discovery).
+    *
+    * Scale shape: the word array materializes once per document (the
+    * interpreted-HOF rule), bigrams and unigrams are two partial-combine
+    * hash aggregates over narrow string rows, totals ride one-row
+    * broadcast crossJoins, and the global top-k is an `orderBy().limit()`
+    * — TakeOrderedAndProject, per-partition heaps, never a global sort.
+    *
+    * Parity (q104): PMI = ln(cb·T²/(B·cx·cy)) is evaluated as the PINNED
+    * double chain `cb/B·(T/cx)·(T/cy)` (each factor exact-integer inputs;
+    * literal multiplication order mirrored in the twin) and lands as
+    * floor(ln·10⁶) ppm; the k boundary tie-breaks on (w1, w2). A
+    * `minCount` floor keeps one-off pairs (whose PMI is spuriously
+    * maximal) out, the standard collocation practice.
+    */
+  def collocations(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 50, minCount: Long = 5, minTokenLen: Int = 3): DataFrame = {
+    require(k >= 1 && minCount >= 1, "k, minCount >= 1")
+    val words = filter(
+      split(lower(coalesce(col(textCol), lit(""))), "[^a-z]+"),
+      w => length(w) >= minTokenLen)
+    val tokd = df.select(col(idCol), words.as("__w"))
+    val uni = tokd
+      .select(explode(col("__w")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val bi = tokd
+      .filter(size(col("__w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__w")) - 1),
+        i => struct(element_at(col("__w"), i).as("w1"),
+          element_at(col("__w"), i + 1).as("w2")))).as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val totU = uni.agg(sum("cu").as("__tu"))
+    val totB = tokd.select(
+      greatest(size(col("__w")) - 1, lit(0)).cast("long").as("__nb"))
+      .agg(sum("__nb").as("__tb"))
+    bi
+      .join(uni.select(col("w").as("w1"), col("cu").as("cx")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("cy")), Seq("w2"))
+      .crossJoin(broadcast(totU))
+      .crossJoin(broadcast(totB))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        floor(log(col("n_pair").cast("double") / col("__tb") *
+          (col("__tu").cast("double") / col("cx")) *
+          (col("__tu").cast("double") / col("cy"))) * lit(1000000.0))
+          .cast("long").as("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
 }

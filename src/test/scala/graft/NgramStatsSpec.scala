@@ -64,6 +64,37 @@ class NgramStatsSpec extends AnyFunSuite {
     assert(out(1)._3 === 0)
   }
 
+  test("collocations: hand-computed PMI over adjacent bigrams; minCount " +
+    "floors rare pairs; k bounds the output") {
+    // 5 × "aaa bbb aaa bbb": unigrams aaa=10, bbb=10 (T=20); bigrams
+    // (aaa,bbb)=10, (bbb,aaa)=5 (B=15)
+    val docs = (1 to 5).map(i => (i.toLong, "aaa bbb aaa bbb"))
+      .toDF("doc_id", "text")
+    val r = NgramStats.collocations(docs, "doc_id", "text", k = 10,
+        minCount = 5)
+      .as[(String, String, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> (x._3, x._4)).toMap
+    def pmi(cb: Long, cx: Long, cy: Long) =
+      math.floor(math.log(
+        cb.toDouble / 15L * (20L.toDouble / cx) * (20L.toDouble / cy))
+        * 1000000.0).toLong
+    assert(r === Map(
+      ("aaa", "bbb") -> ((10L, pmi(10, 10, 10))),
+      ("bbb", "aaa") -> ((5L, pmi(5, 10, 10)))))
+    assert(pmi(10, 10, 10) === 980829L) // ln(8/3) in ppm — sanity anchor
+
+    val floored = NgramStats.collocations(docs, "doc_id", "text", k = 10,
+        minCount = 6)
+      .as[(String, String, Long, Long)].collect()
+    assert(floored.map(x => (x._1, x._2)).toSeq === Seq(("aaa", "bbb")))
+
+    val capped = NgramStats.collocations(docs, "doc_id", "text", k = 1,
+        minCount = 1)
+      .as[(String, String, Long, Long)].collect()
+    assert(capped.length === 1)
+    assert(capped.head._1 === "aaa", "higher PMI wins the cap")
+  }
+
   test("mojibake table keys are longest-first so 3-char sequences never " +
     "get half-eaten, and every key round-trips from its target") {
     val lens = TextOps.mojibakeTable.dropRight(1).map(_._1.length)
