@@ -962,6 +962,12 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", minFrac = 1e-5)
     }),
+    "q105_zipf_curve" -> ((s, dir) => {
+      // vocabulary coverage curve grouped by DISTINCT term frequency —
+      // cardinality provably ≤ sqrt(2·tokens), so the cumulative window
+      // is one bounded task by construction
+      graft.ops.Tfidf.zipfCurve(t(s, dir, "documents"), "text", "doc_id")
+    }),
     "q104_collocations" -> ((s, dir) => {
       // PMI collocations: top-50 adjacent word pairs by pointwise mutual
       // information — two partial-combine aggregates + broadcast totals +
@@ -2290,6 +2296,25 @@ object SparkEntry {
         |SELECT doc_id, n_tris,
         | round(s / (n_tris * 0.6931471805599453), 4) AS weight_bits
         |FROM sc""".stripMargin,
+    "q105_zipf_curve" ->
+      """WITH tok AS (
+        | SELECT unnest(list_filter(
+        |   regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z]+'),
+        |   t -> len(t) >= 1)) AS term
+        | FROM documents),
+        |c AS (SELECT term, count(*) AS freq FROM tok GROUP BY 1),
+        |bf AS (SELECT freq, count(*) AS n_terms FROM c GROUP BY 1),
+        |cw AS (SELECT freq, n_terms,
+        |  CAST(sum(n_terms) OVER (ORDER BY freq DESC) AS BIGINT)
+        |    AS cum_terms,
+        |  CAST(sum(freq * n_terms) OVER (ORDER BY freq DESC) AS BIGINT)
+        |    AS cum_tokens
+        | FROM bf),
+        |t AS (SELECT sum(freq * n_terms) AS tot FROM bf)
+        |SELECT freq, n_terms, cum_terms, cum_tokens,
+        | CAST(floor(CAST(cum_tokens AS DOUBLE) * 1000000.0 / tot)
+        |   AS BIGINT) AS coverage_ppm
+        |FROM cw CROSS JOIN t""".stripMargin,
     "q104_collocations" ->
       """WITH d AS (
         | SELECT doc_id, list_filter(

@@ -107,6 +107,46 @@ object Tfidf {
     stats.join(posts, Seq("term"))
   }
 
+  /** Zipf / vocabulary-coverage curve: for every DISTINCT term frequency
+    * (descending), how many terms carry it and what cumulative share of
+    * all tokens a vocabulary cut at that frequency would cover — the
+    * sizing study behind tokenizer vocab choice ("top how many types
+    * cover 99% of tokens?"). Rows: (freq, n_terms, cum_terms, cum_tokens,
+    * coverage_ppm).
+    *
+    * Scale shape: term counts are one partial-combine aggregate; grouping
+    * BY FREQUENCY collapses the (possibly billions-of-terms) vocabulary
+    * to its distinct count values, whose cardinality is PROVABLY
+    * ≤ √(2·total_tokens) (k distinct positive counts sum to ≥ k(k+1)/2
+    * ≤ T) — ≤ 1.5e7 rows at 10¹⁴ tokens, so the cumulative window over
+    * the frequency frame is one bounded task BY CONSTRUCTION (the
+    * ChatOps bounded-group rule; if anyone ever runs at 10¹⁸ tokens, the
+    * Packing segmented prefix sum is the drop-in escape hatch).
+    * Coverage is the floor-ppm of two exact longs.
+    */
+  def zipfCurve(
+      df: DataFrame, textCol: String, keyCol: String,
+      minTokenLen: Int = 1): DataFrame = {
+    val tok = df.select(
+      explode(split(lower(coalesce(col(textCol), lit(""))), "[^a-z]+"))
+        .as("term"))
+      .filter(length(col("term")) >= minTokenLen)
+    val counts = tok.groupBy("term").agg(count(lit(1)).as("freq"))
+    val byFreq = counts.groupBy("freq")
+      .agg(count(lit(1)).as("n_terms"))
+    val w = Window.orderBy(col("freq").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = byFreq.agg(sum(col("freq") * col("n_terms")).as("__tot"))
+    byFreq
+      .withColumn("cum_terms", sum("n_terms").over(w))
+      .withColumn("cum_tokens", sum(col("freq") * col("n_terms")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("freq"), col("n_terms"), col("cum_terms"),
+        col("cum_tokens"),
+        floor(col("cum_tokens").cast("double") * lit(1000000.0) /
+          col("__tot")).cast("long").as("coverage_ppm"))
+  }
+
   /** BM25 top-k retrieval: score every document against a (small) query
     * set and keep the best `k` documents per query — the lexical
     * similarity-search face of the engine (embedding ANN lives in

@@ -217,6 +217,17 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(idx.size === 4)
   }
 
+  test("zipfCurve: hand-computed coverage at every distinct frequency") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "")).toDF("doc_id", "text")
+    val r = Tfidf.zipfCurve(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(-_._1)
+    // freqs: a=3, b=2, c=1 → T=6
+    assert(r.toSeq === Seq(
+      (3L, 1L, 1L, 3L, 500000L),
+      (2L, 1L, 2L, 5L, 833333L),
+      (1L, 1L, 3L, 6L, 1000000L)))
+  }
+
   test("bm25: idf ranks rare terms above common, length norm favors the " +
     "shorter doc, and k bounds every query's result") {
     val corpus = (1L to 20L).map(i => (i, "filler common words here")) ++ Seq(
