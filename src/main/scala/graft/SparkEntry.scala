@@ -962,6 +962,12 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", minFrac = 1e-5)
     }),
+    "q106_col_entropy" -> ((s, dir) => {
+      // per-column Shannon entropy (ppm bits): exact integer sum of
+      // per-value floor terms — order-independent, ≤1 ppm/value bias
+      graft.engine.Stats.columnEntropy(
+        t(s, dir, "documents"), Seq("source", "lang"))
+    }),
     "q105_zipf_curve" -> ((s, dir) => {
       // vocabulary coverage curve grouped by DISTINCT term frequency —
       // cardinality provably ≤ sqrt(2·tokens), so the cumulative window
@@ -2296,6 +2302,23 @@ object SparkEntry {
         |SELECT doc_id, n_tris,
         | round(s / (n_tris * 0.6931471805599453), 4) AS weight_bits
         |FROM sc""".stripMargin,
+    "q106_col_entropy" ->
+      """WITH p AS (
+        | SELECT 'source' AS col_name, source AS value FROM documents
+        |  WHERE source IS NOT NULL
+        | UNION ALL
+        | SELECT 'lang', lang FROM documents WHERE lang IS NOT NULL),
+        |c AS (SELECT col_name, value, count(*) AS c FROM p GROUP BY 1, 2),
+        |t AS (SELECT col_name, sum(c) AS t FROM c GROUP BY 1),
+        |tm AS (
+        | SELECT c.col_name,
+        |  CAST(floor((CAST(c.c AS DOUBLE) / t.t)
+        |    * ln(CAST(t.t AS DOUBLE) / c.c)
+        |    / 0.6931471805599453 * 1000000.0) AS BIGINT) AS term_ppm
+        | FROM c JOIN t USING (col_name))
+        |SELECT col_name, count(*) AS n_values,
+        | CAST(sum(term_ppm) AS BIGINT) AS entropy_ppm_bits
+        |FROM tm GROUP BY 1""".stripMargin,
     "q105_zipf_curve" ->
       """WITH tok AS (
         | SELECT unnest(list_filter(

@@ -86,4 +86,47 @@ object Stats {
       .select(col("s.column").as("column"), explode(col("s.top")).as("t"))
       .select(col("column"), col("t.item").as("item"), col("t.est").as("est"))
   }
+
+  /** Per-column Shannon entropy in ppm-bits — the distribution-shape
+    * companion of [[graft.engine.Drift]]'s chi-square/PSI checks: a
+    * near-zero entropy flags a collapsed category column (every row one
+    * value), a jump flags an upstream schema/logging change, before any
+    * reference profile exists to drift against. Nulls are excluded
+    * (null-rate is [[colStats]]' signal).
+    *
+    * Scale shape: all columns ride ONE explode into a (col_name, value)
+    * frame → one partial-combine count aggregate; per-column totals are a
+    * second tiny aggregate broadcast back (one row per column). Works for
+    * bounded-cardinality category columns — the same contract as
+    * [[topValues]]/Drift.
+    *
+    * Parity (q106): each value contributes
+    * `floor((c/T)·ln(T/c)/ln2 · 10⁶)` — a pinned double chain over exact
+    * longs with the shared ln(2) literal — and the per-column entropy is
+    * the EXACT INTEGER SUM of those floors: order-independent under any
+    * partitioning, at the price of ≤ 1 ppm downward bias per distinct
+    * value (documented; floor-of-sum would be order-dependent).
+    */
+  def columnEntropy(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "at least one column")
+    val pairs = df
+      .select(explode(array(columns.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("value"))): _*))
+        .as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.value").as("value"))
+      .filter(col("value").isNotNull)
+    val counts = pairs.groupBy("col_name", "value")
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("col_name").agg(sum("c").as("t"))
+    counts
+      .join(broadcast(totals), Seq("col_name"))
+      .select(col("col_name"),
+        floor((col("c").cast("double") / col("t")) *
+          log(col("t").cast("double") / col("c")) /
+          lit(graft.ops.LangModel.Ln2) * lit(1000000.0))
+          .cast("long").as("__term_ppm"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_values"),
+        sum("__term_ppm").as("entropy_ppm_bits"))
+  }
 }

@@ -129,4 +129,33 @@ class StatsDriftSpec extends AnyFunSuite {
       .filter(col("part_id") === 1).select("chi2").as[Double].head()
     assert(chi > 0.0)
   }
+
+  test("columnEntropy: uniform 2/4-value columns land exactly on 1 and 2 " +
+    "bits; skew matches the scalar replica; constants are 0; nulls and " +
+    "partitioning don't move the integer") {
+    // a: uniform over 2 values; b: uniform over 4; c: constant;
+    // d: {x:3, y:1} skew; e: null-heavy 2-value uniform
+    val rows = (0 until 8).map { i =>
+      (if (i % 2 == 0) "u" else "v",
+        Seq("p", "q", "r", "s")(i % 4),
+        "only",
+        if (i < 6) "x" else "y",
+        if (i % 4 < 2) null else if (i % 4 == 2) "m" else "n")
+    }
+    val df = rows.toDF("a", "b", "c", "d", "e").repartition(5)
+    val r = Stats.columnEntropy(df, Seq("a", "b", "c", "d", "e"))
+      .as[(String, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r("a") === ("a", 2L, 1000000L)) // (0.5·ln2)/ln2 is IEEE-exact
+    assert(r("b") === ("b", 4L, 2000000L))
+    assert(r("c") === ("c", 1L, 0L))
+    def term(c: Long, t: Long) = math.floor(
+      (c.toDouble / t) * math.log(t.toDouble / c) /
+        graft.ops.LangModel.Ln2 * 1000000.0).toLong
+    assert(r("d") === ("d", 2L, term(6, 8) + term(2, 8)))
+    assert(r("e") === ("e", 2L, 1000000L), "nulls excluded, T = non-null")
+
+    val r2 = Stats.columnEntropy(df.repartition(1), Seq("d"))
+      .as[(String, Long, Long)].collect().head
+    assert(r2._3 === r("d")._3, "integer entropy is partitioning-invariant")
+  }
 }
