@@ -962,6 +962,25 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", minFrac = 1e-5)
     }),
+    "q107_edit_verify" -> ((s, dir) => {
+      // edit-distance verification over a deterministic candidate set
+      // (the q73 adjacency chain): only candidate pairs see text, the
+      // score is floor-ppm over exact ints, threshold splits both classes
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val w = Window.partitionBy("source", "lang").orderBy("doc_id")
+      val pairs = docs
+        .select(col("doc_id").as("id_a"),
+          lead(col("doc_id"), 1).over(w).as("id_b"))
+        .filter(col("id_b").isNotNull)
+      graft.ops.Dedup.editDistancePairs(
+        docs, pairs, "doc_id", "text", maxDistPpm = 700000L)
+    }),
+    "q108_transition_matrix" -> ((s, dir) => {
+      // corpus-wide (prev, cur) transition counts over the events
+      // session stream — first rows count as (<start>, state)
+      graft.engine.Grammar.transitionMatrix(
+        t(s, dir, "events"), "user_id", Seq("ts", "event_id"), "event_type")
+    }),
     "q106_col_entropy" -> ((s, dir) => {
       // per-column Shannon entropy (ppm bits): exact integer sum of
       // per-value floor terms — order-independent, ≤1 ppm/value bias
@@ -2302,6 +2321,35 @@ object SparkEntry {
         |SELECT doc_id, n_tris,
         | round(s / (n_tris * 0.6931471805599453), 4) AS weight_bits
         |FROM sc""".stripMargin,
+    "q107_edit_verify" ->
+      """WITH c AS (
+        | SELECT doc_id, source, lang, COALESCE(text, '') AS t
+        | FROM documents WHERE doc_id < 300),
+        |p AS (
+        | SELECT doc_id AS id_a,
+        |  lead(doc_id) OVER (PARTITION BY source, lang ORDER BY doc_id)
+        |    AS id_b,
+        |  t AS ta,
+        |  lead(t) OVER (PARTITION BY source, lang ORDER BY doc_id) AS tb
+        | FROM c),
+        |d AS (
+        | SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS lev,
+        |  CAST(greatest(len(ta), len(tb), 1) AS BIGINT) AS mx
+        | FROM p WHERE id_b IS NOT NULL)
+        |SELECT id_a, id_b, lev,
+        | CAST(floor(CAST(lev AS DOUBLE) * 1000000.0 / mx) AS BIGINT)
+        |   AS dist_ppm,
+        | CAST(floor(CAST(lev AS DOUBLE) * 1000000.0 / mx) AS BIGINT)
+        |   <= 700000 AS is_dup
+        |FROM d""".stripMargin,
+    "q108_transition_matrix" ->
+      """WITH p AS (
+        | SELECT COALESCE(lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id), '<start>') AS prev_state,
+        |  event_type AS state
+        | FROM events)
+        |SELECT prev_state, state, count(*) AS n
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "q106_col_entropy" ->
       """WITH p AS (
         | SELECT 'source' AS col_name, source AS value FROM documents

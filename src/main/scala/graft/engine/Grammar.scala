@@ -131,4 +131,32 @@ object Grammar {
         .unionByName(boundary),
       Seq(partCol, orderCol), rules)
   }
+
+  /** Corpus-wide transition matrix: how often each (prev_state, state)
+    * adjacency occurs across all conversations — the descriptive
+    * companion of [[transitionViolations]] (the rule set says what's
+    * FORBIDDEN; the matrix shows what IS, and is where new rules come
+    * from — a nonzero (assistant → assistant) cell at audit time is a
+    * rule candidate). Each conversation's first row counts as a
+    * (`<start>`, state) transition.
+    *
+    * Scale shape: the same narrow keyed window as the violation check
+    * (payload never shuffles — only part/order/state columns enter the
+    * window exchange), then one partial-combine count over (prev, cur) —
+    * cardinality bounded by |states|², tiny by construction.
+    */
+  def transitionMatrix(
+      df: DataFrame,
+      partCol: String,
+      orderCols: Seq[String],
+      stateCol: String): DataFrame = {
+    val w = Window.partitionBy(partCol).orderBy(orderCols.map(col): _*)
+    df
+      .select((partCol +: orderCols).map(col) :+ col(stateCol).as("__cur"): _*)
+      .withColumn("__prev", lag("__cur", 1).over(w))
+      .groupBy(
+        coalesce(col("__prev"), lit("<start>")).as("prev_state"),
+        col("__cur").as("state"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -332,6 +332,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Edit-distance verification of candidate pairs — the high-precision
+    * post-filter of the dedup family: given (id_a, id_b) candidates from
+    * any generator (minhash bands, simhash buckets, winnow fingerprints,
+    * adjacency heuristics), join the text back and score
+    * `dist_ppm = floor(levenshtein · 10⁶ / max(len_a, len_b, 1))`;
+    * `is_dup = dist_ppm ≤ maxDistPpm`.
+    *
+    * Scale shape: only CANDIDATE pairs pay the text join-back (the
+    * minhashLshPairsExact stage order — the quadratic generator never
+    * sees text); levenshtein itself is the codegen'd built-in but O(n·m)
+    * per pair, so this face is for short fields (titles, turns, span
+    * windows) or post-winnow finalists — the Jaccard face stays the
+    * long-document verifier. Parity: unit-cost edit distance is the same
+    * integer in every implementation; the ppm is a floor over exact
+    * longs (q73 rule).
+    */
+  def editDistancePairs(
+      corpus: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
+      maxDistPpm: Long = 300000L): DataFrame = {
+    val txt = corpus.select(col(idCol), coalesce(col(textCol), lit(""))
+      .as("__t"))
+    pairs
+      .select(col("id_a"), col("id_b"))
+      .join(txt.select(col(idCol).as("id_a"), col("__t").as("__ta")), "id_a")
+      .join(txt.select(col(idCol).as("id_b"), col("__t").as("__tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("lev"),
+        greatest(length(col("__ta")), length(col("__tb")), lit(1))
+          .cast("long").as("__mx"))
+      .select(col("id_a"), col("id_b"), col("lev"),
+        floor(col("lev").cast("double") * lit(1000000.0) / col("__mx"))
+          .cast("long").as("dist_ppm"))
+      .withColumn("is_dup", col("dist_ppm") <= maxDistPpm)
+  }
+
   /** Exact Jaccard over two ALREADY-MATERIALIZED shingle-array columns —
     * the verification primitive the pair ops use (each operand is an
     * attribute read, evaluated twice: intersect + union).

@@ -68,4 +68,23 @@ class GrammarSpec extends AnyFunSuite {
     assert(got === Seq((1, "USER_ECHO"), (1, "USER_ECHO"),
       (2, "TOOL_CONTEXT")))
   }
+
+  test("transitionMatrix: exact (prev, cur) counts with <start> rows; " +
+    "cells sum to the row count") {
+    val turns = Seq(
+      ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "user"),
+      ("c2", 0, "user"), ("c2", 1, "assistant"), ("c2", 2, "assistant"),
+      ("c3", 0, "system")
+    ).toDF("conv_id", "turn_idx", "role")
+    val m = Grammar.transitionMatrix(turns, "conv_id", Seq("turn_idx"), "role")
+      .as[(String, String, Long)].collect()
+      .map(x => (x._1, x._2) -> x._3).toMap
+    assert(m === Map(
+      ("<start>", "user") -> 2L,
+      ("<start>", "system") -> 1L,
+      ("user", "assistant") -> 2L,
+      ("assistant", "user") -> 1L,
+      ("assistant", "assistant") -> 1L))
+    assert(m.values.sum === 7L)
+  }
 }

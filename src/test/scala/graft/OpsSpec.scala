@@ -728,6 +728,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got(5) === ("unknown", None, None, None))
   }
 
+  test("editDistancePairs: classic levenshtein values, floor-ppm over the " +
+    "longer side, threshold flag, null text as empty, and only candidate " +
+    "pairs scored") {
+    val corpus = Seq(
+      (1L, "kitten"), (2L, "sitting"), (3L, "kitten"),
+      (4L, null.asInstanceOf[String]), (5L, "completely different"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("id_a", "id_b")
+    val r = Dedup.editDistancePairs(corpus, pairs, "doc_id", "text",
+        maxDistPpm = 450000L)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4, x._5))).toMap
+    assert(r((1L, 2L)) === ((3L, math.floor(3e6 / 7).toLong, true)))
+    assert(r((1L, 3L)) === ((0L, 0L, true)))
+    assert(r((1L, 4L)) === ((6L, 1000000L, false)), "null text = empty")
+    assert(!r((1L, 5L))._3)
+    assert(r.size === 4, "exactly the candidate pairs, nothing else")
+  }
+
   test("quantizeInt8: exact codes vs a scalar replica, codes bounded in " +
     "[-127,127] with the argmax element at ±127, zero/empty vectors safe, " +
     "and dequantization error within scale/254 per dimension") {
