@@ -962,6 +962,14 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", minFrac = 1e-5)
     }),
+    "q109_quality_pct" -> ((s, dir) => {
+      // exact percentile rank of the integer quality score without a
+      // global sort: domain-bounded cumulative frame broadcast back
+      val docs = t(s, dir, "documents").withColumn("q4",
+        TextOps.qualityScoreScaled(col("text")))
+      graft.ops.Outliers.rankPpmByValue(docs, "q4")
+        .select(col("doc_id"), col("q4"), col("pct_le_ppm"))
+    }),
     "q107_edit_verify" -> ((s, dir) => {
       // edit-distance verification over a deterministic candidate set
       // (the q73 adjacency chain): only candidate pairs see text, the
@@ -2321,6 +2329,37 @@ object SparkEntry {
         |SELECT doc_id, n_tris,
         | round(s / (n_tris * 0.6931471805599453), 4) AS weight_bits
         |FROM sc""".stripMargin,
+    "q109_quality_pct" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  CAST(length(t) AS BIGINT) AS len,
+        |  CAST(CASE WHEN trim(t) = '' THEN 0
+        |       ELSE length(regexp_split_to_array(trim(t), '\s+')) END AS BIGINT) AS ntok,
+        |  CAST(length(list_distinct(regexp_split_to_array(trim(t), '\s+'))) AS BIGINT) AS ndtok,
+        |  CAST(length(regexp_replace(t, '[^\p{L}]', '', 'g')) AS BIGINT) AS nalpha
+        | FROM (SELECT doc_id, COALESCE(text, '') AS t FROM documents) d),
+        |fr AS (
+        | SELECT doc_id, len, ntok, ndtok, nalpha,
+        |  greatest(len, 1) AS lp, greatest(ntok, 1) AS np
+        | FROM f),
+        |q AS (
+        | SELECT doc_id,
+        |  (((CASE WHEN len BETWEEN 20 AND 10000 THEN 10 WHEN len > 0 THEN 5 ELSE 0 END) * 3
+        |    + (CASE WHEN len >= np * 2 AND len <= np * 12 THEN 10 ELSE 4 END) * 2) * lp * np
+        |   + nalpha * np * 30
+        |   + least(ndtok * 2, np) * lp * 20) AS numer,
+        |  lp * np * 100 AS denom
+        | FROM fr),
+        |q2 AS (
+        | SELECT doc_id, (numer * 20000 + denom) // (denom * 2) AS q4 FROM q),
+        |cnt AS (SELECT q4, count(*) AS c FROM q2 GROUP BY 1),
+        |cw AS (SELECT q4,
+        |  CAST(sum(c) OVER (ORDER BY q4) AS BIGINT) AS cum FROM cnt),
+        |t AS (SELECT count(*) AS t FROM q2)
+        |SELECT q2.doc_id, CAST(q2.q4 AS BIGINT) AS q4,
+        | CAST(floor(CAST(cw.cum AS DOUBLE) * 1000000.0 / t.t) AS BIGINT)
+        |   AS pct_le_ppm
+        |FROM q2 JOIN cw USING (q4) CROSS JOIN t""".stripMargin,
     "q107_edit_verify" ->
       """WITH c AS (
         | SELECT doc_id, source, lang, COALESCE(text, '') AS t

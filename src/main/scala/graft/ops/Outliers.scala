@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Group-wise z-score outlier detection: flag rows whose numeric value sits
@@ -83,5 +84,36 @@ object Outliers {
       .filter(abs(col("rz")) > threshold)
       .withColumn("rz", round(col("rz"), 3))
       .drop("med", "mad")
+  }
+
+  /** Exact percentile rank WITHOUT a global sort: per row, the ppm
+    * fraction of the corpus whose `valueCol` is ≤ this row's — the
+    * primitive behind "keep the top 30% by quality" selection (filter on
+    * `pct_le_ppm ≥ 700000` and the cut is exact, corpus-wide, and
+    * reproducible on any partitioning).
+    *
+    * Contract: `valueCol` must be a BOUNDED-CARDINALITY integer score
+    * (the engine's quality/xent scores are exact 4-dp-scaled ints with a
+    * ≤ 10⁴-value domain by construction — the [[graft.engine.Drift]] /
+    * topValues category contract). The shape: one partial-combine count
+    * per distinct value, a cumulative window over that DOMAIN-BOUNDED
+    * frame (one small task by construction), and a broadcast map-side
+    * join-back — the full corpus is never sorted or shuffled beyond the
+    * one count aggregate. A billion-value continuous double column is
+    * the WRONG input here; bucket it first (histogram/lengthBuckets) or
+    * use t-digest quantiles.
+    */
+  def rankPpmByValue(df: DataFrame, valueCol: String): DataFrame = {
+    val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = df.agg(count(lit(1)).as("__t"))
+    val cum = counts
+      .withColumn("__cum", sum("__c").over(w))
+      .crossJoin(broadcast(total))
+      .select(col(valueCol),
+        floor(col("__cum").cast("double") * lit(1000000.0) / col("__t"))
+          .cast("long").as("pct_le_ppm"))
+    df.join(broadcast(cum), Seq(valueCol))
   }
 }

@@ -124,4 +124,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(smallKept.subsetOf(under5pct))
   }
+
+  test("rankPpmByValue: exact ≤-fraction per row, top-X selection cuts " +
+    "exactly, partitioning-invariant") {
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L))
+      .toDF("id", "score").repartition(3)
+    val r = graft.ops.Outliers.rankPpmByValue(df, "score")
+      .select("id", "pct_le_ppm")
+      .as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 500000L, 2L -> 500000L,
+      3L -> 750000L, 4L -> 1000000L))
+    // "keep top half" = pct > 500000 keeps exactly the two best rows
+    assert(r.filter(_._2 > 500000L).keySet === Set(3L, 4L))
+    val r1 = graft.ops.Outliers.rankPpmByValue(df.repartition(1), "score")
+      .select("id", "pct_le_ppm").as[(Long, Long)].collect().toMap
+    assert(r1 === r)
+  }
 }
