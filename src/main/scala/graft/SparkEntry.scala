@@ -962,6 +962,21 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", minFrac = 1e-5)
     }),
+    "q110_corpus_diff" -> ((s, dir) => {
+      // snapshot diff: day-2 corpus planted from documents (drops ≡3 mod
+      // 17, rewrites ≡0 mod 13, adds shifted ids from ≡0 mod 29) — all
+      // four statuses fire; only (id, md5) rows reach the join
+      val docs = t(s, dir, "documents")
+      val newSnap = docs.filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0,
+            concat(coalesce(col("text"), lit("")), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
+      graft.ops.Dedup.corpusDiff(docs, newSnap, "doc_id", "text")
+    }),
     "q109_quality_pct" -> ((s, dir) => {
       // exact percentile rank of the integer quality score without a
       // global sort: domain-bounded cumulative frame broadcast back
@@ -1388,6 +1403,15 @@ object SparkEntry {
         .select(col("op"), col("n_buckets"), col("n_oversized_buckets"),
           col("n_dropped_rows"), col("n_dropped_pairs_ub"))
     }),
+    "t21_sft_corpus" -> ((s, dir) =>
+      // end-to-end transcript → SFT corpus (dedupTurns → prefixDedup →
+      // messagesJson): every stage is individually oracled (q99, q91,
+      // q92); the composition's keeper/drop semantics are ChatOpsSpec-
+      // gated, and this entry prices the one-effective-text-exchange
+      // composition at table scale
+      graft.ops.ChatOps.sftCorpus(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        "props", boilerFrac = 0.15, prefixK = 3)),
     "t20_span_pairs_full" -> ((s, dir) =>
       // winnowed span dedup priced at full table scale on the PRODUCTION
       // face (native rolling-hash expression; q78 certifies the pipeline
@@ -2329,6 +2353,26 @@ object SparkEntry {
         |SELECT doc_id, n_tris,
         | round(s / (n_tris * 0.6931471805599453), 4) AS weight_bits
         |FROM sc""".stripMargin,
+    "q110_corpus_diff" ->
+      """WITH oldh AS (
+        | SELECT doc_id AS id, md5(COALESCE(text, '')) AS ho FROM documents),
+        |news AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN COALESCE(text, '') || ' v2'
+        |       ELSE text END AS text
+        | FROM documents WHERE doc_id % 17 <> 3
+        | UNION ALL
+        | SELECT doc_id + 10000000,
+        |  'new doc ' || CAST(doc_id AS VARCHAR)
+        | FROM documents WHERE doc_id % 29 = 0),
+        |newh AS (SELECT doc_id AS id, md5(COALESCE(text, '')) AS hn
+        |         FROM news),
+        |j AS (
+        | SELECT CASE WHEN ho IS NULL THEN 'added'
+        |   WHEN hn IS NULL THEN 'removed'
+        |   WHEN ho = hn THEN 'unchanged' ELSE 'changed' END AS status
+        | FROM oldh FULL OUTER JOIN newh USING (id))
+        |SELECT status, count(*) AS n_docs FROM j GROUP BY 1""".stripMargin,
     "q109_quality_pct" ->
       """WITH f AS (
         | SELECT doc_id,

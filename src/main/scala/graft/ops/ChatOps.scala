@@ -139,6 +139,32 @@ object ChatOps {
       .drop("__sig")
   }
 
+  /** Transcript table → model-ready SFT corpus, composed end-to-end:
+    *  1. [[dedupTurns]] strips cross-conversation boilerplate turns;
+    *  2. [[prefixDedup]] collapses conversations branching from a shared
+    *     first-`prefixK`-turn setup to one keeper each;
+    *  3. [[messagesJson]] renders the survivors as JSONL messages arrays.
+    *
+    * Scale shape: stage 1's drop set broadcasts (see dedupTurns); stage
+    * 2's keeper set joins back LEFT SEMI on the conv key — the join
+    * output is hash-partitioned by conv, and stage 3's groupBy(conv)
+    * REUSES that partitioning, so the whole composition moves turn text
+    * through exactly one effective exchange (rendering is the one job
+    * that must move text — the Packing rule). Returns
+    * (convCol, messages_json, n_turns).
+    */
+  def sftCorpus(
+      df: DataFrame, convCol: String, tsCol: String, tieCol: String,
+      roleCol: String, textCol: String,
+      boilerFrac: Double = 0.3, prefixK: Int = 3): DataFrame = {
+    val cleaned = dedupTurns(df, convCol, roleCol, textCol, boilerFrac)
+    val keepers = prefixDedup(
+      cleaned, convCol, tsCol, tieCol, roleCol, textCol, prefixK)
+      .select(col("keeper").as(convCol))
+    messagesJson(cleaned.join(keepers, Seq(convCol), "left_semi"),
+      convCol, tsCol, tieCol, roleCol, textCol)
+  }
+
   /** Shared-prefix dedup rollup: group conversations by their first-k-turn
     * signature; keep the lowest conv id as representative. Returns
     * (prefix_sig, keeper, n_convs, n_turns_total). Two shuffles: conv

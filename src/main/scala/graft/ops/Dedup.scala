@@ -332,6 +332,32 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Corpus snapshot diff — the audit step between two builds of a living
+    * corpus (day-N vs day-N+1, or pre/post a pipeline change): per
+    * status (`added` / `removed` / `changed` / `unchanged`), how many
+    * documents. `changed` = same id, different content hash — the
+    * signal that an upstream "append-only" source silently rewrote
+    * history.
+    *
+    * Scale shape: both sides reduce to (id, md5) in the scan projection —
+    * text never reaches the full-outer join's exchange, which shuffles
+    * 40-byte rows on the id; the rollup is a 4-row aggregate.
+    */
+  def corpusDiff(
+      oldDf: DataFrame, newDf: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    def h(df: DataFrame, as: String) = df.select(col(idCol).as("id"),
+      md5(coalesce(col(textCol), lit(""))).as(as))
+    h(oldDf, "__ho")
+      .join(h(newDf, "__hn"), Seq("id"), "full_outer")
+      .select(when(col("__ho").isNull, "added")
+        .when(col("__hn").isNull, "removed")
+        .when(col("__ho") === col("__hn"), "unchanged")
+        .otherwise("changed").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Edit-distance verification of candidate pairs — the high-precision
     * post-filter of the dedup family: given (id_a, id_b) candidates from
     * any generator (minhash bands, simhash buckets, winnow fingerprints,

@@ -119,4 +119,29 @@ class ChatOpsSpec extends AnyFunSuite {
       .select("eid").as[Long].collect().toSet
     assert(all.size === turns.size)
   }
+
+  test("sftCorpus composes boilerplate-turn dedup, prefix dedup, and JSON " +
+    "rendering: branches collapse to the keeper, boilerplate turns vanish " +
+    "from the rendered output") {
+    val df = turns.toDF("conv", "ts", "eid", "role", "txt")
+    // boilerFrac 0.6: the two turns shared by convs 1+2 drop FIRST; the
+    // surviving convs then all have distinct (shorter) prefixes, so all
+    // three render
+    val out = ChatOps
+      .sftCorpus(df, "conv", "ts", "eid", "role", "txt", 0.6, 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L)._3 === 1L, "only the non-boilerplate turn remains")
+    assert(out(1L)._2.contains("run the tests"))
+    assert(!out(1L)._2.contains("hello there"), "boilerplate dropped")
+
+    // boilerFrac 1.0 keeps all turns → convs 1 and 2 share their 2-turn
+    // prefix and collapse to keeper conv 1
+    val collapsed = ChatOps
+      .sftCorpus(df, "conv", "ts", "eid", "role", "txt", 1.0, 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(collapsed.keySet === Set(1L, 3L))
+    assert(collapsed(1L)._3 === 3L)
+    assert(collapsed(1L)._2.startsWith("[{\"role\":\"user\""))
+  }
 }

@@ -728,6 +728,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got(5) === ("unknown", None, None, None))
   }
 
+  test("corpusDiff: all four statuses with exact counts; null text hashes " +
+    "as empty") {
+    val old = Seq((1L, "same"), (2L, "was this"), (3L, "gone"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val nw = Seq((1L, "same"), (2L, "now this"), (5L, "brand new"),
+      (4L, "")).toDF("doc_id", "text")
+    val r = Dedup.corpusDiff(old, nw, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    // doc 4: null vs "" hash identically → unchanged (documented: null
+    // text is the empty document)
+    assert(r === Map("unchanged" -> 2L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
   test("editDistancePairs: classic levenshtein values, floor-ppm over the " +
     "longer side, threshold flag, null text as empty, and only candidate " +
     "pairs scored") {

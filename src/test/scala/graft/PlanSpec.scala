@@ -484,6 +484,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("scalaudf"))
   }
 
+  test("corpusDiff: document text never reaches the full-outer join's " +
+    "exchange — only (id, md5) rows shuffle") {
+    import spark.implicits._
+    val a = (0 until 100).map(i => (i.toLong, s"document body $i"))
+      .toDF("doc_id", "text")
+    val b = (50 until 150).map(i => (i.toLong, s"document body $i"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.ops.Dedup.corpusDiff(a, b, "doc_id", "text"))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")), s"text shuffled in:\n$p")
+  }
+
   test("quantizeInt8 is map-only: zero Exchange, no UDF") {
     import spark.implicits._
     val df = (0 until 40)
