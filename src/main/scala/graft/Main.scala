@@ -24,7 +24,10 @@ import graft.engine.{Runner, Validator}
   * HTTP-400 analog (`api.py:85-89`); corpus mode runs the
   * [[graft.ops.CorpusPipeline]] construction funnel over a documents table
   * (`--input` docs, optional `--bench` eval set) and writes the surviving
-  * corpus split-partitioned under `--out` plus a per-stage funnel report.
+  * corpus split-partitioned under `--out` plus a per-stage funnel report;
+  * sft mode runs [[graft.ops.ChatOps.sftCorpus]] over a transcript table
+  * (conv_id, turn_idx, role, text, ts) and writes JSONL-ready messages
+  * rows under `--out`.
   */
 object Main {
 
@@ -53,8 +56,8 @@ object Main {
   def main(args: Array[String]): Unit = {
     val o = parse(args.toList)
     require(o.input.nonEmpty, "--input is required")
-    require(Set("audit", "strict", "corpus").contains(o.mode),
-      s"--mode must be audit, strict, or corpus, got ${o.mode}")
+    require(Set("audit", "strict", "corpus", "sft").contains(o.mode),
+      s"--mode must be audit, strict, corpus, or sft, got ${o.mode}")
     if (o.mode != "strict") require(o.out.nonEmpty, s"--out is required in ${o.mode} mode")
 
     val builder = SparkSession.builder()
@@ -99,6 +102,21 @@ object Main {
           .map(_.getLong(1)).sum
         println(s"""{"status":"done","mode":"corpus","kept":$kept,""" +
           s""""total":${funnel.map(_.getLong(1)).sum}}""")
+        return // finally handles spark.stop()
+      }
+      if (o.mode == "sft") {
+        // transcript → SFT export: boilerplate-turn dedup, shared-prefix
+        // collapse, JSONL messages rendering — one text file row per
+        // surviving conversation (the downstream trainer's input format)
+        val turns = spark.read.parquet(o.input)
+        val out = graft.ops.ChatOps.sftCorpus(
+            turns, "conv_id", "ts", "turn_idx", "role", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.select("messages_json")
+          .write.mode("overwrite").text(s"${o.out}/sft")
+        val n = out.count() // served from the persisted frame
+        out.unpersist()
+        println(s"""{"status":"done","mode":"sft","conversations":$n}""")
         return // finally handles spark.stop()
       }
       val turns = spark.read.parquet(o.input)

@@ -122,4 +122,25 @@ class RunnerSpec extends AnyFunSuite {
     assert(m.agg(sum("n_rows")).as[Long].head() === turns.count())
     assert(m.filter(col("wall_ms") >= 0).count() === 8)
   }
+
+  test("spark-submit Main: sft mode renders deduped conversations as " +
+    "parseable JSONL messages") {
+    val in = java.nio.file.Files.createTempDirectory("graft_sft_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sft_out").toString
+    graft.sources.TranscriptGen
+      .transcripts(spark, graft.sources.TranscriptGen.Config(nConvs = 40L))
+      .write.mode("overwrite").parquet(s"$in/turns")
+    Main.main(Array("--input", s"$in/turns", "--mode", "sft", "--out", out))
+    val lines = spark.read.text(s"$out/sft")
+    val n = lines.count()
+    assert(n > 0 && n <= 40, s"one line per surviving conversation, got $n")
+    // every line parses as a messages array with role+content fields
+    val parsed = lines.select(from_json(col("value"),
+      org.apache.spark.sql.types.DataType.fromDDL(
+        "array<struct<role:string,content:string>>")).as("m"))
+    assert(parsed.filter(col("m").isNull).count() === 0,
+      "all JSONL lines must parse")
+    assert(parsed.filter(size(col("m")) >= 1)
+      .count() === n)
+  }
 }
