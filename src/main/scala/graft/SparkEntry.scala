@@ -2701,10 +2701,14 @@ object SparkEntry {
         |       COALESCE(dp, CAST([] AS BIGINT[])) AS dp
         |      FROM s LEFT JOIN dr ON s.doc_id = dr.doc_id)
         |SELECT doc_id,
-        | array_to_string(list_transform(
+        | -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+        | -- array_join([]) is '' — a doc whose EVERY line is removed is
+        | -- the empty document, not a null (first occurs at sf0.1, where
+        | -- 13 single-line docs recur verbatim in ≥2 documents)
+        | COALESCE(array_to_string(list_transform(
         |   list_filter(range(1, len(parts) + 1),
         |     i -> NOT list_contains(dp, i - 1)),
-        |   i -> parts[i]), chr(10)) AS clean_text,
+        |   i -> parts[i]), chr(10)), '') AS clean_text,
         | CAST(len(parts) AS INT) AS n_lines,
         | CAST(len(dp) AS INT) AS n_lines_removed
         |FROM r""".stripMargin,
