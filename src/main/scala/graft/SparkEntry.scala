@@ -962,6 +962,17 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", minFrac = 1e-5)
     }),
+    "q111_kl_slices" -> ((s, dir) => {
+      // directional drift: KL(source-slice ‖ corpus) over the lang mix,
+      // exact integer sum of floor-ppm cells (columnEntropy rule)
+      graft.engine.Drift.klDivergence(
+        t(s, dir, "documents"), "source", "lang")
+    }),
+    "q112_alpha_shares" -> ((s, dir) => {
+      // α=½ temperature mixture shares: sqrt is IEEE-correctly-rounded
+      // (a general pow is not), per-stratum floors BEFORE the sum
+      graft.ops.Sampling.alphaShares(t(s, dir, "documents"), "source")
+    }),
     "q110_corpus_diff" -> ((s, dir) => {
       // snapshot diff: day-2 corpus planted from documents (drops ≡3 mod
       // 17, rewrites ≡0 mod 13, adds shifted ids from ≡0 mod 29) — all
@@ -2353,6 +2364,34 @@ object SparkEntry {
         |SELECT doc_id, n_tris,
         | round(s / (n_tris * 0.6931471805599453), 4) AS weight_bits
         |FROM sc""".stripMargin,
+    "q111_kl_slices" ->
+      """WITH c AS (
+        | SELECT source AS slice, lang AS cat, count(*) AS c
+        | FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT slice, sum(c) AS t FROM c GROUP BY 1),
+        |ct AS (SELECT cat, sum(c) AS g FROM c GROUP BY 1),
+        |gt AS (SELECT sum(c) AS gt FROM c),
+        |tm AS (
+        | SELECT c.slice,
+        |  CAST(floor((CAST(c.c AS DOUBLE) / t)
+        |    * ln((CAST(c.c AS DOUBLE) / t) / (CAST(g AS DOUBLE) / gt))
+        |    / 0.6931471805599453 * 1000000.0) AS BIGINT) AS term
+        | FROM c JOIN st USING (slice) JOIN ct USING (cat) CROSS JOIN gt)
+        |SELECT slice, count(*) AS n_cats,
+        | CAST(sum(term) AS BIGINT) AS kl_ppm_bits
+        |FROM tm GROUP BY 1""".stripMargin,
+    "q112_alpha_shares" ->
+      """WITH c AS (
+        | SELECT source AS stratum, count(*) AS n_docs
+        | FROM documents GROUP BY 1),
+        |s AS (SELECT stratum, n_docs,
+        |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |    AS sqrt_ppm FROM c),
+        |t AS (SELECT sum(sqrt_ppm) AS tot FROM s)
+        |SELECT stratum, n_docs, sqrt_ppm,
+        | CAST(floor(CAST(sqrt_ppm AS DOUBLE) * 1000000.0 / tot) AS BIGINT)
+        |   AS share_ppm
+        |FROM s CROSS JOIN t""".stripMargin,
     "q110_corpus_diff" ->
       """WITH oldh AS (
         | SELECT doc_id AS id, md5(COALESCE(text, '')) AS ho FROM documents),

@@ -74,4 +74,46 @@ object Drift {
       .agg(sum("term").as("psi"), max("r").as("n"))
       .withColumn("drifted", col("psi") > threshold)
   }
+
+  /** Per-slice KL divergence KL(slice ‖ global) over a category column, in
+    * ppm bits — the directional companion of [[chiSquare]]/[[psi]]: which
+    * partitions' role/tool mixes have drifted furthest from the corpus,
+    * on an information scale comparable across slices.
+    *
+    * Shape: one partial-combine (slice, cat) count; slice totals, global
+    * category counts, and the grand total re-aggregate from it (bounded
+    * frames, broadcast back — the category contract). Categories absent
+    * from a slice contribute 0 (the p→0 limit) and are naturally absent
+    * from the join; every slice category exists globally, so q > 0
+    * always.
+    *
+    * Parity (q111): each (slice, cat) cell contributes
+    * `floor((c/T)·ln((c/T)/(g/G))/ln2 · 10⁶)` — pinned double chain over
+    * exact longs — and the slice KL is the EXACT INTEGER SUM of those
+    * floors (the columnEntropy rule: order-independent, ≤ 1 ppm/cell
+    * bias; cells can be negative but the sum is ≥ −n_cats ppm of true
+    * KL ≥ 0).
+    */
+  def klDivergence(
+      df: DataFrame, sliceCol: String, catCol: String): DataFrame = {
+    val counts = df
+      .filter(col(catCol).isNotNull)
+      .groupBy(col(sliceCol).as("slice"), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("c"))
+    val sliceTot = counts.groupBy("slice").agg(sum("c").as("t"))
+    val catTot = counts.groupBy("cat").agg(sum("c").as("g"))
+    val grand = counts.agg(sum("c").as("gt"))
+    val ln2 = lit(graft.ops.LangModel.Ln2)
+    counts
+      .join(broadcast(sliceTot), Seq("slice"))
+      .join(broadcast(catTot), Seq("cat"))
+      .crossJoin(broadcast(grand))
+      .select(col("slice"),
+        floor((col("c").cast("double") / col("t")) *
+          log((col("c").cast("double") / col("t")) /
+            (col("g").cast("double") / col("gt"))) /
+          ln2 * lit(1000000.0)).cast("long").as("__term_ppm"))
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n_cats"), sum("__term_ppm").as("kl_ppm_bits"))
+  }
 }

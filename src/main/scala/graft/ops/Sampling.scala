@@ -247,4 +247,35 @@ object Sampling {
           .otherwise(sequence(lit(0L), col("__n") - 1L))))
       .drop("__n")
   }
+
+  /** α=½ temperature-scaled mixture shares — the multilingual-sampling
+    * staple (XLM-R-style upweighting of small sources): each stratum's
+    * target share ∝ √(its inventory), flattening the natural distribution
+    * without inverting it. Returns one row per stratum:
+    * (stratum, n_docs, sqrt_ppm, share_ppm); downstream, q93's
+    * `mixturePlan`-style sizing or `weightedMixture` consumes the shares.
+    *
+    * √ is chosen deliberately over a general temperature exponent:
+    * IEEE-754 requires sqrt to be CORRECTLY ROUNDED, so both engines get
+    * the bit-identical double from the same long — where a general
+    * `pow(n, 1/T)` (= exp(ln·)) is NOT correctly rounded and may differ
+    * by a ulp cross-engine/cross-libm. Each stratum's √n lands as an
+    * exact `floor(√n · 10⁶)` long FIRST; the normalizing sum and the
+    * share division are then pure integer/pinned-double ops — no
+    * double SUM ever happens, so the result is order-independent (the
+    * columnEntropy rule). One partial-combine count; stratum-cardinality
+    * output.
+    */
+  def alphaShares(df: DataFrame, stratumCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("sqrt_ppm",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0))
+          .cast("long"))
+    val tot = counts.agg(sum("sqrt_ppm").as("__tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_docs"), col("sqrt_ppm"),
+        floor(col("sqrt_ppm").cast("double") * lit(1000000.0) / col("__tot"))
+          .cast("long").as("share_ppm"))
+  }
 }

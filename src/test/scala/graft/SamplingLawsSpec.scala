@@ -189,4 +189,28 @@ class SamplingLawsSpec extends AnyFunSuite {
     // xx: no weight -> everything zero
     assert(out("xx") === ("xx", 1L, 10L, 0L, 0L, 0L, 0L))
   }
+
+  test("alphaShares: hand-computed sqrt flattening; equal strata split " +
+    "evenly; shares sum ≤ 10⁶ and are partitioning-invariant") {
+    // 4 docs vs 1 doc: sqrt_ppm 2e6 vs 1e6 → shares 2/3 and 1/3 (floored)
+    val df = (Seq.fill(4)("big") ++ Seq("small")).map(Tuple1(_))
+      .toDF("src").repartition(3)
+    val r = graft.ops.Sampling.alphaShares(df, "src")
+      .as[(String, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r("big") === ("big", 4L, 2000000L, 666666L))
+    assert(r("small") === ("small", 1L, 1000000L, 333333L))
+    // natural share of 'small' is 1/5 = 200000 ppm — α=½ upweights it
+    assert(r("small")._4 > 200000L)
+    assert(r.values.map(_._4).sum <= 1000000L)
+
+    val eq = (Seq.fill(9)("a") ++ Seq.fill(9)("b")).map(Tuple1(_))
+      .toDF("src")
+    val re = graft.ops.Sampling.alphaShares(eq, "src")
+      .as[(String, Long, Long, Long)].collect().map(x => x._1 -> x._4).toMap
+    assert(re("a") === 500000L && re("b") === 500000L)
+
+    val r1 = graft.ops.Sampling.alphaShares(df.repartition(1), "src")
+      .as[(String, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r1 === r)
+  }
 }

@@ -130,6 +130,35 @@ class StatsDriftSpec extends AnyFunSuite {
     assert(chi > 0.0)
   }
 
+  test("klDivergence: a slice distributed like the corpus scores exactly " +
+    "0; a skewed slice scores positive and matches the scalar replica") {
+    // slices A and B identical (2:1 over x:y) → every cell's p == q
+    // exactly → ln(1) = 0 → integer 0. Slice C is all-x.
+    val rows =
+      Seq.fill(4)(("A", "x")) ++ Seq.fill(2)(("A", "y")) ++
+      Seq.fill(4)(("B", "x")) ++ Seq.fill(2)(("B", "y")) ++
+      Seq.fill(6)(("C", "x"))
+    val df = rows.toDF("slice_id", "cat").repartition(4)
+    val r = Drift.klDivergence(df, "slice_id", "cat")
+      .as[(String, Long, Long)].collect().map(x => x._1 -> x).toMap
+    // global: x = 14/18, y = 4/18
+    def term(c: Long, t: Long, g: Long, gt: Long) = math.floor(
+      (c.toDouble / t) * math.log((c.toDouble / t) / (g.toDouble / gt)) /
+        graft.ops.LangModel.Ln2 * 1000000.0).toLong
+    val expA = term(4, 6, 14, 18) + term(2, 6, 4, 18)
+    assert(r("A") === ("A", 2L, expA))
+    assert(r("B") === ("B", 2L, expA))
+    assert(r("C") === ("C", 1L, term(6, 6, 14, 18)))
+    assert(r("C")._3 > 0 && r("C")._3 > r("A")._3)
+
+    // identical-to-global slices: p == q exactly → 0 ppm, no float residue
+    val uni = (Seq.fill(3)(("A", "x")) ++ Seq.fill(3)(("B", "x")))
+      .toDF("slice_id", "cat")
+    val r2 = Drift.klDivergence(uni, "slice_id", "cat")
+      .as[(String, Long, Long)].collect().map(x => x._1 -> x._3).toMap
+    assert(r2 === Map("A" -> 0L, "B" -> 0L))
+  }
+
   test("columnEntropy: uniform 2/4-value columns land exactly on 1 and 2 " +
     "bits; skew matches the scalar replica; constants are 0; nulls and " +
     "partitioning don't move the integer") {
