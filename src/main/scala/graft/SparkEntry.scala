@@ -90,6 +90,30 @@ object SparkEntry {
       lit("0884119233010A4601" + "00" + "3B")))     // LZW sub-block, trailer
   }
 
+  /** Deterministic planted 4-frame stereo 16-bit PCM WAV from a doc-id
+    * column — the audio twin of [[plantedBmp]]. Canonical 44-byte header
+    * (PCM, 2 ch, 8000 Hz, 16-bit, 16-byte data chunk); the interleaved
+    * LE samples are affine in doc_id (all non-negative, < 256, so each
+    * i16 is its value byte + 0x00): frames =
+    * (v,128) (w,0) (255,v) (0,64) with v = id mod 256, w = 2·id mod 256.
+    * q113's DuckDB oracle states the per-channel integer sums/squares/
+    * peaks analytically, so the RIFF chunk walk, fmt parse, i16 decode,
+    * and channel de-interleave are end-to-end checked cross-engine.
+    */
+  private def plantedWav(docId: Column): Column = {
+    val hdr = "52494646" + "34000000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0200" +
+      "401F0000" + "007D0000" + "0400" + "1000" +
+      "64617461" + "10000000"
+    val v = lpad(hex(pmod(docId, lit(256))), 2, "0")
+    val w = lpad(hex(pmod(docId * 2, lit(256))), 2, "0")
+    unhex(concat(lit(hdr),
+      v, lit("00" + "8000"),
+      w, lit("00" + "0000"),
+      lit("FF00"), v, lit("00"),
+      lit("0000" + "4000")))
+  }
+
   /** Planted span-dedup corpus shared by q78/q79: docs ≡ 0 (mod 7) get one
     * of 3 shared boilerplate paragraphs appended — built identically in
     * the DuckDB oracles so the winnow pipeline is replayed end-to-end.
@@ -961,6 +985,16 @@ object SparkEntry {
       graft.ops.LangModel.importanceWeights(
         t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", minFrac = 1e-5)
+    }),
+    "q113_wav_pcm_stats" -> ((s, dir) => {
+      // REAL PCM sample decode: RIFF chunk walk + i16 de-interleave in a
+      // fused codegen Expression; all-integer per-channel stats vs the
+      // analytic oracle on planted stereo WAVs (the q66 technique)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.WavSampleStats
+            .wavSampleStats(plantedWav(col("doc_id"))).as("s"))
+        .select(col("doc_id"), col("s.*"))
     }),
     "q111_kl_slices" -> ((s, dir) => {
       // directional drift: KL(source-slice ‖ corpus) over the lang mix,
@@ -2364,6 +2398,23 @@ object SparkEntry {
         |SELECT doc_id, n_tris,
         | round(s / (n_tris * 0.6931471805599453), 4) AS weight_bits
         |FROM sc""".stripMargin,
+    // analytic twin of the planted WAV: frames (v,128) (w,0) (255,v)
+    // (0,64) → channel sums/squares/peaks in closed form
+    "q113_wav_pcm_stats" ->
+      """WITH b AS (
+        | SELECT doc_id, doc_id % 256 AS v, (doc_id * 2) % 256 AS w
+        | FROM documents)
+        |SELECT doc_id, 'wav_pcm16' AS format,
+        | CAST(4 AS BIGINT) AS n_frames,
+        | CAST(2 AS INT) AS channels,
+        | CAST(8000 AS BIGINT) AS sample_rate,
+        | CAST(v + w + 255 AS BIGINT) AS sum0,
+        | CAST(v * v + w * w + 65025 AS BIGINT) AS sumsq0,
+        | CAST(255 AS INT) AS peak0,
+        | CAST(128 + v + 64 AS BIGINT) AS sum1,
+        | CAST(16384 + v * v + 4096 AS BIGINT) AS sumsq1,
+        | CAST(greatest(v, 128) AS INT) AS peak1
+        |FROM b""".stripMargin,
     "q111_kl_slices" ->
       """WITH c AS (
         | SELECT source AS slice, lang AS cat, count(*) AS c

@@ -728,6 +728,62 @@ class OpsSpec extends AnyFunSuite {
     assert(got(5) === ("unknown", None, None, None))
   }
 
+  test("wavSampleStats: exact integer stats on hand-built PCM, chunk walk " +
+    "past stranger/odd-sized chunks, mono nulls channel 1, honest nulls " +
+    "on corrupt/non-PCM/truncated media") {
+    def le32(v: Long) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def fmtChunk(ch: Int, rate: Int, bits: Int, code: Int = 1) =
+      "fmt ".getBytes("ISO-8859-1") ++ le32(16) ++ le16(code) ++ le16(ch) ++
+        le32(rate) ++ le32(rate.toLong * ch * bits / 8) ++
+        le16(ch * bits / 8) ++ le16(bits)
+    def dataChunk(samples: Seq[Int]) =
+      "data".getBytes("ISO-8859-1") ++ le32(samples.size * 2L) ++
+        samples.flatMap(le16).toArray
+    def wav(chunks: Array[Byte]*) =
+      "RIFF".getBytes("ISO-8859-1") ++ le32(36) ++
+        "WAVE".getBytes("ISO-8859-1") ++ chunks.flatten
+    val strangerOdd = // 3-byte LIST chunk → 1 pad byte must be skipped
+      "LIST".getBytes("ISO-8859-1") ++ le32(3) ++ Array[Byte](1, 2, 3, 0)
+
+    val mono = wav(fmtChunk(1, 44100, 16),
+      dataChunk(Seq(100, -200, -32768, 32767)))
+    val stereo = wav(strangerOdd, fmtChunk(2, 8000, 16),
+      dataChunk(Seq(1, -1, 2, -2))) // frames (1,-1) (2,-2)
+    val nonPcm = wav(fmtChunk(1, 8000, 16, code = 3), dataChunk(Seq(1)))
+    val eightBit = wav(fmtChunk(1, 8000, 8), dataChunk(Seq(1)))
+    val truncated = {
+      val full = wav(fmtChunk(1, 8000, 16), dataChunk(Seq(1, 2, 3, 4)))
+      full.take(full.length - 3)
+    }
+    val garbage = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+
+    val df = Seq((1L, mono), (2L, stereo), (3L, nonPcm), (4L, eightBit),
+      (5L, truncated), (6L, garbage)).toDF("id", "b")
+    val rows = df.select(col("id"),
+        graft.functions.WavSampleStats.wavSampleStats(col("b")).as("s"))
+      .select(col("id"), col("s.*")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val m = rows(1L)
+    assert(m.getString(1) === "wav_pcm16" && m.getLong(2) === 4L &&
+      m.getInt(3) === 1 && m.getLong(4) === 44100L)
+    assert(m.getLong(5) === -101L)
+    assert(m.getLong(6) === 10000L + 40000L + 1073741824L + 1073676289L)
+    assert(m.getInt(7) === 32768)
+    assert(m.isNullAt(8) && m.isNullAt(9) && m.isNullAt(10))
+
+    val st = rows(2L)
+    assert(st.getInt(3) === 2 && st.getLong(4) === 8000L &&
+      st.getLong(2) === 2L)
+    assert((st.getLong(5), st.getLong(6), st.getInt(7)) === ((3L, 5L, 2)))
+    assert((st.getLong(8), st.getLong(9), st.getInt(10)) === ((-3L, 5L, 2)))
+
+    Seq(3L, 4L, 5L, 6L).foreach(id =>
+      assert(rows(id).isNullAt(1), s"blob $id must decode to null"))
+  }
+
   test("corpusDiff: all four statuses with exact counts; null text hashes " +
     "as empty") {
     val old = Seq((1L, "same"), (2L, "was this"), (3L, "gone"),
