@@ -141,6 +141,17 @@ object Multimodal {
       wavField(35, 2).as("bits_per_sample"))
   }
 
+  /** REAL audio sample decode for the uncompressed case: 16-bit PCM WAV
+    * payloads walk the full RIFF chunk list (unlike [[audioHeaderMeta]]'s
+    * header sniff, LIST-before-fmt layouts decode fine) and emit
+    * exact-integer per-channel sum / sum-of-squares / peak — see
+    * [[graft.functions.WavSampleStats]]. Compressed payloads (ogg/mp3)
+    * stay with the header-meta surface; their sample decode would need
+    * codecs this environment doesn't ship.
+    */
+  def audioSampleStats(media: Column, maxFrames: Int = 1 << 24): Column =
+    graft.functions.WavSampleStats.wavSampleStats(media, maxFrames)
+
   /** REAL pixel-feature decode: per-channel means + `histBins`-bin
     * histograms, struct format ("bmp24" | "ppm" | "pgm" | "png8" | "gif8"),
     * as a coalesce of three sibling codegen Expressions that each reject

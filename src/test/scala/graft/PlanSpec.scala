@@ -484,6 +484,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("scalaudf"))
   }
 
+  test("wav sample decode is map-only and codegen'd: zero Exchange, " +
+    "no UDF, the chunk-walk expression sits inside a codegen'd projection") {
+    val df = spark.range(10)
+      .select(col("id"), col("id").cast("string").cast("binary").as("media"))
+    val p = plan(df.select(col("id"),
+      graft.ops.Multimodal.audioSampleStats(col("media")).as("a")))
+    assert(!p.contains("Exchange"), "sample decode must not shuffle")
+    assert(!p.toLowerCase.contains("scalaudf"))
+    assert(p.contains("wav_sample_stats"), s"fused expression missing:\n$p")
+    assert(p.contains("* Project"), s"no codegen'd projection in:\n$p")
+  }
+
   test("corpusDiff: document text never reaches the full-outer join's " +
     "exchange — only (id, md5) rows shuffle") {
     import spark.implicits._
