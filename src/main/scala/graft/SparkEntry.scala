@@ -986,6 +986,12 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", minFrac = 1e-5)
     }),
+    "q114_interarrival" -> ((s, dir) => {
+      // turn inter-arrival latency histogram: narrow keyed window +
+      // generated integer when-chain buckets (the q94 LOG2-ulp lesson)
+      graft.ops.ChatOps.interArrival(
+        t(s, dir, "events"), "user_id", "ts", "event_id")
+    }),
     "q113_wav_pcm_stats" -> ((s, dir) => {
       // REAL PCM sample decode: RIFF chunk walk + i16 de-interleave in a
       // fused codegen Expression; all-integer per-channel stats vs the
@@ -2398,6 +2404,26 @@ object SparkEntry {
         |SELECT doc_id, n_tris,
         | round(s / (n_tris * 0.6931471805599453), 4) AS weight_bits
         |FROM sc""".stripMargin,
+    // inter-arrival buckets: the CASE chain is GENERATED from the same
+    // powers of two the Spark when-chain folds over, so they cannot drift
+    "q114_interarrival" -> {
+      val branches = (1 to 26)
+        .map(k => s"WHEN dt <= ${1L << (k - 1)} THEN CAST(${1L << (k - 1)} AS BIGINT)")
+        .mkString("\n   ")
+      s"""WITH g AS (
+         | SELECT ts,
+         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |    AS prev
+         | FROM events),
+         |d AS (SELECT epoch_ms(ts) - epoch_ms(prev) AS dt
+         |      FROM g WHERE prev IS NOT NULL)
+         |SELECT CASE
+         |   $branches
+         |   ELSE CAST(${1L << 26} AS BIGINT) END AS bucket_ms,
+         | count(*) AS n_gaps, CAST(sum(dt) AS BIGINT) AS sum_ms,
+         | CAST(min(dt) AS BIGINT) AS min_ms, CAST(max(dt) AS BIGINT) AS max_ms
+         |FROM d GROUP BY 1""".stripMargin
+    },
     // analytic twin of the planted WAV: frames (v,128) (w,0) (255,v)
     // (0,64) → channel sums/squares/peaks in closed form
     "q113_wav_pcm_stats" ->

@@ -139,6 +139,46 @@ object ChatOps {
       .drop("__sig")
   }
 
+  /** Turn inter-arrival latency histogram: the time gaps between
+    * consecutive turns of each conversation, rolled up into power-of-two
+    * millisecond buckets — the latency-shape study behind agent-loop
+    * analysis (tool-call stalls, retry storms, human think-time) and the
+    * descriptive twin of the TS_ORDER check (which only flags order, not
+    * pace). Returns one row per bucket:
+    * (bucket_ms, n_gaps, sum_ms, min_ms, max_ms).
+    *
+    * Scale shape: the same narrow keyed window as every conversation op
+    * (only conv/order/ts columns shuffle), then a map-side when-chain
+    * bucket (integer compares — the q94 LOG2-ulp lesson) into one
+    * partial-combine aggregate. Negative gaps (out-of-order turns —
+    * TS_ORDER's business) clamp into bucket 1 with their true sum
+    * preserved; zero gaps land in bucket 1 too (the ≤ chain's floor).
+    */
+  def interArrival(
+      df: DataFrame, convCol: String, tsCol: String, tieCol: String,
+      maxLog2: Int = 26): DataFrame = {
+    require(maxLog2 >= 1 && maxLog2 <= 62, "maxLog2 in [1, 62]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(convCol).orderBy(col(tsCol), col(tieCol))
+    val gaps = df
+      .select(col(convCol), col(tsCol), col(tieCol))
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      // cast: parquet TIMESTAMP_NTZ inputs (the session runs UTC, so the
+      // wall-clock reading is unchanged) — unix_millis wants TIMESTAMP
+      .select((unix_millis(col(tsCol).cast("timestamp")) -
+        unix_millis(col("__prev").cast("timestamp"))).as("__dt"))
+    val top = 1L << maxLog2
+    val bucket = (1 to maxLog2).reverse.foldLeft(lit(top)) {
+      case (acc, k) => when(col("__dt") <= (1L << (k - 1)), lit(1L << (k - 1)))
+        .otherwise(acc)
+    }
+    gaps
+      .groupBy(bucket.as("bucket_ms"))
+      .agg(count(lit(1)).as("n_gaps"), sum("__dt").as("sum_ms"),
+        min("__dt").as("min_ms"), max("__dt").as("max_ms"))
+  }
+
   /** Transcript table → model-ready SFT corpus, composed end-to-end:
     *  1. [[dedupTurns]] strips cross-conversation boilerplate turns;
     *  2. [[prefixDedup]] collapses conversations branching from a shared

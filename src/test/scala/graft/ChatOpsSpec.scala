@@ -120,6 +120,27 @@ class ChatOpsSpec extends AnyFunSuite {
     assert(all.size === turns.size)
   }
 
+  test("interArrival: hand-computed gaps land in their power-of-two " +
+    "buckets; first turns contribute no gap; boundary values stay in " +
+    "their own bucket") {
+    def t(ms: Long) = new Timestamp(ms)
+    val df = Seq(
+      (1L, t(0), 1L), (1L, t(1), 2L),      // gap 1 → bucket 1
+      (1L, t(3), 3L),                       // gap 2 → bucket 2
+      (1L, t(1027), 4L),                    // gap 1024 → bucket 1024
+      (2L, t(500), 5L), (2L, t(1525), 6L),  // gap 1025 → bucket 2048
+      (3L, t(9), 7L)                        // single turn: no gaps
+    ).toDF("conv", "ts", "eid")
+    val r = ChatOps.interArrival(df, "conv", "ts", "eid")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r === Map(
+      1L -> ((1L, 1L, 1L, 1L, 1L)),
+      2L -> ((2L, 1L, 2L, 2L, 2L)),
+      1024L -> ((1024L, 1L, 1024L, 1024L, 1024L)),
+      2048L -> ((2048L, 1L, 1025L, 1025L, 1025L))))
+  }
+
   test("sftCorpus composes boilerplate-turn dedup, prefix dedup, and JSON " +
     "rendering: branches collapse to the keeper, boilerplate turns vanish " +
     "from the rendered output") {
