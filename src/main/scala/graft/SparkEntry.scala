@@ -1463,6 +1463,18 @@ object SparkEntry {
       graft.ops.ChatOps.sftCorpus(
         t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
         "props", boilerFrac = 0.15, prefixK = 3)),
+    "t22_bpe_merges" -> ((s, dir) => {
+      // distributed BPE merge learning over the documents table (iterative
+      // per-round pair-count argmax — no DuckDB twin: the loop is
+      // inherently sequential; merge-for-merge parity with an exact scalar
+      // replica incl. tie-breaks and the overlap rewrite is BpeSpec-gated).
+      // Returns the ordered merge table the tokenizer would ship.
+      import s.implicits._
+      val wf = graft.ops.Bpe.wordFreqs(t(s, dir, "documents"), "text")
+      graft.ops.Bpe.learnMerges(wf, nMerges = 12)
+        .zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("merge_idx", "a", "b")
+    }),
     "t20_span_pairs_full" -> ((s, dir) =>
       // winnowed span dedup priced at full table scale on the PRODUCTION
       // face (native rolling-hash expression; q78 certifies the pipeline
