@@ -410,6 +410,23 @@ object SparkEntry {
           round(Dedup.jaccardOfShingles(col("a.sh"), col("b.sh")), 4)
             .as("jaccard"))
     }),
+    "q115_containment" -> ((s, dir) => {
+      // exact directional word-3-gram containment over all pairs of the
+      // first 10 docs (bounded exact baseline, the q29 topology): the
+      // subset-duplicate measure — |A∩B|/|A| — that symmetric Jaccard
+      // can't see; scale face = span-fingerprint candidates verified by
+      // Dedup.containmentPairs (t23)
+      val d = t(s, dir, "documents").filter(col("doc_id") < 10)
+        .select(col("doc_id"), Dedup.splitWords(col("text")).as("__w"))
+        .select(col("doc_id"), Dedup.shinglesOfWords(col("__w"), 3).as("sh"))
+      d.as("a").crossJoin(d.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(Dedup.containmentOfShingles(col("a.sh"), col("b.sh")), 4)
+            .as("c_ab"),
+          round(Dedup.containmentOfShingles(col("b.sh"), col("a.sh")), 4)
+            .as("c_ba"))
+    }),
     "q28_sessionize" -> ((s, dir) => {
       // gap-based sessionization: new session when >30 min since previous
       // event of the same user (running sum over a flag) — the classic
@@ -1475,6 +1492,23 @@ object SparkEntry {
         .zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
         .toDF("merge_idx", "a", "b")
     }),
+    "t23_containment_pairs" -> ((s, dir) => {
+      // subset-duplicate detection at table scale: winnow span-fingerprint
+      // candidates (a contained doc shares verbatim spans with its
+      // container — minhash bands are Jaccard-biased and MISS these) →
+      // exact directional containment verify on the candidate ids only.
+      // Candidate topology is SpanDedup's pinned bucket join; containment
+      // semantics are q115-oracled on the bounded face and
+      // ContainmentSpec-gated here (xxhash fingerprints — no DuckDB twin).
+      val docs = t(s, dir, "documents")
+      Dedup.containmentPairs(docs,
+          graft.ops.SpanDedup.spanPairsFast(docs, "text", "doc_id",
+            k = 16, w = 8, minShared = 2),
+          "doc_id", "text", n = 3, minContainment = 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("c_ab"), 4).as("c_ab"), round(col("c_ba"), 4).as("c_ba"),
+          round(col("jaccard"), 4).as("jaccard"))
+    }),
     "t20_span_pairs_full" -> ((s, dir) =>
       // winnowed span dedup priced at full table scale on the PRODUCTION
       // face (native rolling-hash expression; q78 certifies the pipeline
@@ -1988,6 +2022,21 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |       / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id""".stripMargin,
+    "q115_containment" ->
+      """WITH d AS (
+        | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        | FROM documents WHERE doc_id < 10),
+        |s AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |                          i -> array_to_string(toks[i:i+2], ' ')))
+        |  END AS sh
+        | FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 4) AS c_ab,
+        | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 4) AS c_ba
         |FROM s a JOIN s b ON a.doc_id < b.doc_id""".stripMargin,
     "q28_sessionize" ->
       """WITH f AS (

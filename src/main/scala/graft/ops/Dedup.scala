@@ -403,6 +403,56 @@ object Dedup {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
+  /** Directional containment |sa ∩ sb| / |sa| over two
+    * ALREADY-MATERIALIZED shingle-array columns — the subset-duplicate
+    * signal symmetric Jaccard structurally cannot see: a short document
+    * quoted whole inside a long one has containment(A→B) = 1 while
+    * Jaccard ≈ |A|/|B| sits far below any near-dup threshold, so
+    * Jaccard-gated dedup keeps both copies.
+    */
+  def containmentOfShingles(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val na = size(sa).cast("double")
+    when(na === 0, lit(0.0)).otherwise(inter / na)
+  }
+
+  /** Containment verification of candidate pairs from ANY generator
+    * (winnow span fingerprints are the natural one — a contained document
+    * shares verbatim spans with its container, so [[SpanDedup]]'s
+    * fingerprint buckets surface exactly these pairs; minhash bands are
+    * biased AGAINST them because band agreement tracks Jaccard). Joins the
+    * text back to candidate ids only and emits both directions plus
+    * Jaccard; keeps pairs where either direction clears `minContainment`.
+    *
+    * Scale shape = [[minhashLshPairsExact]]'s verify stage: only candidate
+    * pairs pay the text join-back, and the shingle build is STAGED
+    * (words, then shingle arrays, then set measures, each its own
+    * projection) — inlining re-splits per gram (interpreted-HOF trap) and
+    * pre-building arrays corpus-wide moves more bytes than the text
+    * (both measured, PLANS.md round 4).
+    */
+  def containmentPairs(
+      corpus: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minContainment: Double = 0.8): DataFrame = {
+    val txt = corpus.select(col(idCol), coalesce(col(textCol), lit(""))
+      .as("__t"))
+    pairs
+      .select(col("id_a"), col("id_b"))
+      .join(txt.select(col(idCol).as("id_a"), col("__t").as("__ta")), "id_a")
+      .join(txt.select(col(idCol).as("id_b"), col("__t").as("__tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        splitWords(col("__ta")).as("__wa"),
+        splitWords(col("__tb")).as("__wb"))
+      .select(col("id_a"), col("id_b"),
+        shinglesOfWords(col("__wa"), n).as("__sa"),
+        shinglesOfWords(col("__wb"), n).as("__sb"))
+      .select(col("id_a"), col("id_b"),
+        containmentOfShingles(col("__sa"), col("__sb")).as("c_ab"),
+        containmentOfShingles(col("__sb"), col("__sa")).as("c_ba"),
+        jaccardOfShingles(col("__sa"), col("__sb")).as("jaccard"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= minContainment)
+  }
+
   /** Exact word-shingle Jaccard between two text columns — the scalar
     * convenience form (specs, one-off comparisons). DataFrame-level pair
     * verification must materialize shingle arrays and use
