@@ -427,6 +427,42 @@ object SparkEntry {
           round(Dedup.containmentOfShingles(col("b.sh"), col("a.sh")), 4)
             .as("c_ba"))
     }),
+    "q116_tool_args" -> ((s, dir) => {
+      // tool-call JSON argument schema validation (checks/ToolArgs.scala):
+      // planted per-tool payloads over events (the plantedBmp technique —
+      // the oracle rebuilds the same args from event_id % 11 and replays
+      // every rule in DuckDB json functions). Map-only: one projection +
+      // explode, zero Exchange at any scale.
+      val ev = t(s, dir, "events")
+      val tool = when(col("event_type").isin("click", "view"), lit("search"))
+        .otherwise(lit("fetch"))
+      val m = pmod(col("event_id"), lit(11))
+      val searchArgs = when(m === 0, lit("{\"q\":"))
+        .when(m === 1, lit("[1, 2]"))
+        .when(m === 2, lit("{}"))
+        .when(m === 3, lit("{\"q\":\"a\",\"zz\":2,\"extra\":1}"))
+        .when(m === 4, lit("{\"q\":\"a\",\"mode\":\"turbo\"}"))
+        .when(m === 5, lit("{\"q\":\"a\",\"limit\":\"many\"}"))
+        .when(m === 6, lit("{\"q\":\"a\",\"limit\":1000}"))
+        .when(m === 7, lit(null).cast("string"))
+        .otherwise(lit("{\"q\":\"a\",\"limit\":7,\"mode\":\"fast\"}"))
+      val fetchArgs = when(m === 0, lit("{\"url\":"))
+        .when(m === 1, lit("\"str\""))
+        .when(m === 2, lit("{\"url\":\"https://e.org/x\"}"))
+        .when(m === 3,
+          lit("{\"url\":\"https://e.org/x\",\"method\":\"GET\"," +
+            "\"hdrs\":{},\"auth\":1}"))
+        .when(m === 4, lit("{\"url\":\"https://e.org/x\",\"method\":\"PUT\"}"))
+        .when(m === 5,
+          lit("{\"url\":\"u\",\"method\":\"GET\",\"timeout_ms\":\"soon\"}"))
+        .when(m === 6, lit("{\"url\":\"u\",\"method\":\"GET\",\"timeout_ms\":0}"))
+        .when(m === 7, lit(null).cast("string"))
+        .otherwise(
+          lit("{\"url\":\"u\",\"method\":\"POST\",\"timeout_ms\":500}"))
+      val df = ev.select(col("event_id"), tool.as("tool"),
+        when(tool === "search", searchArgs).otherwise(fetchArgs).as("args"))
+      graft.checks.ToolArgs.violations(df, "tool", "args", Seq("event_id"))
+    }),
     "q28_sessionize" -> ((s, dir) => {
       // gap-based sessionization: new session when >30 min since previous
       // event of the same user (running sum over a flag) — the classic
@@ -1492,6 +1528,14 @@ object SparkEntry {
         .zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
         .toDF("merge_idx", "a", "b")
     }),
+    "t24_tool_args" -> ((s, dir) =>
+      // tool-call JSON argument validation at transcript scale: the
+      // map-only check catalog (q116-oracled semantics) over the planted
+      // toolCalls payload table — rows-only; ToolArgsSpec pins every rule
+      // and the planted-count law.
+      graft.checks.ToolArgs.violations(
+        graft.sources.TranscriptGen.toolCalls(s, tCfg),
+        "tool", "args", Seq("conv_id", "turn_idx"))),
     "t23_containment_pairs" -> ((s, dir) => {
       // subset-duplicate detection at table scale: winnow span-fingerprint
       // candidates (a contained doc shares verbatim spans with its
@@ -2038,6 +2082,111 @@ object SparkEntry {
         | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 4) AS c_ab,
         | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 4) AS c_ba
         |FROM s a JOIN s b ON a.doc_id < b.doc_id""".stripMargin,
+    "q116_tool_args" ->
+      """WITH e AS (
+        | SELECT event_id,
+        |  CASE WHEN event_type IN ('click','view') THEN 'search'
+        |       ELSE 'fetch' END AS tool,
+        |  event_id % 11 AS m
+        | FROM events),
+        |a AS (
+        | SELECT event_id, tool,
+        |  CASE WHEN tool = 'search' THEN
+        |   CASE m WHEN 0 THEN '{"q":' WHEN 1 THEN '[1, 2]' WHEN 2 THEN '{}'
+        |    WHEN 3 THEN '{"q":"a","zz":2,"extra":1}'
+        |    WHEN 4 THEN '{"q":"a","mode":"turbo"}'
+        |    WHEN 5 THEN '{"q":"a","limit":"many"}'
+        |    WHEN 6 THEN '{"q":"a","limit":1000}'
+        |    WHEN 7 THEN NULL
+        |    ELSE '{"q":"a","limit":7,"mode":"fast"}' END
+        |  ELSE
+        |   CASE m WHEN 0 THEN '{"url":' WHEN 1 THEN '"str"'
+        |    WHEN 2 THEN '{"url":"https://e.org/x"}'
+        |    WHEN 3 THEN '{"url":"https://e.org/x","method":"GET","hdrs":{},"auth":1}'
+        |    WHEN 4 THEN '{"url":"https://e.org/x","method":"PUT"}'
+        |    WHEN 5 THEN '{"url":"u","method":"GET","timeout_ms":"soon"}'
+        |    WHEN 6 THEN '{"url":"u","method":"GET","timeout_ms":0}'
+        |    WHEN 7 THEN NULL
+        |    ELSE '{"url":"u","method":"POST","timeout_ms":500}' END
+        |  END AS args
+        | FROM e),
+        |k0 AS (SELECT event_id, tool, args, try_cast(args AS JSON) AS j FROM a),
+        |k AS (
+        | SELECT event_id, tool, args, j,
+        |  CASE WHEN args IS NULL THEN []::VARCHAR[]
+        |       WHEN j IS NULL THEN NULL
+        |       WHEN json_type(j) = 'OBJECT' THEN json_keys(j)
+        |       ELSE NULL END AS keys
+        | FROM k0)
+        |SELECT event_id, tool, 'MALFORMED_ARGS' AS rule_id, 'args' AS field,
+        | 'Malformed tool args: ' || args AS message
+        | FROM k WHERE args IS NOT NULL AND keys IS NULL
+        |UNION ALL
+        |SELECT event_id, tool, 'MISSING_ARG_q', 'q',
+        | 'Missing required arg `q` for search'
+        | FROM k WHERE tool = 'search' AND keys IS NOT NULL
+        |  AND NOT list_contains(keys, 'q')
+        |UNION ALL
+        |SELECT event_id, tool, 'MISSING_ARG_method', 'method',
+        | 'Missing required arg `method` for fetch'
+        | FROM k WHERE tool = 'fetch' AND keys IS NOT NULL
+        |  AND NOT list_contains(keys, 'method')
+        |UNION ALL
+        |SELECT event_id, tool, 'MISSING_ARG_url', 'url',
+        | 'Missing required arg `url` for fetch'
+        | FROM k WHERE tool = 'fetch' AND keys IS NOT NULL
+        |  AND NOT list_contains(keys, 'url')
+        |UNION ALL
+        |SELECT event_id, tool, 'UNKNOWN_ARG', 'args',
+        | 'Unknown args for search: ' || array_to_string(
+        |   list_sort(list_filter(keys,
+        |     x -> NOT list_contains(['limit','mode','q'], x))), ', ')
+        | FROM k WHERE tool = 'search' AND keys IS NOT NULL
+        |  AND len(list_filter(keys,
+        |    x -> NOT list_contains(['limit','mode','q'], x))) > 0
+        |UNION ALL
+        |SELECT event_id, tool, 'UNKNOWN_ARG', 'args',
+        | 'Unknown args for fetch: ' || array_to_string(
+        |   list_sort(list_filter(keys,
+        |     x -> NOT list_contains(['method','timeout_ms','url'], x))), ', ')
+        | FROM k WHERE tool = 'fetch' AND keys IS NOT NULL
+        |  AND len(list_filter(keys,
+        |    x -> NOT list_contains(['method','timeout_ms','url'], x))) > 0
+        |UNION ALL
+        |SELECT event_id, tool, 'ENUM_ARG_mode', 'mode',
+        | 'Invalid value in mode: '
+        |  || coalesce(json_extract_string(j, '$.mode'), 'None')
+        | FROM k WHERE tool = 'search' AND keys IS NOT NULL
+        |  AND list_contains(keys, 'mode')
+        |  AND (json_extract_string(j, '$.mode') IS NULL
+        |       OR json_extract_string(j, '$.mode') NOT IN ('deep','fast'))
+        |UNION ALL
+        |SELECT event_id, tool, 'ENUM_ARG_method', 'method',
+        | 'Invalid value in method: '
+        |  || coalesce(json_extract_string(j, '$.method'), 'None')
+        | FROM k WHERE tool = 'fetch' AND keys IS NOT NULL
+        |  AND list_contains(keys, 'method')
+        |  AND (json_extract_string(j, '$.method') IS NULL
+        |       OR json_extract_string(j, '$.method') NOT IN ('GET','POST'))
+        |UNION ALL
+        |SELECT event_id, tool, 'INT_ARG_limit', 'limit',
+        | 'Out-of-range or non-integer limit: '
+        |  || coalesce(json_extract_string(j, '$.limit'), 'None')
+        | FROM k WHERE tool = 'search' AND keys IS NOT NULL
+        |  AND list_contains(keys, 'limit')
+        |  AND (try_cast(json_extract_string(j, '$.limit') AS BIGINT) IS NULL
+        |       OR try_cast(json_extract_string(j, '$.limit') AS BIGINT)
+        |          NOT BETWEEN 0 AND 100)
+        |UNION ALL
+        |SELECT event_id, tool, 'INT_ARG_timeout_ms', 'timeout_ms',
+        | 'Out-of-range or non-integer timeout_ms: '
+        |  || coalesce(json_extract_string(j, '$.timeout_ms'), 'None')
+        | FROM k WHERE tool = 'fetch' AND keys IS NOT NULL
+        |  AND list_contains(keys, 'timeout_ms')
+        |  AND (try_cast(json_extract_string(j, '$.timeout_ms') AS BIGINT)
+        |       IS NULL
+        |       OR try_cast(json_extract_string(j, '$.timeout_ms') AS BIGINT)
+        |          NOT BETWEEN 1 AND 60000)""".stripMargin,
     "q28_sessionize" ->
       """WITH f AS (
         | SELECT user_id, ts, event_id,

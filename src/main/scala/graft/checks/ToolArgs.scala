@@ -1,0 +1,136 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tool-call argument schema validation — the transcript analog of the
+  * reference's pydantic field checks (reference `src/core/models.py:8-96`,
+  * `verification.py:30-64`) pushed one level DOWN, into the nested JSON
+  * payload a `role = 'tool'` turn carries. An agent-transcript corpus lives
+  * or dies on these: a tool turn whose `args` is truncated JSON, missing a
+  * required argument, or carrying an out-of-vocabulary mode is exactly the
+  * malformed-training-signal row a 100 TB pipeline must surface, and none of
+  * the flat-column checks can see inside the payload.
+  *
+  * Same compilation contract as [[Checks.violationsArray]]: every rule is a
+  * built-in `Column` expression (`json_object_keys`, `get_json_object`,
+  * `array_except`, `try_cast` — zero UDFs), the whole catalog lands in ONE
+  * projection + `explode`, and the plan is map-only: no shuffle at any
+  * scale, violations stream out of the scan task that read the row.
+  *
+  * Semantics (each pinned in ToolArgsSpec and hash-oracled by q116):
+  *  - a NULL `args` payload is an *absent object*: required-arg rules fire,
+  *    malformed does not (pydantic missing-field semantics);
+  *  - `MALFORMED_ARGS` fires on non-null payloads that are not a JSON
+  *    object (truncated JSON, scalars, arrays) — `json_object_keys` returns
+  *    null exactly then; all schema rules are gated off such rows so one
+  *    broken payload yields one violation, not a cascade;
+  *  - a tool with no registered schema gets only the malformed check (the
+  *    reference skips unknown fields the same way, `verification.py:50`);
+  *  - enum/int rules fire only when the key is PRESENT (missing-ness is the
+  *    required rule's job — the [[EnumMember]] split, one rule one cause);
+  *  - a present key whose value is JSON `null` renders as "None" in the
+  *    message (the [[Check.pyStr]] convention).
+  */
+object ToolArgs {
+
+  /** Argument schema for one tool: required keys, the closed key
+    * vocabulary, per-key enum vocabularies, per-key integer ranges.
+    */
+  final case class ToolArgSchema(
+      required: Seq[String],
+      allowed: Seq[String],
+      enums: Map[String, Seq[String]] = Map.empty,
+      intRanges: Map[String, (Long, Long)] = Map.empty)
+
+  /** The demo catalog used by q116/t24 — two tools with disjoint shapes so
+    * per-tool dispatch is exercised, not just per-rule logic.
+    */
+  val demoSchemas: Map[String, ToolArgSchema] = Map(
+    "search" -> ToolArgSchema(
+      required = Seq("q"),
+      allowed = Seq("limit", "mode", "q"),
+      enums = Map("mode" -> Seq("deep", "fast")),
+      intRanges = Map("limit" -> (0L, 100L))),
+    "fetch" -> ToolArgSchema(
+      required = Seq("method", "url"),
+      allowed = Seq("method", "timeout_ms", "url"),
+      enums = Map("method" -> Seq("GET", "POST")),
+      intRanges = Map("timeout_ms" -> (1L, 60000L))))
+
+  /** Violations frame: `idCols ++ (tool, rule_id, field, message)`, one row
+    * per violated (row, rule). Map-only plan — see object doc.
+    */
+  def violations(
+      df: DataFrame,
+      toolCol: String,
+      argsCol: String,
+      idCols: Seq[String],
+      schemas: Map[String, ToolArgSchema] = demoSchemas): DataFrame = {
+    val tool = col(toolCol)
+    val args = col(argsCol)
+    // json_object_keys: null for invalid JSON / non-objects; [] for {}.
+    // A null payload maps to [] so required-arg rules see "all keys absent"
+    // while the malformed rule (gated on args.isNotNull) stays quiet.
+    val keys = when(args.isNull, array().cast("array<string>"))
+      .otherwise(json_object_keys(args))
+    val keysOk = keys.isNotNull
+
+    def present(k: String): Column = array_contains(keys, k)
+    def v(k: String): Column = get_json_object(args, "$." + k)
+
+    def rule(pred: Column, ruleId: String, field: String, msg: Column)
+        : (Column, Column) =
+      (pred, when(pred, struct(lit(ruleId).as("rule_id"),
+        lit(field).as("field"), msg.as("message"))))
+
+    val malformed = rule(args.isNotNull && keys.isNull,
+      "MALFORMED_ARGS", "args", concat(lit("Malformed tool args: "), args))
+
+    // Sorted in the catalog AND sorted per tool name so the emitted order
+    // (and therefore q116's hash) is a pure function of the schema map.
+    val perTool: Seq[(Column, Column)] = schemas.toSeq.sortBy(_._1).flatMap {
+      case (name, sch) =>
+        val isTool = tool === name
+        val missing = sch.required.sorted.map { k =>
+          rule(isTool && keysOk && !present(k), s"MISSING_ARG_$k", k,
+            lit(s"Missing required arg `$k` for $name"))
+        }
+        val unknownKeys = array_sort(
+          array_except(keys, array(sch.allowed.sorted.map(lit): _*)))
+        val unknown = rule(isTool && keysOk && size(unknownKeys) > 0,
+          "UNKNOWN_ARG", "args",
+          concat(lit(s"Unknown args for $name: "),
+            array_join(unknownKeys, ", ")))
+        val enums = sch.enums.toSeq.sortBy(_._1).map { case (k, vals) =>
+          rule(isTool && keysOk && present(k) &&
+              (v(k).isNull || !v(k).isin(vals: _*)),
+            s"ENUM_ARG_$k", k,
+            concat(lit(s"Invalid value in $k: "), coalesce(v(k), lit("None"))))
+        }
+        val ints = sch.intRanges.toSeq.sortBy(_._1).map { case (k, (lo, hi)) =>
+          val iv = v(k).try_cast("long")
+          rule(isTool && keysOk && present(k) &&
+              (iv.isNull || iv < lo || iv > hi),
+            s"INT_ARG_$k", k,
+            concat(lit(s"Out-of-range or non-integer $k: "),
+              coalesce(v(k), lit("None"))))
+        }
+        missing ++ Seq(unknown) ++ enums ++ ints
+    }
+
+    val all = malformed +: perTool
+    // Clean rows (the overwhelming majority) skip the array/struct build
+    // entirely behind one boolean OR — the Checks.violationsArray guard.
+    val anyViolated = all.map(p => coalesce(p._1, lit(false))).reduce(_ || _)
+    val arr = when(anyViolated, filter(array(all.map(_._2): _*),
+        x => x.isNotNull))
+      .otherwise(array().cast(
+        "array<struct<rule_id:string,field:string,message:string>>"))
+    df.select(idCols.map(col) ++ Seq(tool.as(toolCol),
+        explode(arr).as("v")): _*)
+      .select(idCols.map(col) ++ Seq(col(toolCol),
+        col("v.rule_id").as("rule_id"), col("v.field").as("field"),
+        col("v.message").as("message")): _*)
+  }
+}

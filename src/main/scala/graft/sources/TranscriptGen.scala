@@ -189,4 +189,43 @@ object TranscriptGen {
     import spark.implicits._
     tools.toDF("tool")
   }
+
+  /** Tool-call payload table for `role = 'tool'` turns: (conv_id, turn_idx,
+    * tool, args) with per-tool JSON args and planted schema violations at
+    * ~8/11 of rows clean (m = xxhash64(seed,"argm",conv_id,turn_idx) mod 11
+    * selects the q116 case list for search/fetch; other tools — including
+    * the FMT-planted "v1.2" — carry a generic payload, malformed at m = 0,
+    * exercising the unknown-tool path where only MALFORMED_ARGS applies).
+    * Same no-RNG/no-wall-clock generation contract as [[transcripts]].
+    */
+  def toolCalls(spark: SparkSession, cfg: Config = Config()): DataFrame = {
+    val tt = transcripts(spark, cfg)
+      .filter(col("role") === "tool" && col("tool").isNotNull)
+    val m = pmod(xxhash64(lit(cfg.seed), lit("argm"),
+      col("conv_id"), col("turn_idx")), lit(11))
+    val searchArgs = when(m === 0, lit("{\"q\":"))
+      .when(m === 1, lit("[1, 2]"))
+      .when(m === 2, lit("{}"))
+      .when(m === 3, lit("{\"q\":\"a\",\"zz\":2,\"extra\":1}"))
+      .when(m === 4, lit("{\"q\":\"a\",\"mode\":\"turbo\"}"))
+      .when(m === 5, lit("{\"q\":\"a\",\"limit\":\"many\"}"))
+      .when(m === 6, lit("{\"q\":\"a\",\"limit\":1000}"))
+      .when(m === 7, lit(null).cast("string"))
+      .otherwise(lit("{\"q\":\"a\",\"limit\":7,\"mode\":\"fast\"}"))
+    val fetchArgs = when(m === 0, lit("{\"url\":"))
+      .when(m === 1, lit("\"str\""))
+      .when(m === 2, lit("{\"url\":\"https://e.org/x\"}"))
+      .when(m === 3, lit("{\"url\":\"https://e.org/x\",\"method\":\"GET\"," +
+        "\"hdrs\":{},\"auth\":1}"))
+      .when(m === 4, lit("{\"url\":\"https://e.org/x\",\"method\":\"PUT\"}"))
+      .when(m === 5, lit("{\"url\":\"u\",\"method\":\"GET\",\"timeout_ms\":\"soon\"}"))
+      .when(m === 6, lit("{\"url\":\"u\",\"method\":\"GET\",\"timeout_ms\":0}"))
+      .when(m === 7, lit(null).cast("string"))
+      .otherwise(lit("{\"url\":\"u\",\"method\":\"POST\",\"timeout_ms\":500}"))
+    val otherArgs = when(m === 0, lit("{")).otherwise(lit("{\"x\":1}"))
+    tt.select(col("conv_id"), col("turn_idx"), col("tool"),
+      when(col("tool") === "search", searchArgs)
+        .when(col("tool") === "fetch", fetchArgs)
+        .otherwise(otherArgs).as("args"))
+  }
 }

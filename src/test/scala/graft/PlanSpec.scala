@@ -253,6 +253,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("scalaudf"), "pii scrub must be codegen'd builtins")
   }
 
+  test("tool-args validation is map-only: zero Exchange, no UDF, codegen'd") {
+    import spark.implicits._
+    val df = (0 until 50).map(i =>
+      (i.toLong, "search", s"""{"q":"a","limit":$i}""")).toDF("id", "tool", "args")
+    val p = plan(graft.checks.ToolArgs.violations(df, "tool", "args", Seq("id")))
+    assert(!p.contains("Exchange"), "tool-args check must not shuffle")
+    assert(!p.toLowerCase.contains("scalaudf"), "tool-args must be builtins")
+    assert(p.contains("* Generate") || p.contains("* Project"),
+      s"no codegen'd explode/projection in:\n$p")
+  }
+
   test("weightedMixture is map-only: zero Exchange, filter at the scan") {
     val df = spark.range(0, 1000)
       .select(col("id"), concat(lit("s"), (col("id") % 4)).as("src"))
