@@ -463,6 +463,16 @@ object SparkEntry {
         when(tool === "search", searchArgs).otherwise(fetchArgs).as("args"))
       graft.checks.ToolArgs.violations(df, "tool", "args", Seq("event_id"))
     }),
+    "q117_nb_quality" -> ((s, dir) => {
+      // multinomial Naive Bayes quality classifier (ops/NaiveBayes.scala):
+      // trained on the full table (label = src0-src4) and applied to every
+      // doc; weights are floor-ppm ln chains (q104 recipe), scores exact
+      // integer sums — partitioning/order independent by construction.
+      val docs = t(s, dir, "documents")
+      graft.ops.NaiveBayes.qualityScores(docs, "doc_id", "text",
+        col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        minTotal = 3L)
+    }),
     "q28_sessionize" -> ((s, dir) => {
       // gap-based sessionization: new session when >30 min since previous
       // event of the same user (running sum over a flag) — the classic
@@ -2187,6 +2197,44 @@ object SparkEntry {
         |       IS NULL
         |       OR try_cast(json_extract_string(j, '$.timeout_ms') AS BIGINT)
         |          NOT BETWEEN 1 AND 60000)""".stripMargin,
+    "q117_nb_quality" ->
+      """WITH d AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |       THEN 1 ELSE 0 END AS lab
+        | FROM documents),
+        |tokd AS (
+        | SELECT doc_id, lab,
+        |  list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+        |    '[^a-z]+'), w -> len(w) >= 3) AS ws
+        | FROM d),
+        |tf AS (SELECT doc_id, lab, unnest(ws) AS t FROM tokd),
+        |cc AS (
+        | SELECT t,
+        |  sum(CASE WHEN lab = 1 THEN 1 ELSE 0 END)::BIGINT AS cp,
+        |  sum(CASE WHEN lab = 0 THEN 1 ELSE 0 END)::BIGINT AS cn
+        | FROM tf GROUP BY t),
+        |tot AS (SELECT sum(cp)::BIGINT AS tp, sum(cn)::BIGINT AS tn,
+        |  count(*)::BIGINT AS v FROM cc),
+        |wt AS (
+        | SELECT t AS token,
+        |  CAST(floor((ln(CAST(cp AS DOUBLE) + 1.0)
+        |    - ln(CAST(tp + v AS DOUBLE))
+        |    - ln(CAST(cn AS DOUBLE) + 1.0)
+        |    + ln(CAST(tn + v AS DOUBLE))) * 1000000.0) AS BIGINT) AS w_ppm
+        | FROM cc, tot WHERE cp + cn >= 3),
+        |dtf AS (SELECT doc_id, t, count(*)::BIGINT AS cnt
+        | FROM tf GROUP BY doc_id, t),
+        |s AS (SELECT dtf.doc_id, sum(cnt * w_ppm)::BIGINT AS sc
+        | FROM dtf JOIN wt ON dtf.t = wt.token GROUP BY dtf.doc_id),
+        |pri AS (
+        | SELECT CAST(floor((
+        |   ln(CAST(sum(CASE WHEN lab = 1 THEN 1 ELSE 0 END) AS DOUBLE))
+        |   - ln(CAST(sum(CASE WHEN lab = 0 THEN 1 ELSE 0 END) AS DOUBLE)))
+        |   * 1000000.0) AS BIGINT) AS prior
+        | FROM d)
+        |SELECT d.doc_id, coalesce(s.sc, 0) + pri.prior AS score_ppm
+        |FROM d LEFT JOIN s ON d.doc_id = s.doc_id, pri""".stripMargin,
     "q28_sessionize" ->
       """WITH f AS (
         | SELECT user_id, ts, event_id,

@@ -315,6 +315,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("text#")), s"text shuffled in:\n$p")
   }
 
+  test("naive bayes train+score: document text never reaches an exchange " +
+    "(only tokens and narrow count rows shuffle)") {
+    import spark.implicits._
+    val docs = (0 until 40)
+      .map(i => (i.toLong, s"some document body text number $i with words",
+        i % 2)).toDF("doc_id", "text", "lab")
+    val p = plan(graft.ops.NaiveBayes.qualityScores(
+      docs, "doc_id", "text", col("lab")))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")), s"text shuffled in:\n$p")
+  }
+
   test("trigram LM scoring: model lookups are broadcast joins and document " +
     "text never reaches an exchange") {
     import spark.implicits._
