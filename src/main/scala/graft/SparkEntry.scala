@@ -473,6 +473,23 @@ object SparkEntry {
         col("source").isin("src0", "src1", "src2", "src3", "src4"),
         minTotal = 3L)
     }),
+    "q118_semdedup" -> ((s, dir) => {
+      // SemDeDup within-cluster semantic near-dup pairs, hash-oracled with
+      // FIXED centroids (the first 4 vectors) so DuckDB replays the argmax
+      // assignment, the within-cluster candidate topology, and the cosine
+      // gate; planted scaled copies (q39's technique) guarantee pairs and
+      // land in their original's cluster by scale-invariance.
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val copies = e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+      val cents = e.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      Similarity.semDedupPairs(e.unionByName(copies), cents, threshold = 0.95)
+        .select(col("cid"), col("id_a"), col("id_b"),
+          round(col("cos"), 4).as("cos"))
+    }),
     "q28_sessionize" -> ((s, dir) => {
       // gap-based sessionization: new session when >30 min since previous
       // event of the same user (running sum over a flag) — the classic
@@ -1546,6 +1563,19 @@ object SparkEntry {
       graft.checks.ToolArgs.violations(
         graft.sources.TranscriptGen.toolCalls(s, tCfg),
         "tool", "args", Seq("conv_id", "turn_idx"))),
+    "t25_semdedup" -> ((s, dir) => {
+      // full SemDeDup at table scale: Lloyd centroids → within-cluster
+      // pairs → quality-ranked keepers (n_chars as quality); planted
+      // scaled copies (rank 0) are the duplicates the originals win over.
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val copies = e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+      val ranks = t(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("n_chars"))
+      Similarity.semDedup(e.unionByName(copies), ranks, "n_chars",
+        nCentroids = 8, iters = 2, threshold = 0.95)
+    }),
     "t23_containment_pairs" -> ((s, dir) => {
       // subset-duplicate detection at table scale: winnow span-fingerprint
       // candidates (a contained doc shares verbatim spans with its
@@ -2235,6 +2265,27 @@ object SparkEntry {
         | FROM d)
         |SELECT d.doc_id, coalesce(s.sc, 0) + pri.prior AS score_ppm
         |FROM d LEFT JOIN s ON d.doc_id = s.doc_id, pri""".stripMargin,
+    "q118_semdedup" ->
+      """WITH base AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cp AS (
+        | SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x * 1.01) AS v
+        | FROM base WHERE vec_id % 25 = 0),
+        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM cp),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 4),
+        |asn AS (
+        | SELECT vec_id, cid FROM (
+        |  SELECT a.vec_id, c.cid,
+        |   row_number() OVER (PARTITION BY a.vec_id
+        |     ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid ASC) AS rn
+        |  FROM allv a CROSS JOIN c) WHERE rn = 1)
+        |SELECT CAST(x.cid AS INT) AS cid, x.vec_id AS id_a, y.vec_id AS id_b,
+        | round(list_cosine_similarity(xa.v, yb.v), 4) AS cos
+        |FROM asn x
+        |JOIN asn y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |JOIN allv xa ON xa.vec_id = x.vec_id
+        |JOIN allv yb ON yb.vec_id = y.vec_id
+        |WHERE list_cosine_similarity(xa.v, yb.v) >= 0.95""".stripMargin,
     "q28_sessionize" ->
       """WITH f AS (
         | SELECT user_id, ts, event_id,

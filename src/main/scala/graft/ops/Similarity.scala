@@ -261,6 +261,84 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster first, compare only WITHIN a cluster. Unlike
+    * [[cosineNearDupPairs]]'s data-oblivious hyperplane buckets, the
+    * blocking here follows the embedding distribution (k-means cells), the
+    * published recipe for pruning semantically-redundant training data.
+    *
+    * Scale shape — the same discipline as every dedup-family op:
+    * assignment is one codegen'd argmax map pass over broadcast centroid
+    * literals; the quadratic part sees only narrow (vec_id, cid) rows with
+    * a `maxCluster` cap (auditable via [[Dedup.bucketAudit]] on the
+    * assignment — see [[semDedupClusterAudit]]); vectors join back onto
+    * candidate ids only; the cosine gate is the fused-loop expression.
+    *
+    * Centroids are caller-provided so the q118 oracle can replay the exact
+    * assignment in DuckDB (fixed literal centroids); the scale path gets
+    * them from [[kmeansCentroids]] via [[semDedup]].
+    */
+  def semDedupPairs(
+      embeddings: DataFrame,
+      centroids: Seq[Seq[Double]],
+      threshold: Double = 0.95,
+      maxCluster: Int = 10000): DataFrame = {
+    require(centroids.nonEmpty, "centroids required")
+    val e = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("cid", ivfAssign(col("v"), centroids))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = e.select(col("vec_id"), col("cid"))
+    val ok = ids.join(
+      ids.groupBy("cid").agg(count(lit(1)).as("cn"))
+        .filter(col("cn") > 1 && col("cn") <= maxCluster),
+      Seq("cid"))
+    ok.as("a")
+      .join(ok.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cid").as("cid"),
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("cid"), col("id_a"), col("id_b"),
+        cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** [[Dedup.bucketAudit]] over the k-means cell assignment — certifies
+    * what (if anything) [[semDedupPairs]]'s `maxCluster` cap dropped.
+    */
+  def semDedupClusterAudit(
+      embeddings: DataFrame,
+      centroids: Seq[Seq[Double]],
+      maxCluster: Int = 10000): DataFrame =
+    Dedup.bucketAudit(
+      embeddings.select(col("vec_id").as("id"),
+        ivfAssign(asDouble(col("embedding")), centroids).as("bucket")),
+      "bucket", maxCluster)
+
+  /** The full SemDeDup pipeline at scale: Lloyd-refined centroids →
+    * within-cluster near-dup pairs → quality-ranked keeper resolution
+    * ([[Connected.keepBestClusters]]: connected components, best `rankCol`
+    * wins). Returns (id, cluster_id, rankCol, is_keeper) for every vector.
+    */
+  def semDedup(
+      embeddings: DataFrame,
+      ranks: DataFrame, // (vec_id, rankCol)
+      rankCol: String,
+      nCentroids: Int = 16,
+      iters: Int = 2,
+      threshold: Double = 0.95,
+      maxCluster: Int = 10000): DataFrame = {
+    val cents = kmeansCentroids(embeddings, nCentroids, iters)
+    val pairs = semDedupPairs(embeddings, cents, threshold, maxCluster)
+    Connected.keepBestClusters(
+      embeddings.select(col("vec_id")).join(ranks, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col(rankCol), lit(0L)).as(rankCol)),
+      pairs, "vec_id", rankCol)
+  }
+
   /** Symmetric per-vector int8 quantization — the storage/bandwidth face
     * of the ANN family (a 10^12-vector index at float32 is 4× the bytes of
     * its int8 twin; IVF/LSH candidate scans read the int8 form and only
