@@ -490,6 +490,20 @@ object SparkEntry {
         .select(col("cid"), col("id_a"), col("id_b"),
           round(col("cos"), 4).as("cos"))
     }),
+    "q119_hard_negatives" -> ((s, dir) => {
+      // hard-negative mining (DPR/ANCE): in-band top-k per query over the
+      // IVF probe, hash-oracled with fixed centroids (q118's technique) —
+      // DuckDB replays assignment, the nProbe probe list, the band filter,
+      // and the rank tie-break.
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents = e.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 3), k = 5,
+          loSim = 0.2, hiSim = 0.8, nProbe = 2, centroids = Some(cents))
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 4).as("cos"), col("rank"))
+    }),
     "q28_sessionize" -> ((s, dir) => {
       // gap-based sessionization: new session when >30 min since previous
       // event of the same user (running sum over a flag) — the classic
@@ -2286,6 +2300,37 @@ object SparkEntry {
         |JOIN allv xa ON xa.vec_id = x.vec_id
         |JOIN allv yb ON yb.vec_id = y.vec_id
         |WHERE list_cosine_similarity(xa.v, yb.v) >= 0.95""".stripMargin,
+    "q119_hard_negatives" ->
+      """WITH base AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 4),
+        |asn AS (
+        | SELECT vec_id, cid FROM (
+        |  SELECT b.vec_id, c.cid,
+        |   row_number() OVER (PARTITION BY b.vec_id
+        |     ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cid ASC) AS rn
+        |  FROM base b CROSS JOIN c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 3),
+        |probe AS (
+        | SELECT query_id, cid FROM (
+        |  SELECT q.query_id, c.cid,
+        |   row_number() OVER (PARTITION BY q.query_id
+        |     ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid ASC) AS rn
+        |  FROM q CROSS JOIN c) WHERE rn <= 2),
+        |cand AS (
+        | SELECT p.query_id, a.vec_id,
+        |  list_cosine_similarity(b.v, q.qv) AS c
+        | FROM probe p
+        | JOIN asn a ON a.cid = p.cid
+        | JOIN base b ON b.vec_id = a.vec_id
+        | JOIN q ON q.query_id = p.query_id
+        | WHERE a.vec_id <> p.query_id)
+        |SELECT query_id, vec_id, round(c, 4) AS cos, rank FROM (
+        | SELECT query_id, vec_id, c,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, vec_id ASC) AS rank
+        | FROM cand WHERE c >= 0.2 AND c < 0.8)
+        |WHERE rank <= 5""".stripMargin,
     "q28_sessionize" ->
       """WITH f AS (
         | SELECT user_id, ts, event_id,

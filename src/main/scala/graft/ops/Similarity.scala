@@ -191,6 +191,21 @@ object Similarity {
       nProbe: Int = 4,
       centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val cents = centroids.getOrElse(ivfCentroids(embeddings, nCentroids))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    probedCandidates(embeddings, queries, cents, nProbe)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Shared IVF probe stage: (query_id, vec_id, cos) for every candidate
+    * in each query's `nProbe` nearest cells, self excluded. Assignment is
+    * the codegen argmax map pass; the query side (tiny) carries the
+    * probe-list array ops and broadcasts into the inverted-list equi-join.
+    */
+  private def probedCandidates(
+      embeddings: DataFrame, queries: DataFrame,
+      cents: Seq[Seq[Double]], nProbe: Int): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("cid", ivfAssign(col("v"), cents))
     val probeList = {
@@ -203,12 +218,35 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("qv"))
       .withColumn("cid", explode(probeList))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id"))
     e.join(broadcast(q), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("v"), col("qv")).as("cos"))
+  }
+
+  /** Hard-negative mining for contrastive retrieval training (the DPR/ANCE
+    * recipe): per query, the top-k candidates inside a cosine band
+    * `[loSim, hiSim)` — similar enough to be confusable (above `loSim`),
+    * dissimilar enough to exclude positives/near-dups (below `hiSim`).
+    * Mining rides the same IVF probe as [[ivfTopK]] (per-query work is
+    * O(n·nProbe/nCentroids)); the band filter runs BEFORE the rank window,
+    * so in-band candidates, not global top-k, are ranked.
+    */
+  def hardNegatives(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      loSim: Double = 0.2,
+      hiSim: Double = 0.8,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    require(loSim < hiSim, "loSim < hiSim")
+    val cents = centroids.getOrElse(ivfCentroids(embeddings, nCentroids))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    probedCandidates(embeddings, queries, cents, nProbe)
+      .filter(col("cos") >= loSim && col("cos") < hiSim)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

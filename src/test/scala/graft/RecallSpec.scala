@@ -152,4 +152,29 @@ class RecallSpec extends AnyFunSuite {
       nProbe = 4, centroids = Some(km)))
     assert(r >= 0.85, s"IVF-with-kmeans recall $r") // measured 1.0 (r04)
   }
+
+  test("hard negatives: every mined row is in-band, below every true " +
+    "positive's similarity, ranked contiguously, and capped at k") {
+    val mined = Similarity.hardNegatives(clusteredEmb, clusterQueries,
+        k = 8, loSim = 0.2, hiSim = 0.95, nProbe = 6)
+      .select("query_id", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(mined.nonEmpty)
+    assert(mined.forall(r => r._3 >= 0.2 && r._3 < 0.95), "band violated")
+    val byQ = mined.groupBy(_._1)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.size <= 8, s"query $q over k")
+      assert(rs.map(_._4).sorted === (1 to rs.size), s"query $q ranks")
+      // within a query, rank order follows cos descending
+      val sorted = rs.sortBy(_._4).map(_._3)
+      assert(sorted === sorted.sorted(Ordering[Double].reverse))
+    }
+    // no mined negative may be a hiSim-or-above near-dup of its query
+    val nearDups = Similarity.cosineNearDupPairs(clusteredEmb,
+        threshold = 0.95, dim = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p, p.swap)).toSet
+    assert(!mined.exists(r => nearDups.contains((r._1, r._2))),
+      "a >= hiSim near-dup leaked into the negatives")
+  }
 }
