@@ -504,6 +504,17 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"),
           round(col("cos"), 4).as("cos"), col("rank"))
     }),
+    "q120_contam_report" -> ((s, dir) => {
+      // per-doc contamination fraction + longest contaminated run (the
+      // GPT-3/PaLM appendix numbers) vs the q53 eval set; hash-oracled —
+      // DuckDB replays positional grams, the island grouping, and the
+      // exact-integer ppm fraction.
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontam.contaminationReport(
+          docs, docs.filter(col("doc_id") % 50 === 0), "text", "doc_id", n = 8)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_hit_pos"),
+          col("frac_ppm"), col("longest_run"))
+    }),
     "q28_sessionize" -> ((s, dir) => {
       // gap-based sessionization: new session when >30 min since previous
       // event of the same user (running sum over a flag) — the classic
@@ -2331,6 +2342,34 @@ object SparkEntry {
         |    ORDER BY c DESC, vec_id ASC) AS rank
         | FROM cand WHERE c >= 0.2 AND c < 0.8)
         |WHERE rank <= 5""".stripMargin,
+    "q120_contam_report" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\s+') AS toks
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_transform(range(1, len(toks) - 6),
+        |                           i -> array_to_string(toks[i:i+7], ' '))
+        |  END AS gs
+        | FROM d),
+        |b AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 50 = 0),
+        |c AS (
+        | SELECT doc_id, len(gs)::BIGINT AS n_grams, i - 1 AS pos, gs[i] AS g
+        | FROM g, unnest(range(1, len(gs) + 1)) AS t(i)),
+        |h AS (SELECT c.doc_id, c.n_grams, c.pos FROM c JOIN b ON c.g = b.g),
+        |r AS (
+        | SELECT doc_id, n_grams, pos,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        | FROM h),
+        |runs AS (
+        | SELECT doc_id, n_grams, grp, count(*)::BIGINT AS rl
+        | FROM r GROUP BY doc_id, n_grams, grp)
+        |SELECT doc_id, n_grams, sum(rl)::BIGINT AS n_hit_pos,
+        | CAST(floor(sum(rl) * 1000000 / n_grams) AS BIGINT) AS frac_ppm,
+        | max(rl)::BIGINT AS longest_run
+        |FROM runs GROUP BY doc_id, n_grams""".stripMargin,
     "q28_sessionize" ->
       """WITH f AS (
         | SELECT user_id, ts, event_id,

@@ -47,6 +47,66 @@ object Decontam {
       .agg(count_distinct(col("gh")).as("n_hit_grams"))
   }
 
+  /** Per-document contamination report — the GPT-3/PaLM appendix numbers:
+    * not just WHETHER a document overlaps the benchmark ([[contaminated]])
+    * but HOW MUCH (`frac_ppm`: contaminated fraction of its gram stream)
+    * and HOW CONTIGUOUSLY (`longest_run`: the longest consecutive run of
+    * contaminated gram positions ≈ the longest verbatim shared span, in
+    * grams). The distinction drives policy: a doc quoting one benchmark
+    * sentence (short run, low frac) gets span-masked; a doc that IS the
+    * benchmark (frac → 10⁶) gets dropped.
+    *
+    * Scale shape = [[contaminated]]: benchmark grams broadcast; the corpus
+    * explodes to narrow (id, pos, 8-byte hash) rows, and ONLY hit rows
+    * (rare by construction) reach the per-doc island window — clean
+    * documents never pay more than the map-side broadcast probe. The
+    * islands trick (`pos − row_number()` constant per consecutive run) is
+    * the same narrow keyed window as sessionization.
+    *
+    * `frac_ppm` is exact-integer floor ppm over POSITIONAL grams (repeats
+    * count; denominator = the doc's gram-stream length), so both engines
+    * divide the same exact integers (q88's parity rule). Docs shorter than
+    * `n` words degrade to one whole-doc gram (the [[Dedup.shinglesOfWords]]
+    * convention). Clean docs are absent (filter semantics).
+    */
+  def contaminationReport(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      keyCol: String,
+      n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val benchGrams = bench
+      .select(Dedup.splitWords(col(textCol)).as("__w"))
+      .select(explode(Dedup.shinglesOfWords(col("__w"), n)).as("g"))
+      .select(xxhash64(col("g")).as("gh"))
+      .distinct()
+    // positional (non-distinct) grams: run/frac semantics need the stream
+    val posGrams = corpus
+      .select(col(keyCol).as("id"), Dedup.splitWords(col(textCol)).as("__w"))
+      .select(col("id"),
+        when(size(col("__w")) < n, array(concat_ws(" ", col("__w"))))
+          .otherwise(transform(
+            sequence(lit(1), size(col("__w")) - (n - 1)),
+            i => concat_ws(" ", slice(col("__w"), i, lit(n))))).as("__g"))
+      .select(col("id"), size(col("__g")).cast("long").as("n_grams"),
+        posexplode(col("__g")).as(Seq("pos", "g")))
+      .select(col("id"), col("n_grams"), col("pos"),
+        xxhash64(col("g")).as("gh"))
+    val hits = posGrams.join(broadcast(benchGrams), Seq("gh"))
+    val win = Window.partitionBy("id").orderBy("pos")
+    hits
+      .withColumn("__grp", col("pos") - row_number().over(win))
+      .groupBy("id", "n_grams", "__grp")
+      .agg(count(lit(1)).as("__run"))
+      .groupBy("id", "n_grams")
+      .agg(sum("__run").as("n_hit_pos"), max("__run").as("longest_run"))
+      .select(col("id"), col("n_grams"), col("n_hit_pos"),
+        floor(col("n_hit_pos") * lit(1000000L) / col("n_grams"))
+          .cast("long").as("frac_ppm"),
+        col("longest_run"))
+  }
+
   /** Split-leakage audit: documents of every non-train split that share at
     * least one word `n`-gram with ANY train document — the check a corpus
     * build runs right after [[Sampling.splitColumn]] assignment, since

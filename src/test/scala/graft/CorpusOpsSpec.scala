@@ -40,6 +40,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r === Map(1L -> 1L))
   }
 
+  test("contaminationReport: two separated planted spans yield two islands " +
+    "— longest_run is the bigger one, frac counts both, repeats count " +
+    "positionally") {
+    // doc words: [b1 b2 b3 b4] x1 x2 x3 [b1 b2 b3] tail — with n=2 the
+    // contaminated gram positions are 0,1,2 (run 3: b1b2,b2b3,b3b4) and
+    // 7,8 (run 2: b1b2,b2b3); 11 words -> 10 positional 2-grams
+    val corpus = Seq(
+      (1L, "b1 b2 b3 b4 x1 x2 x3 b1 b2 b3 tail"),
+      (2L, "clean words only nothing shared anywhere")).toDF("doc_id", "text")
+    val bench = Seq((9L, "b1 b2 b3 b4")).toDF("doc_id", "text")
+    val r = Decontam.contaminationReport(corpus, bench, "text", "doc_id", n = 2)
+      .select("id", "n_grams", "n_hit_pos", "frac_ppm", "longest_run")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r === Seq((1L, 10L, 5L, 500000L, 3L)))
+  }
+
+  test("contaminationReport: a doc that IS the benchmark scores frac 10^6 " +
+    "with one full-length run") {
+    val corpus = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c d e f")).toDF("doc_id", "text")
+    val Seq((ng, nh, fp, lr)) =
+      Decontam.contaminationReport(corpus, bench, "text", "doc_id", n = 3)
+        .select("n_grams", "n_hit_pos", "frac_ppm", "longest_run")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    assert((ng, nh, fp, lr) === (4L, 4L, 1000000L, 4L))
+  }
+
   test("splitLeakage: flags exactly the non-train docs sharing an n-gram " +
     "with ANY train doc; train side and clean docs never appear") {
     val docs = Seq(
