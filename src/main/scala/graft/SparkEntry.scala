@@ -515,6 +515,12 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_grams"), col("n_hit_pos"),
           col("frac_ppm"), col("longest_run"))
     }),
+    "q121_skew_audit" -> ((s, dir) =>
+      // key-skew audit over events.user_id: cardinality, hottest key,
+      // integer-exact p50/p99 key sizes (distinct-sizes frame, the
+      // zipfCurve bound), ppm share, suggested salt factor.
+      Stats.skewAudit(t(s, dir, "events"), Seq("user_id"),
+        targetPerTask = 100L)),
     "q28_sessionize" -> ((s, dir) => {
       // gap-based sessionization: new session when >30 min since previous
       // event of the same user (running sum over a flag) — the classic
@@ -2370,6 +2376,23 @@ object SparkEntry {
         | CAST(floor(sum(rl) * 1000000 / n_grams) AS BIGINT) AS frac_ppm,
         | max(rl)::BIGINT AS longest_run
         |FROM runs GROUP BY doc_id, n_grams""".stripMargin,
+    "q121_skew_audit" ->
+      """WITH c AS (
+        | SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1),
+        |s AS (SELECT cnt, count(*)::BIGINT AS nk FROM c GROUP BY 1),
+        |cum AS (SELECT cnt, nk, sum(nk) OVER (ORDER BY cnt) AS cumk FROM s),
+        |tot AS (SELECT sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+        |  max(cnt)::BIGINT AS max_key_rows FROM c)
+        |SELECT t.n_keys, t.n_rows, t.max_key_rows,
+        | CAST(floor(t.max_key_rows * 1000000 / t.n_rows) AS BIGINT)
+        |   AS top1_share_ppm,
+        | min(CASE WHEN cum.cumk * 2 >= t.n_keys THEN cum.cnt END)::BIGINT
+        |   AS p50_key_rows,
+        | min(CASE WHEN cum.cumk * 100 >= t.n_keys * 99 THEN cum.cnt END)::BIGINT
+        |   AS p99_key_rows,
+        | CAST(floor((t.max_key_rows + 99) / 100) AS BIGINT) AS salt_suggest
+        |FROM cum, tot t
+        |GROUP BY t.n_keys, t.n_rows, t.max_key_rows""".stripMargin,
     "q28_sessionize" ->
       """WITH f AS (
         | SELECT user_id, ts, event_id,

@@ -129,4 +129,51 @@ object Stats {
       .agg(count(lit(1)).as("n_values"),
         sum("__term_ppm").as("entropy_ppm_bits"))
   }
+
+  /** Key-skew audit — the "do I need to salt this key?" answer, computed
+    * BEFORE the expensive job instead of discovered in its straggler task.
+    * One row: key cardinality, total rows, the hottest key's row count and
+    * ppm share, exact p50/p99 key sizes, and the salt factor that would
+    * bring the hottest key under `targetPerTask` rows per task
+    * (`ceil(max/target)` — feed it to the salted-dedup/window family).
+    *
+    * Scale shape: per-key counts are one partial-combined shuffle; the
+    * percentile machinery then runs on DISTINCT KEY SIZES with
+    * multiplicities — provably ≤ √(2·n_keys) rows (the zipfCurve lemma:
+    * distinct positive integers summing to n), so the unpartitioned
+    * cumulative window is one bounded task by construction, never a global
+    * sort of the keys. Percentiles are integer-exact: p_f = the smallest
+    * size s with (#keys of size ≤ s)·100 ≥ f·n_keys — no doubles anywhere
+    * except the two ppm/salt divisions of exact integers (q88 parity rule).
+    */
+  def skewAudit(
+      df: DataFrame,
+      keyCols: Seq[String],
+      targetPerTask: Long = 1000000L): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    require(targetPerTask >= 1L, "targetPerTask >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val sizes = counts.groupBy("__cnt").agg(count(lit(1)).as("__nk"))
+    val cum = sizes.withColumn("__cumk",
+      sum("__nk").over(Window.orderBy("__cnt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = counts.agg(sum("__cnt").as("__rows"),
+      count(lit(1)).as("__keys"), max("__cnt").as("__max"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy("__keys", "__rows", "__max")
+      .agg(
+        min(when(col("__cumk") * 2 >= col("__keys"), col("__cnt")))
+          .as("p50_key_rows"),
+        min(when(col("__cumk") * 100 >= col("__keys") * 99, col("__cnt")))
+          .as("p99_key_rows"))
+      .select(col("__keys").as("n_keys"), col("__rows").as("n_rows"),
+        col("__max").as("max_key_rows"),
+        floor(col("__max") * lit(1000000L) / col("__rows"))
+          .cast("long").as("top1_share_ppm"),
+        col("p50_key_rows"), col("p99_key_rows"),
+        floor((col("__max") + lit(targetPerTask - 1)) / lit(targetPerTask))
+          .cast("long").as("salt_suggest"))
+  }
 }

@@ -187,4 +187,30 @@ class StatsDriftSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().head
     assert(r2._3 === r("d")._3, "integer entropy is partitioning-invariant")
   }
+
+  test("skewAudit: hand-computed audit on a planted hot key; percentiles " +
+    "integer-exact; partitioning-invariant") {
+    // keys: one hot key with 1000 rows, 9 keys with 10, 90 keys with 1 ->
+    // 100 keys, 1180 rows; sizes frame = {1:90, 10:9, 1000:1}
+    val rows = (0 until 1000).map(i => ("hot", i)) ++
+      (0 until 9).flatMap(k => (0 until 10).map(i => (s"mid$k", i))) ++
+      (0 until 90).map(k => (s"cold$k", 0))
+    val df = rows.toDF("k", "x").repartition(7)
+    val Seq(a) = Stats.skewAudit(df, Seq("k"), targetPerTask = 64L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // p50: cum at size 1 is 90 >= 50 -> 1; p99: cum 90 < 99, at size 10 cum
+    // 99 >= 99 -> 10; top1 share = floor(1000e6/1180); salt = ceil(1000/64)
+    assert(a === ((100L, 1180L, 1000L, 847457L, 1L, 10L, 16L)))
+  }
+
+  test("skewAudit: surfaces the transcript fixture's planted hot " +
+    "conversation with a salt factor > 1") {
+    val turns = graft.sources.TranscriptGen.transcripts(spark,
+      graft.sources.TranscriptGen.Config(nConvs = 2000L))
+    val Seq(a) = Stats.skewAudit(turns, Seq("conv_id"), targetPerTask = 20L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(a._3 >= 100L, s"hot conversation must dominate: $a")
+    assert(a._7 > 1L, s"salt suggestion must trigger: $a")
+    assert(a._5 <= 13L && a._6 <= a._3, s"percentile sanity: $a")
+  }
 }
