@@ -142,6 +142,30 @@ object StreamValidator {
       (chi2 > chi2Threshold).as("drifted"))
   }
 
+  /** Event-time sessionization — the q28 batch operator's streaming face,
+    * on Spark's NATIVE `session_window` (gap-based, state merges sessions
+    * whose rows arrive in different micro-batches; watermark closes and
+    * emits a session once event time passes its end + gap). Emits one row
+    * per closed (conv_id, session): start/end, turn count, turn_idx span.
+    *
+    * Append-mode compatible (sessions emit on close, exactly once); state
+    * is bounded by OPEN sessions inside the watermark horizon — at any
+    * corpus scale that is the live-conversation working set, not history.
+    */
+  def sessions(
+      stream: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(col("conv_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_turns"),
+        min("turn_idx").as("first_turn"), max("turn_idx").as("last_turn"))
+      .select(col("conv_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_turns"), col("first_turn"), col("last_turn"))
+
   /** Streaming uniqueness — the DUPLICATE_KEY check's streaming face:
     * first-writer-wins dedup on (conv_id, turn_idx) with watermark-bounded
     * state (`dropDuplicatesWithinWatermark`: a duplicate arriving within the

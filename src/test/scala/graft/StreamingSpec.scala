@@ -204,4 +204,41 @@ class StreamingSpec extends AnyFunSuite {
       ("c2", 1, Some("assistant"), "system", "SYSTEM_RESTART")))
     assert(got === batch)
   }
+
+  test("streaming sessionization: cross-batch rows of one session MERGE; " +
+    "the gap splits sittings; sessions emit only once the watermark " +
+    "closes them") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamValidator.sessions(input.toDF(),
+        gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    input.addData(
+      Turn("c1", 0, "user", "a", null, ts(0), 0),
+      Turn("c1", 1, "assistant", "b", null, ts(300), 0),
+      Turn("c2", 0, "user", "x", null, ts(0), 1))
+    q.processAllAvailable()
+    input.addData( // same c1 session continues in a LATER micro-batch
+      Turn("c1", 2, "user", "c", null, ts(600), 0))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").count() === 0,
+      "nothing may emit before the watermark passes a session end")
+    input.addData( // far-future sentinel advances the watermark past all ends
+      Turn("zz", 0, "user", "s", null,
+        java.sql.Timestamp.valueOf("2026-01-02 00:00:00"), 0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sess_out")
+      .select("conv_id", "n_turns", "first_turn", "last_turn")
+      .as[(String, Long, Int, Int)].collect().toSet
+    // c1: one MERGED session of 3 turns (batch 2 extended batch 1's state);
+    // c2: its single-turn session; zz: still open, not emitted
+    assert(out === Set(("c1", 3L, 0, 2), ("c2", 1L, 0, 0)))
+    val Seq((st, en)) = spark.table("sess_out")
+      .filter($"conv_id" === "c1")
+      .select("session_start", "session_end")
+      .as[(java.sql.Timestamp, java.sql.Timestamp)].collect().toSeq
+    assert(st === ts(0) && en === ts(600 + 1800),
+      s"session span = first event .. last event + gap: $st .. $en")
+  }
 }
