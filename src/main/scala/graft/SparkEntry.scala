@@ -521,6 +521,12 @@ object SparkEntry {
       // zipfCurve bound), ppm share, suggested salt factor.
       Stats.skewAudit(t(s, dir, "events"), Seq("user_id"),
         targetPerTask = 100L)),
+    "q122_shuffle_order" -> ((s, dir) =>
+      // deterministic corpus shuffle order (no global sort): md5-keyed
+      // shards, per-shard row_number, offset-composed global bijection —
+      // the full permutation hash-matched against DuckDB.
+      graft.ops.Sampling.shuffleOrder(t(s, dir, "documents"), "doc_id",
+        seed = "epoch0", nShards = 16)),
     "q28_sessionize" -> ((s, dir) => {
       // gap-based sessionization: new session when >30 min since previous
       // event of the same user (running sum over a flag) — the classic
@@ -2393,6 +2399,26 @@ object SparkEntry {
         | CAST(floor((t.max_key_rows + 99) / 100) AS BIGINT) AS salt_suggest
         |FROM cum, tot t
         |GROUP BY t.n_keys, t.n_rows, t.max_key_rows""".stripMargin,
+    "q122_shuffle_order" ->
+      """WITH k AS (
+        | SELECT doc_id,
+        |  CAST('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |       AS BIGINT) AS h
+        | FROM documents),
+        |s AS (SELECT doc_id, h, CAST(h % 16 AS INT) AS shard FROM k),
+        |p AS (
+        | SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+        |       AS BIGINT) AS shard_pos
+        | FROM s),
+        |o AS (
+        | SELECT shard,
+        |  CAST(coalesce(sum(sz) OVER (ORDER BY shard
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS off
+        | FROM (SELECT shard, count(*) AS sz FROM s GROUP BY shard))
+        |SELECT p.doc_id, p.shard, p.shard_pos, p.shard_pos + o.off AS global_idx
+        |FROM p JOIN o ON p.shard = o.shard""".stripMargin,
     "q28_sessionize" ->
       """WITH f AS (
         | SELECT user_id, ts, event_id,

@@ -266,6 +266,49 @@ object Sampling {
     * columnEntropy rule). One partial-combine count; stratum-cardinality
     * output.
     */
+  /** Deterministic corpus shuffle order — "randomize a 100 TB corpus for
+    * training" WITHOUT a global sort. The permutation is hash-derived and
+    * therefore a pure function of (seed, id): reproducible on any cluster
+    * size, any partitioning, any engine (md5, the house oracle-replayable
+    * hash). Emits (id, shard, shard_pos, global_idx) with `global_idx` a
+    * bijection onto [0, N): writers `repartition($"shard")
+    * .sortWithinPartitions($"shard_pos")` and readers concatenate shards
+    * in shard order — the global sort never happens, yet the order is a
+    * fixed uniform permutation.
+    *
+    * Scale shape: the only corpus-wide shuffle is the per-shard
+    * `row_number` window on narrow (id, 60-bit hash) rows — nShards
+    * independent tasks; shard offsets are an nShards-row cumulative frame
+    * broadcast back (the packByBudget offset pattern). Hash ties break on
+    * id, so the order is total and partitioning-invariant. A new epoch is
+    * a new `seed` — a brand-new permutation, no state carried.
+    */
+  def shuffleOrder(
+      df: DataFrame,
+      idCol: String,
+      seed: String = "epoch0",
+      nShards: Int = 1024): DataFrame = {
+    require(nShards >= 1, "nShards >= 1")
+    val h = conv(substring(
+      md5(concat(lit(seed + ":"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val keyed = df.select(col(idCol), h.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards)).cast("int"))
+    val pos = keyed
+      .withColumn("shard_pos",
+        (row_number().over(
+          Window.partitionBy("shard").orderBy(col("__h"), col(idCol))) - 1)
+          .cast("long"))
+    val offsets = keyed.groupBy("shard").agg(count(lit(1)).as("__sz"))
+      .withColumn("__off",
+        coalesce(sum("__sz").over(Window.orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("__off"))
+    pos.join(broadcast(offsets), Seq("shard"))
+      .select(col(idCol), col("shard"), col("shard_pos"),
+        (col("__off") + col("shard_pos")).as("global_idx"))
+  }
+
   def alphaShares(df: DataFrame, stratumCol: String): DataFrame = {
     val counts = df.groupBy(col(stratumCol).as("stratum"))
       .agg(count(lit(1)).as("n_docs"))

@@ -213,4 +213,28 @@ class SamplingLawsSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
     assert(r1 === r)
   }
+
+  test("shuffleOrder: global_idx is a bijection onto [0, N), consistent " +
+    "with (shard, shard_pos) order, partitioning-invariant, and a new " +
+    "seed is a genuinely different permutation") {
+    val df = spark.range(500).toDF("doc_id")
+    val a = Sampling.shuffleOrder(df, "doc_id", "epoch0", nShards = 16)
+      .select("doc_id", "shard", "shard_pos", "global_idx")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(a.map(_._4).sorted === (0L until 500L), "bijection onto [0,N)")
+    // global order == lexicographic (shard, shard_pos)
+    assert(a.sortBy(_._4).map(r => (r._2, r._3)) ===
+      a.map(r => (r._2, r._3)).sorted)
+    val b = Sampling.shuffleOrder(df.repartition(7), "doc_id", "epoch0", 16)
+      .select("doc_id", "global_idx").as[(Long, Long)].collect().toMap
+    assert(a.map(r => r._1 -> r._4).toMap === b, "partitioning-invariant")
+    val c = Sampling.shuffleOrder(df, "doc_id", "epoch1", nShards = 16)
+      .select("doc_id", "global_idx").as[(Long, Long)].collect().toMap
+    assert(c.values.toSeq.sorted === (0L until 500L))
+    val moved = a.count(r => c(r._1) != r._4)
+    assert(moved > 450, s"new seed must be a fresh permutation ($moved moved)")
+    // and it is not the identity-ish order: ids must be well scattered
+    val firstTen = a.sortBy(_._4).take(10).map(_._1)
+    assert(firstTen.toSeq != (0L until 10L).toSeq)
+  }
 }
