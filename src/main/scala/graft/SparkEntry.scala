@@ -527,6 +527,16 @@ object SparkEntry {
       // the full permutation hash-matched against DuckDB.
       graft.ops.Sampling.shuffleOrder(t(s, dir, "documents"), "doc_id",
         seed = "epoch0", nShards = 16)),
+    "q123_temporal_ref" -> ((s, dir) =>
+      // cross-table temporal consistency (the referential check's time
+      // axis): lineitems shipped before their order existed; stats-driven
+      // join, parent reduced to (key, ts) at the scan.
+      Validator.temporalViolations(
+        t(s, dir, "lineitem").filter(col("l_orderkey") < 3000),
+        t(s, dir, "orders"),
+        "l_orderkey", "l_shipdate", "o_orderdate",
+        idCols = Seq("l_orderkey", "l_linenumber"),
+        ruleId = "SHIP_BEFORE_ORDER", parentKeyCol = Some("o_orderkey"))),
     "q28_sessionize" -> ((s, dir) => {
       // gap-based sessionization: new session when >30 min since previous
       // event of the same user (running sum over a flag) — the classic
@@ -1613,6 +1623,15 @@ object SparkEntry {
       Similarity.semDedup(e.unionByName(copies), ranks, "n_chars",
         nCentroids = 8, iters = 2, threshold = 0.95)
     }),
+    "t26_temporal_ref" -> ((s, dir) => {
+      // temporal referential check on the transcript fixture: turns whose
+      // ts precedes their conversation's created_ts — fired by the TSO
+      // plant's 1-day backshift (spec-gated in RunnerSpec family).
+      val turns = graft.sources.TranscriptGen.transcripts(s, tCfg)
+      val convs = graft.sources.TranscriptGen.conversations(s, tCfg)
+      Validator.temporalViolations(turns, convs, "conv_id", "ts",
+        "created_ts", idCols = Seq("conv_id", "turn_idx"))
+    }),
     "t23_containment_pairs" -> ((s, dir) => {
       // subset-duplicate detection at table scale: winnow span-fingerprint
       // candidates (a contained doc shares verbatim spans with its
@@ -2419,6 +2438,14 @@ object SparkEntry {
         | FROM (SELECT shard, count(*) AS sz FROM s GROUP BY shard))
         |SELECT p.doc_id, p.shard, p.shard_pos, p.shard_pos + o.off AS global_idx
         |FROM p JOIN o ON p.shard = o.shard""".stripMargin,
+    "q123_temporal_ref" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        | 'SHIP_BEFORE_ORDER' AS rule_id, 'l_shipdate' AS field,
+        | 'l_shipdate ' || CAST(l.l_shipdate AS VARCHAR)
+        |  || ' precedes parent o_orderdate ' || CAST(o.o_orderdate AS VARCHAR)
+        |  AS message
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_orderkey < 3000 AND l.l_shipdate < o.o_orderdate""".stripMargin,
     "q28_sessionize" ->
       """WITH f AS (
         | SELECT user_id, ts, event_id,

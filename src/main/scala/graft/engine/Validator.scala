@@ -195,6 +195,48 @@ object Validator {
         col("text"))
   }
 
+  /** Cross-table temporal consistency — the referential check's TIME
+    * axis: a child row whose event time precedes its parent's creation
+    * time is as broken a reference as a dangling key (a turn before its
+    * conversation existed, a shipment before its order). Generic over any
+    * (child, parent, key, two timestamp-ish columns); emits one violation
+    * row per offending CHILD row with both times in the message.
+    *
+    * Scale shape = [[orphanViolations]]: the parent side reduces to
+    * (key, ts) in its scan projection and the join strategy is driven by
+    * the optimizer's size stats (broadcast under the threshold, SMJ
+    * above); the child's payload columns never widen the join — only
+    * `idCols` and the timestamp ride it.
+    */
+  def temporalViolations(
+      child: DataFrame,
+      parent: DataFrame,
+      keyCol: String,
+      childTsCol: String,
+      parentTsCol: String,
+      idCols: Seq[String],
+      ruleId: String = "TS_BEFORE_PARENT",
+      parentKeyCol: Option[String] = None,
+      broadcastThresholdBytes: Long = 64L << 20): DataFrame = {
+    val dim = parent.select(
+      col(parentKeyCol.getOrElse(keyCol)).as(keyCol),
+      col(parentTsCol).as("__pts"))
+    val dimSize = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    val dimHinted =
+      if (dimSize <= broadcastThresholdBytes) broadcast(dim) else dim
+    child
+      .select((keyCol +: idCols).distinct.map(col) :+
+        col(childTsCol).as("__cts"): _*)
+      .join(dimHinted, Seq(keyCol))
+      .filter(col("__cts") < col("__pts"))
+      .select((keyCol +: idCols).distinct.map(col) ++ Seq(
+        lit(ruleId).as("rule_id"),
+        lit(childTsCol).as("field"),
+        format_string(s"$childTsCol %s precedes parent $parentTsCol %s",
+          col("__cts").cast("string"), col("__pts").cast("string"))
+          .as("message")): _*)
+  }
+
   /** Per-conversation `invalid_fields` map — reference `verification.py:13`
     * + its `invalid_fields[field] = reason` updates: field → first reason,
     * assembled with `map_from_entries(collect_list(...))` (SURVEY.md §2.5).

@@ -155,4 +155,42 @@ class ValidatorSpec extends AnyFunSuite {
     val h2 = tableHash(TranscriptGen.transcripts(spark, cfg).repartition(7))
     assert(h1 === h2)
   }
+
+  test("temporalViolations: strict precedence only, exact message, " +
+    "differing key names, dangling children skipped (orphan check's job)") {
+    val child = Seq(
+      (1L, 10, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")), // before
+      (1L, 11, java.sql.Timestamp.valueOf("2026-01-02 00:00:00")), // equal
+      (1L, 12, java.sql.Timestamp.valueOf("2026-01-03 00:00:00")), // after
+      (9L, 13, java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))) // dangling
+      .toDF("cid", "idx", "ts")
+    val parent = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-02 00:00:00")))
+      .toDF("pid", "created")
+    val got = Validator.temporalViolations(child, parent, "cid", "ts",
+        "created", idCols = Seq("cid", "idx"),
+        parentKeyCol = Some("pid"))
+      .select("cid", "idx", "rule_id", "field", "message")
+      .as[(Long, Int, String, String, String)].collect().toSeq
+    assert(got === Seq((1L, 10, "TS_BEFORE_PARENT", "ts",
+      "ts 2026-01-01 00:00:00 precedes parent created 2026-01-02 00:00:00")))
+  }
+
+  test("temporalViolations on the fixture: every violation is a TSO-planted " +
+    "turn whose 1-day backshift crossed the conversation's creation") {
+    val cfg = TranscriptGen.Config(nConvs = 2000L)
+    val turns = TranscriptGen.transcripts(spark, cfg)
+    val convs = TranscriptGen.conversations(spark, cfg)
+    val v = Validator.temporalViolations(turns, convs, "conv_id", "ts",
+      "created_ts", idCols = Seq("conv_id", "turn_idx"))
+    val keys = v.select("conv_id", "turn_idx")
+      .as[(String, Int)].collect().toSet
+    assert(keys.nonEmpty, "the TSO plant must produce temporal orphans")
+    // every flagged key must be TSO-gated in the generator
+    val gated = turns
+      .filter(TranscriptGen.gate(cfg, "TSO", expr("CAST(substr(conv_id, 2) AS BIGINT)"),
+        col("turn_idx")) && col("turn_idx") > 0)
+      .select("conv_id", "turn_idx").as[(String, Int)].collect().toSet
+    assert(keys.subsetOf(gated), s"non-planted violation: ${keys -- gated}")
+  }
 }
