@@ -537,6 +537,18 @@ object SparkEntry {
         "l_orderkey", "l_shipdate", "o_orderdate",
         idCols = Seq("l_orderkey", "l_linenumber"),
         ruleId = "SHIP_BEFORE_ORDER", parentKeyCol = Some("o_orderkey"))),
+    "q124_script_signals" -> ((s, dir) =>
+      // per-doc Unicode script distribution (script mixing = spam signal):
+      // map-only codegen regexp chain, BMP literal classes valid in both
+      // Java regex and RE2, exact floor-ppm fractions.
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.scriptSignals(col("text")).as("s"))
+        .select(col("doc_id"), col("s.n_chars").as("n_chars"),
+          col("s.latin_ppm").as("latin_ppm"),
+          col("s.digit_ppm").as("digit_ppm"),
+          col("s.cjk_ppm").as("cjk_ppm"),
+          col("s.cyrillic_ppm").as("cyrillic_ppm"),
+          col("s.space_ppm").as("space_ppm"))),
     "q28_sessionize" -> ((s, dir) => {
       // gap-based sessionization: new session when >30 min since previous
       // event of the same user (running sum over a flag) — the classic
@@ -2446,6 +2458,25 @@ object SparkEntry {
         |  AS message
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_orderkey < 3000 AND l.l_shipdate < o.o_orderdate""".stripMargin,
+    "q124_script_signals" ->
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+        |SELECT doc_id, len(t)::BIGINT AS n_chars,
+        | CASE WHEN len(t) = 0 THEN 0 ELSE CAST(floor(
+        |  len(regexp_extract_all(t, '[A-Za-z]')) * 1000000 / len(t)) AS BIGINT)
+        |  END AS latin_ppm,
+        | CASE WHEN len(t) = 0 THEN 0 ELSE CAST(floor(
+        |  len(regexp_extract_all(t, '[0-9]')) * 1000000 / len(t)) AS BIGINT)
+        |  END AS digit_ppm,
+        | CASE WHEN len(t) = 0 THEN 0 ELSE CAST(floor(
+        |  len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]'))
+        |   * 1000000 / len(t)) AS BIGINT) END AS cjk_ppm,
+        | CASE WHEN len(t) = 0 THEN 0 ELSE CAST(floor(
+        |  len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]'))
+        |   * 1000000 / len(t)) AS BIGINT) END AS cyrillic_ppm,
+        | CASE WHEN len(t) = 0 THEN 0 ELSE CAST(floor(
+        |  len(regexp_extract_all(t, '[ \t\n\r]')) * 1000000 / len(t))
+        |  AS BIGINT) END AS space_ppm
+        |FROM d""".stripMargin,
     "q28_sessionize" ->
       """WITH f AS (
         | SELECT user_id, ts, event_id,

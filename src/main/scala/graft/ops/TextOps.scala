@@ -315,4 +315,35 @@ object TextOps {
     */
   def mojibakeMarkers(c: Column): Column =
     regexp_count(coalesce(c, lit("")), lit("Ã|â€|Â"))
+
+  /** Per-document Unicode script distribution — floor-ppm fractions of
+    * codepoints in the major script classes (Latin letters, digits,
+    * CJK ideographs+kana, Cyrillic, pinned whitespace). Script MIXING is a
+    * spam/boilerplate/mojibake signal lang-id alone misses (a "Latin" page
+    * stuffed with CJK SEO spam keeps a confident Latin trigram profile),
+    * and the per-script masses drive per-language tokenizer/quality
+    * routing. Map-only codegen regexp chain, zero shuffle.
+    *
+    * Parity: every class is a literal BMP character-class regex valid in
+    * BOTH Java regex and RE2 (no \\s/\\w shorthands — Java and RE2
+    * disagree on their exact sets); counts are per-codepoint in both
+    * engines; ppm = floor(n·10⁶/chars) over exact integers, length() being
+    * codepoint-counting in both (q88 rule).
+    */
+  def scriptSignals(c: Column): Column = {
+    val t = coalesce(c, lit(""))
+    val chars = length(t).cast("long")
+    def ppm(pattern: String): Column = {
+      val n = regexp_count(t, lit(pattern)).cast("long")
+      when(chars === 0, lit(0L))
+        .otherwise(floor(n * lit(1000000L) / chars).cast("long"))
+    }
+    struct(
+      chars.as("n_chars"),
+      ppm("[A-Za-z]").as("latin_ppm"),
+      ppm("[0-9]").as("digit_ppm"),
+      ppm("[\u4E00-\u9FFF\u3040-\u30FF]").as("cjk_ppm"),
+      ppm("[\u0400-\u04FF]").as("cyrillic_ppm"),
+      ppm("[ \t\n\r]").as("space_ppm"))
+  }
 }

@@ -858,4 +858,22 @@ class OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("scriptSignals: hand-computed ppm on planted mixed-script text; " +
+    "empty and null score zero across the board") {
+    import graft.ops.TextOps
+    // 10 codepoints: "ab 12" + kana + han + cyr + space + latin
+    val t = "ab 12\u3042\u4E8C\u0414 z"
+    val rows = Seq((1L, t), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select($"id", TextOps.scriptSignals($"text").as("s"))
+      .select($"id", $"s.n_chars", $"s.latin_ppm", $"s.digit_ppm",
+        $"s.cjk_ppm", $"s.cyrillic_ppm", $"s.space_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // n=10: latin a,b,z=3; digit 1,2=2; cjk あ,二=2; cyr Д=1; space 2
+    assert(rows(1L) === ((1L, 10L, 300000L, 200000L, 200000L, 100000L, 200000L)))
+    assert(rows(2L) === ((2L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(rows(3L) === ((3L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
 }
