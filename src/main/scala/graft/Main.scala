@@ -14,6 +14,7 @@ import graft.engine.{Runner, Validator}
   *   --conversations /data/conversations \
   *   --out    /runs/2026-08-16 \
   *   --run-id nightly [--mode audit|strict] [--no-resume]
+ *   [--tool-args /data/toolcalls] [--temporal]
   * }}}
   *
   * Master/executor topology comes entirely from spark-submit (no `.master()`
@@ -35,6 +36,8 @@ object Main {
       input: String = "",
       conversations: Option[String] = None,
       bench: Option[String] = None,
+      toolArgs: Option[String] = None,
+      temporal: Boolean = false,
       out: String = "",
       runId: String = "run",
       mode: String = "audit",
@@ -44,6 +47,8 @@ object Main {
     case "--input" :: v :: rest         => parse(rest, o.copy(input = v))
     case "--conversations" :: v :: rest => parse(rest, o.copy(conversations = Some(v)))
     case "--bench" :: v :: rest         => parse(rest, o.copy(bench = Some(v)))
+    case "--tool-args" :: v :: rest     => parse(rest, o.copy(toolArgs = Some(v)))
+    case "--temporal" :: rest           => parse(rest, o.copy(temporal = true))
     case "--out" :: v :: rest           => parse(rest, o.copy(out = v))
     case "--run-id" :: v :: rest        => parse(rest, o.copy(runId = v))
     case "--mode" :: v :: rest          => parse(rest, o.copy(mode = v))
@@ -137,10 +142,32 @@ object Main {
           val nViol = r.verdicts
             .agg(org.apache.spark.sql.functions.sum("n_violations"))
             .collect()(0).getLong(0)
+          // opt-in deep checks, each to its own sink (default paths/goldens
+          // untouched): --tool-args validates nested JSON payloads against
+          // the tool-arg schema catalog; --temporal flags turns whose ts
+          // precedes their conversation's created_ts
+          val nToolViol = o.toolArgs.map { p =>
+            val v = graft.checks.ToolArgs.violations(
+              spark.read.parquet(p), "tool", "args",
+              Seq("conv_id", "turn_idx"))
+            v.write.mode("overwrite").parquet(s"${o.out}/tool_violations")
+            spark.read.parquet(s"${o.out}/tool_violations").count()
+          }
+          val nTemporal = convs.filter(_ => o.temporal).map { c =>
+            val v = Validator.temporalViolations(turns, c, "conv_id", "ts",
+              "created_ts", idCols = Seq("conv_id", "turn_idx"))
+            v.write.mode("overwrite").parquet(s"${o.out}/temporal_violations")
+            spark.read.parquet(s"${o.out}/temporal_violations").count()
+          }
+          val extras = nToolViol.map(n => s""","n_tool_violations":$n""")
+            .getOrElse("") +
+            nTemporal.map(n => s""","n_temporal_violations":$n""")
+              .getOrElse("")
           println(
             s"""{"status":"done","mode":"audit","run_id":"${o.runId}",""" +
               s""""validated_parts":${r.validatedParts},""" +
-              s""""skipped_parts":${r.skippedParts},"n_violations":$nViol}""")
+              s""""skipped_parts":${r.skippedParts},"n_violations":$nViol""" +
+              extras + "}")
       }
     } finally if (!preExisting) spark.stop()
   }

@@ -143,4 +143,28 @@ class RunnerSpec extends AnyFunSuite {
     assert(parsed.filter(size(col("m")) >= 1)
       .count() === n)
   }
+
+  test("spark-submit Main: --tool-args and --temporal opt-in sinks carry " +
+    "the deep-check violations alongside the default audit outputs") {
+    val in = java.nio.file.Files.createTempDirectory("graft_deep_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_deep_out").toString
+    turns.write.mode("overwrite").parquet(s"$in/turns")
+    convs.write.mode("overwrite").parquet(s"$in/convs")
+    TranscriptGen.toolCalls(spark, cfg)
+      .write.mode("overwrite").parquet(s"$in/toolcalls")
+    Main.main(Array("--input", s"$in/turns", "--conversations", s"$in/convs",
+      "--tool-args", s"$in/toolcalls", "--temporal",
+      "--out", out, "--run-id", "deep1"))
+    // default sinks unchanged
+    assert(spark.read.parquet(s"$out/violations").count() > 0)
+    // deep sinks present with the expected shapes
+    val tool = spark.read.parquet(s"$out/tool_violations")
+    assert(tool.columns.toSeq ===
+      Seq("conv_id", "turn_idx", "tool", "rule_id", "field", "message"))
+    assert(tool.count() > 0)
+    val temporal = spark.read.parquet(s"$out/temporal_violations")
+    assert(temporal.count() > 0)
+    assert(temporal.select("rule_id").distinct().as[String].collect()
+      .toSeq === Seq("TS_BEFORE_PARENT"))
+  }
 }
