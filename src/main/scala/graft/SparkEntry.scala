@@ -537,6 +537,12 @@ object SparkEntry {
         "l_orderkey", "l_shipdate", "o_orderdate",
         idCols = Seq("l_orderkey", "l_linenumber"),
         ruleId = "SHIP_BEFORE_ORDER", parentKeyCol = Some("o_orderkey"))),
+    "q125_readability" -> ((s, dir) =>
+      // Flesch reading ease in exact-floor milli-points (pinned double
+      // chain, q104 recipe); map-only.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.fleschMilli(col("text")).as("flesch_milli"))),
     "q124_script_signals" -> ((s, dir) =>
       // per-doc Unicode script distribution (script mixing = spam signal):
       // map-only codegen regexp chain, BMP literal classes valid in both
@@ -2458,6 +2464,23 @@ object SparkEntry {
         |  AS message
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_orderkey < 3000 AND l.l_shipdate < o.o_orderdate""".stripMargin,
+    "q125_readability" ->
+      """WITH d AS (
+        | SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |m AS (
+        | SELECT doc_id,
+        |  CASE WHEN trim(t) = '' THEN 0
+        |       ELSE len(regexp_split_to_array(trim(t), '\s+')) END AS words,
+        |  greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS sents,
+        |  len(regexp_extract_all(lower(t), '[aeiouy]+')) AS sylls
+        | FROM d)
+        |SELECT doc_id,
+        | CASE WHEN words = 0 THEN NULL
+        |  ELSE CAST(floor((206.835
+        |    - 1.015 * (CAST(greatest(words, 1) AS DOUBLE) / CAST(sents AS DOUBLE))
+        |    - 84.6 * (CAST(sylls AS DOUBLE) / CAST(greatest(words, 1) AS DOUBLE)))
+        |    * 1000.0) AS BIGINT) END AS flesch_milli
+        |FROM m""".stripMargin,
     "q124_script_signals" ->
       """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
         |SELECT doc_id, len(t)::BIGINT AS n_chars,

@@ -316,6 +316,29 @@ object TextOps {
   def mojibakeMarkers(c: Column): Column =
     regexp_count(coalesce(c, lit("")), lit("Ã|â€|Â"))
 
+  /** Flesch reading-ease score in exact-floor milli-points — the classic
+    * readability gate (educational-corpus routing, "too telegraphic /
+    * too convoluted" quality cuts). Syllables are approximated as vowel
+    * GROUPS (`[aeiouy]+` runs over lowered text) — the standard regex
+    * proxy; sentences as `[.!?]+` runs, floored at 1; words as whitespace
+    * tokens, floored at 1 (empty docs surface NULL, not a fake score).
+    *
+    * Parity: the chain `206.835 − 1.015·(W/S) − 84.6·(Y/W)` is evaluated
+    * in that literal order on exact-integer W/S/Y cast to double, then
+    * `floor(·1000)` — the q104 pinned-double-chain recipe, mirrored
+    * verbatim in the DuckDB twin. Map-only codegen, zero shuffle.
+    */
+  def fleschMilli(c: Column): Column = {
+    val t = coalesce(c, lit(""))
+    val words = tokenCount(t).cast("long")
+    val w = greatest(words, lit(1L)).cast("double")
+    val s = greatest(regexp_count(t, lit("[.!?]+")), lit(1)).cast("double")
+    val y = regexp_count(lower(t), lit("[aeiouy]+")).cast("double")
+    when(words === 0, lit(null).cast("long")).otherwise(
+      floor((lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (y / w))
+        * lit(1000.0)).cast("long"))
+  }
+
   /** Per-document Unicode script distribution — floor-ppm fractions of
     * codepoints in the major script classes (Latin letters, digits,
     * CJK ideographs+kana, Cyrillic, pinned whitespace). Script MIXING is a

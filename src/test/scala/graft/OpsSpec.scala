@@ -876,4 +876,20 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(2L) === ((2L, 0L, 0L, 0L, 0L, 0L, 0L)))
     assert(rows(3L) === ((3L, 0L, 0L, 0L, 0L, 0L, 0L)))
   }
+
+  test("fleschMilli: hand-computed score, sentence/word floors, empty -> null") {
+    import graft.ops.TextOps
+    // "the cat sat. it ran!" -> W=5, S=2, Y groups: e,a,a,i,a = 5
+    // flesch = 206.835 - 1.015*(5/2) - 84.6*(5/5) = 206.835-2.5375-84.6
+    val expected = math.floor((206.835 - 1.015 * 2.5 - 84.6) * 1000.0).toLong
+    val rows = Seq((1L, "the cat sat. it ran!"), (2L, ""), (3L, "zzz pfft"))
+      .toDF("id", "text")
+      .select($"id", TextOps.fleschMilli($"text").as("f"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(rows(1L) === Some(expected))
+    assert(rows(2L) === None)
+    // no vowels, no sentence marks: W=2, S floored 1, Y=0
+    assert(rows(3L) === Some(math.floor(
+      (206.835 - 1.015 * 2.0 - 0.0) * 1000.0).toLong))
+  }
 }
