@@ -63,6 +63,9 @@ object Main {
     require(o.input.nonEmpty, "--input is required")
     require(Set("audit", "strict", "corpus", "sft").contains(o.mode),
       s"--mode must be audit, strict, corpus, or sft, got ${o.mode}")
+    // fail fast, never silently skip a check the user opted into
+    require(!o.temporal || o.conversations.nonEmpty,
+      "--temporal requires --conversations (the parent table carrying created_ts)")
     if (o.mode != "strict") require(o.out.nonEmpty, s"--out is required in ${o.mode} mode")
 
     val builder = SparkSession.builder()

@@ -207,20 +207,29 @@ object Checks {
     * One projection, codegen'd end-to-end; violation fan-out is a built-in
     * `explode` downstream (SURVEY.md §2.11 — no Generator/UDTF needed).
     */
-  def violationsArray(checks: Seq[Check]): Column = {
-    val structs = checks.map { c =>
-      when(c.violated,
-        struct(
-          lit(c.ruleId).as("rule_id"),
-          lit(c.field).as("field"),
-          c.message.as("message")))
-    }
-    // Guard the allocation-heavy array/struct construction behind one cheap
-    // boolean OR: clean rows (the overwhelming majority) never build the
-    // array. Violated rows evaluate their predicates twice — a good trade.
-    val anyViolated = checks.map(c => coalesce(c.violated, lit(false)))
+  def violationsArray(checks: Seq[Check]): Column =
+    compileRules(checks.map { c =>
+      (c.violated,
+        when(c.violated,
+          struct(
+            lit(c.ruleId).as("rule_id"),
+            lit(c.field).as("field"),
+            c.message.as("message"))))
+    })
+
+  /** Compile (predicate, guarded-struct) rule pairs into the violations
+    * array — the ONE implementation of the guard/no-cascade contract,
+    * shared by [[violationsArray]] and [[ToolArgs.violations]] so the
+    * clean-row guard and the struct schema can never drift apart.
+    *
+    * The allocation-heavy array/struct construction hides behind one cheap
+    * boolean OR: clean rows (the overwhelming majority) never build the
+    * array. Violated rows evaluate their predicates twice — a good trade.
+    */
+  private[checks] def compileRules(rules: Seq[(Column, Column)]): Column = {
+    val anyViolated = rules.map(p => coalesce(p._1, lit(false)))
       .reduce(_ || _)
-    when(anyViolated, filter(array(structs: _*), v => v.isNotNull))
+    when(anyViolated, filter(array(rules.map(_._2): _*), v => v.isNotNull))
       .otherwise(array().cast(
         "array<struct<rule_id:string,field:string,message:string>>"))
   }

@@ -86,8 +86,15 @@ object ToolArgs {
         (sch.enums.keySet ++ sch.intRanges.keySet).toSeq.sorted
           .map(k => name -> k)
       }
-    def vcol(name: String, k: String): String = s"__v_${name}_$k"
-    def ucol(name: String): String = s"__unk_$name"
+    // helper columns are INDEX-named: embedding tool/key text in the name
+    // collides for legal schema maps (("web", "search_limit") and
+    // ("web_search", "limit") both render __v_web_search_limit → ambiguous
+    // reference); the index over the sorted (tool, key) list is injective
+    val vIdx: Map[(String, String), Int] = extracted.zipWithIndex.toMap
+    val toolNames = schemas.keys.toSeq.sorted
+    val uIdx: Map[String, Int] = toolNames.zipWithIndex.toMap
+    def vcol(name: String, k: String): String = s"__v_${vIdx((name, k))}"
+    def ucol(name: String): String = s"__unk_${uIdx(name)}"
     val pre0 = df.select(
       idCols.map(col) ++ Seq(tool0.as(toolCol), args0.as(argsCol),
         keysExpr.as("__keys")) ++
@@ -151,14 +158,8 @@ object ToolArgs {
         missing ++ Seq(unknown) ++ enums ++ ints
     }
 
-    val all = malformed +: perTool
-    // Clean rows (the overwhelming majority) skip the array/struct build
-    // entirely behind one boolean OR — the Checks.violationsArray guard.
-    val anyViolated = all.map(p => coalesce(p._1, lit(false))).reduce(_ || _)
-    val arr = when(anyViolated, filter(array(all.map(_._2): _*),
-        x => x.isNotNull))
-      .otherwise(array().cast(
-        "array<struct<rule_id:string,field:string,message:string>>"))
+    // one shared compilation of the guard/no-cascade contract
+    val arr = Checks.compileRules(malformed +: perTool)
     pre.select(idCols.map(col) ++ Seq(tool.as(toolCol),
         explode(arr).as("v")): _*)
       .select(idCols.map(col) ++ Seq(col(toolCol),

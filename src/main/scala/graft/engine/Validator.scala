@@ -207,6 +207,11 @@ object Validator {
     * the optimizer's size stats (broadcast under the threshold, SMJ
     * above); the child's payload columns never widen the join — only
     * `idCols` and the timestamp ride it.
+    *
+    * A duplicate-keyed parent (the corruption the DUPLICATE_KEY check
+    * hunts) is pre-aggregated to its EARLIEST timestamp, so each offending
+    * child emits exactly one row and only when it precedes EVERY copy —
+    * the conservative reading; a clean dimension is unaffected.
     */
   def temporalViolations(
       child: DataFrame,
@@ -218,9 +223,10 @@ object Validator {
       ruleId: String = "TS_BEFORE_PARENT",
       parentKeyCol: Option[String] = None,
       broadcastThresholdBytes: Long = 64L << 20): DataFrame = {
-    val dim = parent.select(
-      col(parentKeyCol.getOrElse(keyCol)).as(keyCol),
-      col(parentTsCol).as("__pts"))
+    val dim = parent
+      .select(col(parentKeyCol.getOrElse(keyCol)).as(keyCol),
+        col(parentTsCol).as("__pts"))
+      .groupBy(keyCol).agg(min("__pts").as("__pts"))
     val dimSize = dim.queryExecution.optimizedPlan.stats.sizeInBytes
     val dimHinted =
       if (dimSize <= broadcastThresholdBytes) broadcast(dim) else dim
@@ -232,9 +238,11 @@ object Validator {
       .select((keyCol +: idCols).distinct.map(col) ++ Seq(
         lit(ruleId).as("rule_id"),
         lit(childTsCol).as("field"),
-        format_string(s"$childTsCol %s precedes parent $parentTsCol %s",
-          col("__cts").cast("string"), col("__pts").cast("string"))
-          .as("message")): _*)
+        // concat, not format_string: caller-supplied column names must be
+        // data, never a printf template ('%' in a name would throw)
+        concat(lit(childTsCol + " "), col("__cts").cast("string"),
+          lit(s" precedes parent $parentTsCol "),
+          col("__pts").cast("string")).as("message")): _*)
   }
 
   /** Per-conversation `invalid_fields` map — reference `verification.py:13`

@@ -55,18 +55,15 @@ object NaiveBayes {
       .groupBy(col(idCol), col("__lab"), col("__t"))
       .agg(count(lit(1)).as("__cnt"))
 
-  /** Smoothed log-odds token weights `(token, w_ppm)`. `label` must be a
-    * 0/1 (or boolean) column; both classes must be non-empty.
+  /** Weights from an already-materialized per-(id, token) count frame —
+    * the class-conditional counts reduce [[docTf]]'s output by token only,
+    * so train-and-score pipelines tokenize the corpus exactly once.
     */
-  def tokenWeights(df: DataFrame, textCol: String, labelCol: Column,
-      minTotal: Long = 1L, minTokenLen: Int = 3): DataFrame = {
-    val tf = df
-      .select(labelCol.cast("int").as("__lab"),
-        tokens(textCol, minTokenLen).as("__w"))
-      .select(col("__lab"), explode(col("__w")).as("__t"))
+  private def weightsFromDocTf(tf: DataFrame, minTotal: Long): DataFrame = {
     val cc = tf.groupBy(col("__t"))
-      .agg(sum(when(col("__lab") === 1, 1L).otherwise(0L)).as("__cp"),
-        sum(when(col("__lab") === 0, 1L).otherwise(0L)).as("__cn"))
+      .agg(sum(when(col("__lab") === 1, col("__cnt")).otherwise(0L))
+          .as("__cp"),
+        sum(when(col("__lab") === 0, col("__cnt")).otherwise(0L)).as("__cn"))
     val tot = cc.agg(sum("__cp").as("__tp"), sum("__cn").as("__tn"),
       count(lit(1)).as("__v"))
     cc.crossJoin(broadcast(tot))
@@ -77,6 +74,19 @@ object NaiveBayes {
           log(col("__cn").cast("double") + 1.0) +
           log((col("__tn") + col("__v")).cast("double"))) * lit(1000000.0))
           .cast("long").as("w_ppm"))
+  }
+
+  /** Smoothed log-odds token weights `(token, w_ppm)`. `label` must be a
+    * 0/1 (or boolean) column; both classes must be non-empty.
+    */
+  def tokenWeights(df: DataFrame, textCol: String, labelCol: Column,
+      minTotal: Long = 1L, minTokenLen: Int = 3): DataFrame = {
+    val tf = df
+      .select(labelCol.cast("int").as("__lab"),
+        tokens(textCol, minTokenLen).as("__w"))
+      .select(col("__lab"), explode(col("__w")).as("__t"),
+        lit(1L).as("__cnt"))
+    weightsFromDocTf(tf, minTotal)
   }
 
   /** Class prior `floor((ln(nPos) − ln(nNeg))·10⁶)` as a 1-row frame. */
@@ -91,8 +101,15 @@ object NaiveBayes {
     */
   def qualityScores(df: DataFrame, idCol: String, textCol: String,
       labelCol: Column, minTotal: Long = 1L, minTokenLen: Int = 3): DataFrame = {
-    val w = tokenWeights(df, textCol, labelCol, minTotal, minTokenLen)
+    // ONE tokenization + explode serves both faces: training reduces the
+    // per-doc counts by token, scoring weights them back per doc. The tf
+    // frame is persisted because its two consumers prune different columns
+    // (no ReusedExchange possible — verified on the physical plan), and it
+    // is NARROW (id, label, token, count) — far smaller than the text it
+    // replaces re-scanning.
     val tf = docTf(df, idCol, textCol, labelCol, minTokenLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = weightsFromDocTf(tf, minTotal)
     val sums = tf
       .join(w, tf("__t") === w("token"))
       .groupBy(col(idCol))
