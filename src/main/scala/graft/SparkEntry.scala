@@ -537,6 +537,14 @@ object SparkEntry {
         "l_orderkey", "l_shipdate", "o_orderdate",
         idCols = Seq("l_orderkey", "l_linenumber"),
         ruleId = "SHIP_BEFORE_ORDER", parentKeyCol = Some("o_orderkey"))),
+    "q126_wilson_quality" -> ((s, dir) =>
+      // per-source Wilson lower bound (z=1.96) on the exact-integer
+      // quality pass rate — small-sample-corrected source ranking; one
+      // sqrt (IEEE correctly-rounded, the alphaShares argument), chain
+      // mirrored literally in DuckDB with z² spelled 1.96*1.96 so both
+      // engines square the same double.
+      Stats.wilsonLowerByGroup(t(s, dir, "documents"), Seq("source"),
+        TextOps.qualityScoreScaled(col("text")) >= 8000L)),
     "q125_readability" -> ((s, dir) =>
       // Flesch reading ease in exact-floor milli-points (pinned double
       // chain, q104 recipe); map-only.
@@ -2464,6 +2472,47 @@ object SparkEntry {
         |  AS message
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_orderkey < 3000 AND l.l_shipdate < o.o_orderdate""".stripMargin,
+    "q126_wilson_quality" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  CAST(length(t) AS BIGINT) AS len,
+        |  CAST(CASE WHEN trim(t) = '' THEN 0
+        |       ELSE length(regexp_split_to_array(trim(t), '\s+')) END AS BIGINT) AS ntok,
+        |  CAST(length(list_distinct(regexp_split_to_array(trim(t), '\s+'))) AS BIGINT) AS ndtok,
+        |  CAST(length(regexp_replace(t, '[^\p{L}]', '', 'g')) AS BIGINT) AS nalpha
+        | FROM (SELECT doc_id, COALESCE(text, '') AS t FROM documents) d),
+        |fr AS (
+        | SELECT doc_id, len, ntok, ndtok, nalpha,
+        |  greatest(len, 1) AS lp, greatest(ntok, 1) AS np
+        | FROM f),
+        |q AS (
+        | SELECT doc_id,
+        |  (((CASE WHEN len BETWEEN 20 AND 10000 THEN 10 WHEN len > 0 THEN 5 ELSE 0 END) * 3
+        |    + (CASE WHEN len >= np * 2 AND len <= np * 12 THEN 10 ELSE 4 END) * 2) * lp * np
+        |   + nalpha * np * 30
+        |   + least(ndtok * 2, np) * lp * 20) AS numer,
+        |  lp * np * 100 AS denom
+        | FROM fr),
+        |q2 AS (
+        | SELECT doc_id, (numer * 20000 + denom) // (denom * 2) AS q4 FROM q),
+        |p AS (
+        | SELECT d.source, CASE WHEN q2.q4 >= 8000 THEN 1 ELSE 0 END AS pass
+        | FROM documents d JOIN q2 ON d.doc_id = q2.doc_id),
+        |g AS (
+        | SELECT source, count(*)::BIGINT AS n_rows, sum(pass)::BIGINT AS n_pass
+        | FROM p GROUP BY 1),
+        |w AS (
+        | SELECT source, n_rows, n_pass,
+        |  CAST(n_pass AS DOUBLE) / CAST(n_rows AS DOUBLE) AS pr,
+        |  CAST(n_rows AS DOUBLE) AS n
+        | FROM g)
+        |SELECT source, n_rows, n_pass,
+        | greatest(least(CAST(floor(
+        |  (pr + (1.96 * 1.96) / (n * 2.0)
+        |   - 1.96 * sqrt(pr * (1.0 - pr) / n + (1.96 * 1.96) / (n * n * 4.0)))
+        |  / (1.0 + (1.96 * 1.96) / n) * 1000000.0) AS BIGINT), 1000000), 0)
+        |  AS wilson_low_ppm
+        |FROM w""".stripMargin,
     "q125_readability" ->
       """WITH d AS (
         | SELECT doc_id, coalesce(text, '') AS t FROM documents),

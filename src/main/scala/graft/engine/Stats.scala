@@ -130,6 +130,40 @@ object Stats {
         sum("__term_ppm").as("entropy_ppm_bits"))
   }
 
+  /** Per-group Wilson lower confidence bound on a boolean rate — the
+    * small-sample-corrected way to RANK groups (sources, domains, crawls)
+    * by quality: a source with 3/3 passing docs must not outrank one with
+    * 9500/10000, which a raw pass-rate sort does. Standard z=1.96 (95%)
+    * score interval, lower bound.
+    *
+    * One partial-combined aggregate per group (count + conditional sum);
+    * the bound itself is a map-side scalar chain on the two exact
+    * integers. Parity: the chain uses only +,−,×,÷ on exact-integer-
+    * derived doubles plus ONE sqrt — IEEE-754 requires sqrt be correctly
+    * rounded (the alphaShares argument), so both engines produce the
+    * identical double, floored to ppm in literal order.
+    */
+  def wilsonLowerByGroup(
+      df: DataFrame, groupCols: Seq[String], passCol: Column,
+      z: Double = 1.96): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val agged = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(passCol, 1L).otherwise(0L)).as("n_pass"))
+    val n = col("n_rows").cast("double")
+    val p = col("n_pass").cast("double") / n
+    val z2 = z * z
+    val center = p + lit(z2) / (n * 2.0)
+    val rad = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      lit(z2) / (n * n * 4.0))
+    val denom = lit(1.0) + lit(z2) / n
+    // clamp: at p=0 the exact bound is 0 but the float chain leaves a
+    // -1-ppm residue (center and rad agree only mathematically)
+    agged.select(groupCols.map(col) ++ Seq(col("n_rows"), col("n_pass"),
+      greatest(least(floor((center - rad) / denom * lit(1000000.0))
+        .cast("long"), lit(1000000L)), lit(0L)).as("wilson_low_ppm")): _*)
+  }
+
   /** Key-skew audit — the "do I need to salt this key?" answer, computed
     * BEFORE the expensive job instead of discovered in its straggler task.
     * One row: key cardinality, total rows, the hottest key's row count and

@@ -213,4 +213,30 @@ class StatsDriftSpec extends AnyFunSuite {
     assert(a._7 > 1L, s"salt suggestion must trigger: $a")
     assert(a._5 <= 13L && a._6 <= a._3, s"percentile sanity: $a")
   }
+
+  test("wilsonLowerByGroup: exact scalar replica; 3/3 must NOT outrank " +
+    "9500/10000 (the small-sample correction is the point)") {
+    val rows = (0 until 3).map(i => ("tiny", true)) ++
+      (0 until 9500).map(_ => ("big", true)) ++
+      (0 until 500).map(_ => ("big", false)) ++
+      Seq(("mid", true), ("mid", false))
+    val got = Stats.wilsonLowerByGroup(
+        rows.toDF("source", "ok"), Seq("source"), col("ok"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    def replica(k: Long, n: Long): Long = {
+      val z = 1.96; val z2 = z * z
+      val nn = n.toDouble; val p = k.toDouble / nn
+      val center = p + z2 / (nn * 2.0)
+      val rad = z * math.sqrt(p * (1.0 - p) / nn + z2 / (nn * nn * 4.0))
+      math.max(0L, math.min(1000000L,
+        math.floor((center - rad) / (1.0 + z2 / nn) * 1000000.0).toLong))
+    }
+    assert(got("tiny") === ((3L, 3L, replica(3, 3))))
+    assert(got("big") === ((10000L, 9500L, replica(9500, 10000))))
+    assert(got("mid") === ((2L, 1L, replica(1, 2))))
+    assert(got("big")._3 > got("tiny")._3,
+      "9500/10000 must outrank 3/3 on the lower bound")
+    assert(replica(3, 3) < 1000000L && replica(0, 5) >= 0L)
+  }
 }
