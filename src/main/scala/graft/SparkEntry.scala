@@ -537,6 +537,30 @@ object SparkEntry {
         "l_orderkey", "l_shipdate", "o_orderdate",
         idCols = Seq("l_orderkey", "l_linenumber"),
         ruleId = "SHIP_BEFORE_ORDER", parentKeyCol = Some("o_orderkey"))),
+    "q127_c4_clean" -> ((s, dir) => {
+      // published C4 line rules over planted multi-line pages: 8-word
+      // lines with a 5-way deterministic suffix (terminal punct / '?' /
+      // none / javascript / brace) plus lorem-ipsum pages every 97th doc;
+      // the oracle rebuilds the SAME pages and replays every rule.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.splitWords(col("text")).as("__w"))
+      val nl = ceil(size(col("__w")) / lit(8.0)).cast("int")
+      val lines = transform(sequence(lit(0), nl - 1), i =>
+        concat(array_join(slice(col("__w"), i * 8 + 1, lit(8)), " "),
+          when(pmod(col("doc_id") + i, lit(5)) === 0, lit("."))
+            .when(pmod(col("doc_id") + i, lit(5)) === 1, lit("?"))
+            .when(pmod(col("doc_id") + i, lit(5)) === 2, lit(""))
+            .when(pmod(col("doc_id") + i, lit(5)) === 3, lit(" javascript."))
+            .otherwise(lit(" { x }."))))
+      val page = concat(array_join(lines, "\n"),
+        when(col("doc_id") % 97 === 0,
+          lit("\nthis page contains lorem ipsum filler text here."))
+          .otherwise(lit("")))
+      d.select(col("doc_id"), TextOps.c4Clean(page).as("c"))
+        .select(col("doc_id"), col("c.n_lines").as("n_lines"),
+          col("c.n_kept").as("n_kept"), col("c.page_ok").as("page_ok"),
+          col("c.text").as("cleaned"))
+    }),
     "q126_wilson_quality" -> ((s, dir) =>
       // per-source Wilson lower bound (z=1.96) on the exact-integer
       // quality pass rate — small-sample-corrected source ranking; one
@@ -2472,6 +2496,40 @@ object SparkEntry {
         |  AS message
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_orderkey < 3000 AND l.l_shipdate < o.o_orderdate""".stripMargin,
+    "q127_c4_clean" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS toks
+        | FROM documents),
+        |L AS (
+        | SELECT doc_id,
+        |  list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+        |   i -> array_to_string(toks[i*8+1 : i*8+8], ' ') ||
+        |    CASE CAST((doc_id + i) % 5 AS INT)
+        |     WHEN 0 THEN '.' WHEN 1 THEN '?' WHEN 2 THEN ''
+        |     WHEN 3 THEN ' javascript.' ELSE ' { x }.' END) AS lines
+        | FROM d),
+        |P AS (
+        | SELECT doc_id,
+        |  array_to_string(lines, chr(10)) ||
+        |   CASE WHEN doc_id % 97 = 0
+        |    THEN chr(10) || 'this page contains lorem ipsum filler text here.'
+        |    ELSE '' END AS page
+        | FROM L),
+        |K AS (
+        | SELECT doc_id, page, string_split(page, chr(10)) AS all_lines,
+        |  list_filter(string_split(page, chr(10)), l ->
+        |   regexp_matches(trim(l), '[.!?"]$')
+        |   AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+        |   AND NOT contains(lower(trim(l)), 'javascript')
+        |   AND NOT contains(trim(l), '{')) AS kept
+        | FROM P)
+        |SELECT doc_id, len(all_lines)::BIGINT AS n_lines,
+        | len(kept)::BIGINT AS n_kept,
+        | (len(kept) >= 3 AND NOT contains(lower(page), 'lorem ipsum'))
+        |   AS page_ok,
+        | coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+        |FROM K""".stripMargin,
     "q126_wilson_quality" ->
       """WITH f AS (
         | SELECT doc_id,

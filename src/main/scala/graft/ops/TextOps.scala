@@ -316,6 +316,34 @@ object TextOps {
   def mojibakeMarkers(c: Column): Column =
     regexp_count(coalesce(c, lit("")), lit("Ã|â€|Â"))
 
+  /** C4 line-quality cleaning (Raffel et al. 2020 §2.2, the published
+    * rules): keep only lines that end in terminal punctuation, have at
+    * least `minWords` words, and mention neither "javascript" nor a curly
+    * brace; a PAGE survives when at least `minLines` lines remain and the
+    * page never says "lorem ipsum". Returns a struct
+    * (text, n_lines, n_kept, page_ok) — the cleaned text is the kept
+    * lines rejoined, so the caller filters on `page_ok` and keeps `text`.
+    * Map-only; the per-line lambda runs once per line (the split is on
+    * the trimmed LINE, never re-tokenizing the document per rule).
+    */
+  def c4Clean(c: Column, minWords: Int = 5, minLines: Int = 3): Column = {
+    val raw = coalesce(c, lit(""))
+    val lines = split(raw, "\n")
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      t.rlike("[.!?\"]$") &&
+        size(split(t, "\\s+")) >= minWords &&
+        !contains(lower(t), lit("javascript")) &&
+        !contains(t, lit("{"))
+    })
+    struct(
+      array_join(kept, "\n").as("text"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      (size(kept) >= minLines &&
+        !contains(lower(raw), lit("lorem ipsum"))).as("page_ok"))
+  }
+
   /** Flesch reading-ease score in exact-floor milli-points — the classic
     * readability gate (educational-corpus routing, "too telegraphic /
     * too convoluted" quality cuts). Syllables are approximated as vowel

@@ -892,4 +892,34 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(3L) === Some(math.floor(
       (206.835 - 1.015 * 2.0 - 0.0) * 1000.0).toLong))
   }
+
+  test("c4Clean: each published rule drops exactly its line; page gate " +
+    "needs 3 survivors and no lorem ipsum") {
+    import graft.ops.TextOps
+    val page = Seq(
+      "this line has enough words and ends well.",   // keep
+      "so does this second line of the page?",       // keep
+      "and a third proper sentence closes it.",      // keep
+      "too short line.",                             // < 5 words
+      "this one has no terminal punctuation at all", // no punct
+      "this line mentions JavaScript libraries sadly.", // javascript
+      "object { nested: true } appears right here.") // brace
+      .mkString("\n")
+    val rows = Seq((1L, page), (2L, page + "\nlorem ipsum dolor sit amet."),
+        (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select($"id", TextOps.c4Clean($"text").as("c"))
+      .select($"id", $"c.n_lines", $"c.n_kept", $"c.page_ok", $"c.text")
+      .as[(Long, Long, Long, Boolean, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows(1L) === ((1L, 7L, 3L, true,
+      Seq("this line has enough words and ends well.",
+        "so does this second line of the page?",
+        "and a third proper sentence closes it.").mkString("\n"))))
+    // the lorem line itself passes the LINE rules (4th keeper) but the
+    // page-level gate kills the page
+    assert(rows(2L)._3 === 4L && rows(2L)._4 === false)
+    assert(rows(3L) === ((3L, 1L, 0L, false, "")))
+    assert(rows(4L) === ((4L, 1L, 0L, false, "")))
+  }
 }
