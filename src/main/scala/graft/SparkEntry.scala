@@ -537,6 +537,28 @@ object SparkEntry {
         "l_orderkey", "l_shipdate", "o_orderdate",
         idCols = Seq("l_orderkey", "l_linenumber"),
         ruleId = "SHIP_BEFORE_ORDER", parentKeyCol = Some("o_orderkey"))),
+    "q128_gopher_gate" -> ((s, dir) =>
+      // published Gopher doc-quality rules, every threshold exact-integer
+      // (no ratio doubles anywhere); minWords lowered to 10 for the
+      // fixture's 5-45-word docs (published default stays in the API).
+      // The fixture vocabulary carries ~1 stopword, so variation is
+      // planted: every 3rd doc gains stopwords (passes ok_stop), every
+      // 7th a symbol run (fails ok_symbols) — mirrored in the oracle.
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 3 === 0, lit(" and that have with"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" ### ... ### ... ###"))
+            .otherwise(lit(""))).as("__t"))
+        .select(col("doc_id"),
+          TextOps.gopherGate(col("__t"), minWords = 10L).as("g"))
+        .select(col("doc_id"), col("g.n_words").as("n_words"),
+          col("g.ok_words").as("ok_words"),
+          col("g.ok_wordlen").as("ok_wordlen"),
+          col("g.ok_symbols").as("ok_symbols"),
+          col("g.ok_alpha").as("ok_alpha"),
+          col("g.ok_stop").as("ok_stop"),
+          col("g.gopher_ok").as("gopher_ok"))),
     "q127_c4_clean" -> ((s, dir) => {
       // published C4 line rules over planted multi-line pages: 8-word
       // lines with a 5-way deterministic suffix (terminal punct / '?' /
@@ -2496,6 +2518,41 @@ object SparkEntry {
         |  AS message
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_orderkey < 3000 AND l.l_shipdate < o.o_orderdate""".stripMargin,
+    "q128_gopher_gate" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  coalesce(text, '')
+        |   || CASE WHEN doc_id % 3 = 0 THEN ' and that have with' ELSE '' END
+        |   || CASE WHEN doc_id % 7 = 0 THEN ' ### ... ### ... ###' ELSE '' END
+        |   AS t
+        | FROM documents),
+        |w AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN trim(t) = '' THEN 0
+        |   ELSE len(regexp_split_to_array(trim(t), '\s+')) END AS BIGINT) AS nw,
+        |  CAST(len(array_to_string(
+        |    regexp_split_to_array(trim(t), '\s+'), '')) AS BIGINT) AS nchars,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(t), '\s+'),
+        |    x -> regexp_matches(x, '\p{L}'))) AS BIGINT) AS nalphaw,
+        |  CAST(len(regexp_extract_all(t, '#|\.\.\.')) AS BIGINT) AS nsym,
+        |  CAST(len(list_intersect(
+        |    regexp_split_to_array(lower(t), '[^a-z]+'),
+        |    ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+        |    AS nstop
+        | FROM d)
+        |SELECT doc_id, nw AS n_words,
+        | (nw >= 10 AND nw <= 100000) AS ok_words,
+        | (nchars >= greatest(nw, 1) * 3 AND nchars <= greatest(nw, 1) * 10)
+        |   AS ok_wordlen,
+        | (nsym * 10 <= greatest(nw, 1)) AS ok_symbols,
+        | (nalphaw * 5 >= nw * 4) AS ok_alpha,
+        | (nstop >= 2) AS ok_stop,
+        | ((nw >= 10 AND nw <= 100000)
+        |  AND (nchars >= greatest(nw, 1) * 3 AND nchars <= greatest(nw, 1) * 10)
+        |  AND (nsym * 10 <= greatest(nw, 1))
+        |  AND (nalphaw * 5 >= nw * 4)
+        |  AND (nstop >= 2)) AS gopher_ok
+        |FROM w""".stripMargin,
     "q127_c4_clean" ->
       """WITH d AS (
         | SELECT doc_id,

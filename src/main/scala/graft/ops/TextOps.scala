@@ -344,6 +344,55 @@ object TextOps {
         !contains(lower(raw), lit("lorem ipsum"))).as("page_ok"))
   }
 
+  /** Gopher document-quality rule gate (Rae et al. 2021, table A1 — the
+    * published thresholds): word count in [minWords, maxWords], mean word
+    * length in [3, 10], symbol-to-word ratio (# and …) ≤ 0.1, ≤ 90% of
+    * lines bullet-started, ≤ 30% ellipsis-ended, ≥ 80% of words carrying
+    * an alphabetic character, and ≥ 2 distinct English stopwords present.
+    *
+    * EVERY threshold is evaluated in exact integer arithmetic (3·W ≤ C ≤
+    * 10·W instead of 3 ≤ C/W ≤ 10, etc.) — no ratio ever exists as a
+    * double, so no engine can flip a boundary document on a division ulp
+    * (the qualityScoreScaled lesson, applied to a boolean gate). Map-only;
+    * the word array materializes once and the char total is
+    * `length(array_join(words, ""))` — no per-word lambda arithmetic.
+    */
+  def gopherGate(c: Column, minWords: Long = 50L,
+      maxWords: Long = 100000L): Column = {
+    val t = coalesce(c, lit(""))
+    val w = split(trim(t), "\\s+")
+    val nW = when(length(trim(t)) === 0, lit(0L))
+      .otherwise(size(w).cast("long"))
+    val wSafe = greatest(nW, lit(1L))
+    val nChars = length(array_join(w, "")).cast("long")
+    val nAlphaW = size(filter(w, x => x.rlike("\\p{L}"))).cast("long")
+    val nSym = regexp_count(t, lit("#|\\.\\.\\.")).cast("long")
+    val lines = split(t, "\n")
+    val nL = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      trim(l).rlike("^[-*•]"))).cast("long")
+    val nEllip = size(filter(lines, l =>
+      trim(l).endsWith("..."))).cast("long")
+    val nStop = size(array_intersect(langTokens(t),
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(lit): _*))).cast("long")
+    val okWords = nW >= minWords && nW <= maxWords
+    val okWordLen = nChars >= wSafe * 3L && nChars <= wSafe * 10L
+    val okSymbols = nSym * 10L <= wSafe
+    val okBullets = nBullet * 10L <= nL * 9L
+    val okEllipsis = nEllip * 10L <= nL * 3L
+    val okAlpha = nAlphaW * 5L >= nW * 4L
+    val okStop = nStop >= 2L
+    struct(
+      nW.as("n_words"),
+      okWords.as("ok_words"), okWordLen.as("ok_wordlen"),
+      okSymbols.as("ok_symbols"), okBullets.as("ok_bullets"),
+      okEllipsis.as("ok_ellipsis"), okAlpha.as("ok_alpha"),
+      okStop.as("ok_stop"),
+      (okWords && okWordLen && okSymbols && okBullets && okEllipsis &&
+        okAlpha && okStop).as("gopher_ok"))
+  }
+
   /** Flesch reading-ease score in exact-floor milli-points — the classic
     * readability gate (educational-corpus routing, "too telegraphic /
     * too convoluted" quality cuts). Syllables are approximated as vowel

@@ -922,4 +922,34 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(3L) === ((3L, 1L, 0L, false, "")))
     assert(rows(4L) === ((4L, 1L, 0L, false, "")))
   }
+
+  test("gopherGate: each published rule flips on its own planted doc; " +
+    "thresholds are integer-exact at the boundary") {
+    import graft.ops.TextOps
+    val good = (("the data and tables that work well with care " * 5).trim)
+    val rows = Seq(
+      (1L, good),                                          // all pass
+      (2L, "the of " + ("aa " * 20).trim),                 // wordlen < 3 mean
+      (3L, good + " ### ### ### ### ### ### ### ### ###"), // symbols > 10%
+      (4L, good.split(" ").map(w => "123" + "," ).mkString(" ") +
+        " the of and that have"),                          // alpha < 80%
+      (5L, ("zebra quartz " * 30).trim),                   // < 2 stopwords
+      (6L, "- a\n- b\n- c\n" + good),                     // bullets fine (<90%)
+      (7L, ""))                                            // empty
+      .toDF("id", "text")
+      .select($"id", TextOps.gopherGate($"text", minWords = 10L).as("g"))
+      .select($"id", $"g.ok_words", $"g.ok_wordlen", $"g.ok_symbols",
+        $"g.ok_bullets", $"g.ok_ellipsis", $"g.ok_alpha", $"g.ok_stop",
+        $"g.gopher_ok")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean,
+        Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(rows(1L)._9 === true, s"clean doc must pass: ${rows(1L)}")
+    assert(rows(2L)._3 === false && rows(2L)._9 === false, "mean word len")
+    assert(rows(3L)._4 === false, "symbol ratio")
+    assert(rows(4L)._7 === false, "alpha-word share")
+    assert(rows(5L)._8 === false, "stopword presence")
+    assert(rows(6L)._5 === true && rows(6L)._9 === true,
+      "3 bullet lines of 4+ lines stay under 90%")
+    assert(rows(7L)._2 === false && rows(7L)._9 === false, "empty doc")
+  }
 }
