@@ -1682,6 +1682,13 @@ object SparkEntry {
       graft.checks.ToolArgs.violations(
         graft.sources.TranscriptGen.toolCalls(s, tCfg),
         "tool", "args", Seq("conv_id", "turn_idx"))),
+    "t27_echo_signals" -> ((s, dir) =>
+      // turn echo detection at transcript scale: fixed-size minhash
+      // signatures ride the conversation window, text never shuffles;
+      // ChatOpsSpec pins the estimator and the planted-echo case.
+      graft.ops.ChatOps.echoSignals(
+        graft.sources.TranscriptGen.transcripts(s, tCfg),
+        "conv_id", "turn_idx", "role", "text")),
     "t25_semdedup" -> ((s, dir) => {
       // full SemDeDup at table scale: Lloyd centroids → within-cluster
       // pairs → quality-ranked keepers (n_chars as quality); planted

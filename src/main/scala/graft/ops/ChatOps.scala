@@ -179,6 +179,49 @@ object ChatOps {
         min("__dt").as("min_ms"), max("__dt").as("max_ms"))
   }
 
+  /** Echo detection — turns that near-verbatim REPEAT the previous turn of
+    * their conversation (the lazy-assistant / copy-parrot signal an SFT
+    * filter needs; a high echo rate also flags scraper loops in raw
+    * transcripts). Per turn: estimated Jaccard to the immediately
+    * preceding turn via a k-hash minhash signature, so the conversation
+    * window shuffles a FIXED k×8-byte signature per turn, never the text —
+    * an adversarial 1 MB turn costs the same shuffle bytes as a 10-word
+    * one. Signatures come from the same explode+groupBy aggregate as the
+    * dedup family ([[Dedup.minhashSignatures]]'s shape, composite-keyed).
+    *
+    * `echo_ppm` is the EXACT integer `matches·10⁶/k` (k must divide 10⁶ —
+    * enforced — so no doubles anywhere). First turns (no predecessor) are
+    * absent. Two consecutive EMPTY turns estimate 1.0 by the degenerate
+    * whole-text gram — the required-field check owns empties, not this.
+    */
+  def echoSignals(
+      df: DataFrame, convCol: String, tieCol: String, roleCol: String,
+      textCol: String, n: Int = 3, k: Int = 16,
+      echoPpm: Long = 600000L): DataFrame = {
+    require(k >= 1 && 1000000L % k == 0, "k must divide 10^6")
+    val sigs = df
+      .select(col(convCol), col(tieCol), col(roleCol),
+        Dedup.splitWords(col(textCol)).as("__w"))
+      .select(col(convCol), col(tieCol), col(roleCol),
+        explode(Dedup.shinglesOfWords(col("__w"), n)).as("__sh"))
+      .select(col(convCol), col(tieCol), col(roleCol),
+        xxhash64(col("__sh")).as("__h"))
+      .groupBy(col(convCol), col(tieCol), col(roleCol))
+      .agg(graft.functions.MinHashSignature.minhashSig(col("__h"), k)
+        .as("__sig"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(convCol).orderBy(tieCol)
+    val matches = size(filter(
+      zip_with(col("__sig"), col("__prev"), (a, b) => a === b),
+      x => x))
+    sigs
+      .withColumn("__prev", lag(col("__sig"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col(convCol), col(tieCol), col(roleCol),
+        (matches.cast("long") * (1000000L / k)).as("echo_ppm"))
+      .withColumn("is_echo", col("echo_ppm") >= echoPpm)
+  }
+
   /** Transcript table → model-ready SFT corpus, composed end-to-end:
     *  1. [[dedupTurns]] strips cross-conversation boilerplate turns;
     *  2. [[prefixDedup]] collapses conversations branching from a shared

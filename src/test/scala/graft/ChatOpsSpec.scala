@@ -165,4 +165,42 @@ class ChatOpsSpec extends AnyFunSuite {
     assert(collapsed(1L)._3 === 3L)
     assert(collapsed(1L)._2.startsWith("[{\"role\":\"user\""))
   }
+
+  test("echoSignals: verbatim echo scores 10^6, unrelated turns score low, " +
+    "first turns absent, threshold flags only the echo") {
+    import graft.ops.ChatOps
+    val turns = Seq(
+      ("c1", 0, "user", "please list the three largest tables in the db"),
+      ("c1", 1, "assistant",
+        "please list the three largest tables in the db"), // verbatim echo
+      ("c1", 2, "user", "completely different next question about indexes"),
+      ("c2", 0, "user", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("c2", 1, "assistant", "totally unrelated reply words nothing shared"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val got = ChatOps.echoSignals(turns, "conv_id", "turn_idx", "role", "text")
+      .select("conv_id", "turn_idx", "echo_ppm", "is_echo")
+      .as[(String, Int, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.size === 3, "first turn of each conversation is absent")
+    assert(got(("c1", 1)) === ((1000000L, true)), "verbatim echo = 10^6")
+    assert(!got(("c1", 2))._2 && !got(("c2", 1))._2, "no false echoes")
+    assert(got(("c1", 2))._1 < 600000L)
+  }
+
+  test("echoSignals: echo_ppm is an exact multiple of 10^6/k and invariant " +
+    "under repartitioning") {
+    import graft.ops.ChatOps
+    val turns = graft.sources.TranscriptGen.transcripts(spark,
+      graft.sources.TranscriptGen.Config(nConvs = 120L))
+    val a = ChatOps.echoSignals(turns, "conv_id", "turn_idx", "role", "text")
+      .select("conv_id", "turn_idx", "echo_ppm")
+      .as[(String, Int, Long)].collect().toSet
+    assert(a.nonEmpty)
+    assert(a.forall(_._3 % 62500L == 0), "k=16 grid")
+    val b = ChatOps.echoSignals(turns.repartition(13), "conv_id", "turn_idx",
+        "role", "text")
+      .select("conv_id", "turn_idx", "echo_ppm")
+      .as[(String, Int, Long)].collect().toSet
+    assert(a === b)
+  }
 }
