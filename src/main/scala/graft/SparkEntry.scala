@@ -537,6 +537,17 @@ object SparkEntry {
         "l_orderkey", "l_shipdate", "o_orderdate",
         idCols = Seq("l_orderkey", "l_linenumber"),
         ruleId = "SHIP_BEFORE_ORDER", parentKeyCol = Some("o_orderkey"))),
+    "q129_centroid_cosine" -> ((s, dir) => {
+      // per-source embedding centroid cosine (corpus cartography): exact-
+      // decimal per-dim means -> identical centroids in both engines,
+      // per-row cosines rounded (the q24 contract).
+      val e = t(s, dir, "embeddings")
+      val src = t(s, dir, "documents").select(col("doc_id").as("vec_id"),
+        col("source"))
+      Similarity.groupCentroidCosine(e.join(src, "vec_id"), "source")
+        .select(col("vec_id"), col("source"),
+          round(col("cos_centroid"), 4).as("cos_centroid"))
+    }),
     "q128_gopher_gate" -> ((s, dir) =>
       // published Gopher doc-quality rules, every threshold exact-integer
       // (no ratio doubles anywhere); minWords lowered to 10 for the
@@ -2525,6 +2536,24 @@ object SparkEntry {
         |  AS message
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_orderkey < 3000 AND l.l_shipdate < o.o_orderdate""".stripMargin,
+    "q129_centroid_cosine" ->
+      """WITH e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        | SELECT e.vec_id, d.source, e.v
+        | FROM e JOIN documents d ON d.doc_id = e.vec_id),
+        |x AS (
+        | SELECT source, i AS pos, v[i] AS x
+        | FROM s, unnest(range(1, len(v) + 1)) AS t(i)),
+        |c AS (
+        | SELECT source, pos,
+        |  CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS m
+        | FROM x GROUP BY source, pos),
+        |cents AS (
+        | SELECT source, list(m ORDER BY pos) AS cv FROM c GROUP BY source)
+        |SELECT s.vec_id, s.source,
+        | round(list_cosine_similarity(s.v, cents.cv), 4) AS cos_centroid
+        |FROM s JOIN cents USING (source)""".stripMargin,
     "q128_gopher_gate" ->
       """WITH d AS (
         | SELECT doc_id,

@@ -377,6 +377,39 @@ object Similarity {
       pairs, "vec_id", rankCol)
   }
 
+  /** Per-group embedding centroid cosine — corpus cartography: every
+    * vector's cosine to ITS group's mean direction. A group whose members
+    * all sit at cos ≈ 1 is a collapsed/duplicate-farm source; a long low
+    * tail is a mixed or drifting one. Input must carry `groupCol`
+    * alongside `vec_id`/`embedding`.
+    *
+    * Scale shape: centroids reduce NARROW (group, pos, value) rows — the
+    * kmeans mean trick, vectors never shuffle whole — and the groups×dim
+    * centroid frame broadcasts back onto a map-side codegen cosine pass.
+    *
+    * Parity (q129): per-dim centroid = CAST(sum(DECIMAL(30,15)) AS
+    * DOUBLE) / n — the exact-decimal sum is order-independent, the final
+    * double division deterministic — so both engines score the identical
+    * centroid; per-row cosines land rounded (the q24 contract).
+    */
+  def groupCentroidCosine(
+      embeddings: DataFrame, groupCol: String): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col(groupCol),
+      asDouble(col("embedding")).as("v"))
+    val cents = e
+      .select(col(groupCol), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(groupCol, "pos")
+      .agg((sum(col("x").cast("decimal(30,15)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(groupCol)
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col(groupCol),
+        transform(col("ps"), p => p.getField("m")).as("cv"))
+    e.join(broadcast(cents), Seq(groupCol))
+      .select(col("vec_id"), col(groupCol),
+        cosine(col("v"), col("cv")).as("cos_centroid"))
+  }
+
   /** Symmetric per-vector int8 quantization — the storage/bandwidth face
     * of the ANN family (a 10^12-vector index at float32 is 4× the bytes of
     * its int8 twin; IVF/LSH candidate scans read the int8 form and only

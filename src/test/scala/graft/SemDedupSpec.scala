@@ -78,4 +78,25 @@ class SemDedupSpec extends AnyFunSuite {
     assert(out(10L) && !out(110L), s"rank 5 beats 1: $out")
     assert(out(1L) && out(2L) && out(11L), "singletons are keepers")
   }
+
+  test("groupCentroidCosine: identical members score 1, an orthogonal " +
+    "pair scores symmetrically, result is partitioning-invariant") {
+    val emb = Seq(
+      (0L, "dup", Seq(1f, 0f, 0f, 0f)),
+      (1L, "dup", Seq(2f, 0f, 0f, 0f)),   // same direction, scaled
+      (10L, "mix", Seq(1f, 0f, 0f, 0f)),
+      (11L, "mix", Seq(0f, 1f, 0f, 0f)))  // orthogonal partner
+      .toDF("vec_id", "group", "embedding")
+    val got = Similarity.groupCentroidCosine(emb, "group")
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(math.abs(got(0L) - 1.0) < 1e-12 && math.abs(got(1L) - 1.0) < 1e-12,
+      "collapsed group scores 1 everywhere")
+    assert(math.abs(got(10L) - got(11L)) < 1e-12, "symmetric pair")
+    assert(math.abs(got(10L) - 1.0 / math.sqrt(2.0)) < 1e-9,
+      "cos to the 45-degree centroid")
+    val again = Similarity.groupCentroidCosine(emb.repartition(7), "group")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(again === got, "exact-decimal means are partitioning-invariant")
+  }
 }
