@@ -537,6 +537,13 @@ object SparkEntry {
         "l_orderkey", "l_shipdate", "o_orderdate",
         idCols = Seq("l_orderkey", "l_linenumber"),
         ruleId = "SHIP_BEFORE_ORDER", parentKeyCol = Some("o_orderkey"))),
+    "q130_cardinality" -> ((s, dir) =>
+      // referential cardinality bounds (min/max children per parent,
+      // childless parents included): every order must own 1-7 lineitems.
+      Validator.cardinalityViolations(
+        t(s, dir, "lineitem"), t(s, dir, "orders"), "l_orderkey",
+        minChildren = 1L, maxChildren = 7L, ruleId = "LINEITEM_COUNT",
+        parentKeyCol = Some("o_orderkey"))),
     "q129_centroid_cosine" -> ((s, dir) => {
       // per-source embedding centroid cosine (corpus cartography): exact-
       // decimal per-dim means -> identical centroids in both engines,
@@ -2536,6 +2543,16 @@ object SparkEntry {
         |  AS message
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_orderkey < 3000 AND l.l_shipdate < o.o_orderdate""".stripMargin,
+    "q130_cardinality" ->
+      """WITH c AS (
+        | SELECT l_orderkey, count(*)::BIGINT AS n FROM lineitem GROUP BY 1)
+        |SELECT o.o_orderkey AS l_orderkey,
+        | coalesce(c.n, 0) AS n_children,
+        | 'LINEITEM_COUNT' AS rule_id,
+        | 'Expected between 1 and 7 children, found ' ||
+        |   CAST(coalesce(c.n, 0) AS VARCHAR) AS message
+        |FROM orders o LEFT JOIN c ON c.l_orderkey = o.o_orderkey
+        |WHERE coalesce(c.n, 0) < 1 OR coalesce(c.n, 0) > 7""".stripMargin,
     "q129_centroid_cosine" ->
       """WITH e AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

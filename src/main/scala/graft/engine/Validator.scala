@@ -245,6 +245,41 @@ object Validator {
           col("__pts").cast("string")).as("message")): _*)
   }
 
+  /** Referential cardinality check — pydantic's `min_items`/`max_items`
+    * list-shape constraint (the reference's version-list rule,
+    * `verification.py:140-144`) lifted to TABLE grain: every parent must
+    * own between `minChildren` and `maxChildren` child rows, childless
+    * parents included (the LEFT join + coalesce-0 that a child-side
+    * groupBy alone can never see). Children referencing nonexistent
+    * parents are the orphan check's finding, not this rule's — one rule,
+    * one cause.
+    *
+    * Scale shape: the child reduces to its key column at the scan and one
+    * partial-combined count; both join sides are narrow keyed rows, so
+    * the join never carries payload at any scale.
+    */
+  def cardinalityViolations(
+      child: DataFrame,
+      parent: DataFrame,
+      keyCol: String,
+      minChildren: Long,
+      maxChildren: Long,
+      ruleId: String = "CHILD_COUNT",
+      parentKeyCol: Option[String] = None): DataFrame = {
+    require(minChildren >= 0 && minChildren <= maxChildren,
+      "0 <= minChildren <= maxChildren")
+    val counts = child.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"))
+    val n = coalesce(col("__n"), lit(0L))
+    parent.select(col(parentKeyCol.getOrElse(keyCol)).as(keyCol))
+      .join(counts, Seq(keyCol), "left")
+      .filter(n < minChildren || n > maxChildren)
+      .select(col(keyCol), n.as("n_children"),
+        lit(ruleId).as("rule_id"),
+        concat(lit(s"Expected between $minChildren and $maxChildren " +
+          "children, found "), n.cast("string")).as("message"))
+  }
+
   /** Per-conversation `invalid_fields` map — reference `verification.py:13`
     * + its `invalid_fields[field] = reason` updates: field → first reason,
     * assembled with `map_from_entries(collect_list(...))` (SURVEY.md §2.5).

@@ -193,4 +193,20 @@ class ValidatorSpec extends AnyFunSuite {
       .select("conv_id", "turn_idx").as[(String, Int)].collect().toSet
     assert(keys.subsetOf(gated), s"non-planted violation: ${keys -- gated}")
   }
+
+  test("cardinalityViolations: childless parents, under- and over-bounded " +
+    "counts fire with exact messages; in-range and orphan children do not") {
+    val parent = Seq(1L, 2L, 3L, 4L).toDF("pid")
+    val child = (Seq.fill(1)(2L) ++ Seq.fill(3)(3L) ++ Seq.fill(5)(4L) ++
+      Seq.fill(2)(99L)) // 99 references no parent -> orphan check's job
+      .toDF("pid")
+    val got = Validator.cardinalityViolations(child, parent, "pid",
+        minChildren = 2L, maxChildren = 4L)
+      .select("pid", "n_children", "message")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, "Expected between 2 and 4 children, found 0"),
+      (2L, 1L, "Expected between 2 and 4 children, found 1"),
+      (4L, 5L, "Expected between 2 and 4 children, found 5")))
+  }
 }
