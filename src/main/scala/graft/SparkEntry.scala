@@ -537,6 +537,11 @@ object SparkEntry {
         "l_orderkey", "l_shipdate", "o_orderdate",
         idCols = Seq("l_orderkey", "l_linenumber"),
         ruleId = "SHIP_BEFORE_ORDER", parentKeyCol = Some("o_orderkey"))),
+    "q131_benford" -> ((s, dir) =>
+      // Benford first-digit audit over lineitem prices: exact digit
+      // counts via the decimal-cents string (no double log near the
+      // digit), literal nine-term chi2 chain.
+      Drift.benford(t(s, dir, "lineitem"), "l_extendedprice")),
     "q130_cardinality" -> ((s, dir) =>
       // referential cardinality bounds (min/max children per parent,
       // childless parents included): every order must own 1-7 lineitems.
@@ -2543,6 +2548,49 @@ object SparkEntry {
         |  AS message
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_orderkey < 3000 AND l.l_shipdate < o.o_orderdate""".stripMargin,
+    "q131_benford" ->
+      """WITH v AS (
+        | SELECT CAST(abs(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+        |   AS BIGINT) AS c
+        | FROM lineitem),
+        |d AS (
+        | SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS fd
+        | FROM v WHERE c > 0),
+        |g AS (
+        | SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  sum(CASE WHEN fd = 1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+        |  sum(CASE WHEN fd = 2 THEN 1 ELSE 0 END)::BIGINT AS d2,
+        |  sum(CASE WHEN fd = 3 THEN 1 ELSE 0 END)::BIGINT AS d3,
+        |  sum(CASE WHEN fd = 4 THEN 1 ELSE 0 END)::BIGINT AS d4,
+        |  sum(CASE WHEN fd = 5 THEN 1 ELSE 0 END)::BIGINT AS d5,
+        |  sum(CASE WHEN fd = 6 THEN 1 ELSE 0 END)::BIGINT AS d6,
+        |  sum(CASE WHEN fd = 7 THEN 1 ELSE 0 END)::BIGINT AS d7,
+        |  sum(CASE WHEN fd = 8 THEN 1 ELSE 0 END)::BIGINT AS d8,
+        |  sum(CASE WHEN fd = 9 THEN 1 ELSE 0 END)::BIGINT AS d9
+        | FROM d)
+        |SELECT CAST(n AS BIGINT) AS n, d1, d2, d3, d4, d5, d6, d7, d8, d9,
+        | round(
+        |  (CAST(d1 AS DOUBLE) - n * (ln(1.0 + 1.0/1.0) / ln(10.0))) * (CAST(d1 AS DOUBLE) - n * (ln(1.0 + 1.0/1.0) / ln(10.0))) / (n * (ln(1.0 + 1.0/1.0) / ln(10.0)))
+        |  + (CAST(d2 AS DOUBLE) - n * (ln(1.0 + 1.0/2.0) / ln(10.0))) * (CAST(d2 AS DOUBLE) - n * (ln(1.0 + 1.0/2.0) / ln(10.0))) / (n * (ln(1.0 + 1.0/2.0) / ln(10.0)))
+        |  + (CAST(d3 AS DOUBLE) - n * (ln(1.0 + 1.0/3.0) / ln(10.0))) * (CAST(d3 AS DOUBLE) - n * (ln(1.0 + 1.0/3.0) / ln(10.0))) / (n * (ln(1.0 + 1.0/3.0) / ln(10.0)))
+        |  + (CAST(d4 AS DOUBLE) - n * (ln(1.0 + 1.0/4.0) / ln(10.0))) * (CAST(d4 AS DOUBLE) - n * (ln(1.0 + 1.0/4.0) / ln(10.0))) / (n * (ln(1.0 + 1.0/4.0) / ln(10.0)))
+        |  + (CAST(d5 AS DOUBLE) - n * (ln(1.0 + 1.0/5.0) / ln(10.0))) * (CAST(d5 AS DOUBLE) - n * (ln(1.0 + 1.0/5.0) / ln(10.0))) / (n * (ln(1.0 + 1.0/5.0) / ln(10.0)))
+        |  + (CAST(d6 AS DOUBLE) - n * (ln(1.0 + 1.0/6.0) / ln(10.0))) * (CAST(d6 AS DOUBLE) - n * (ln(1.0 + 1.0/6.0) / ln(10.0))) / (n * (ln(1.0 + 1.0/6.0) / ln(10.0)))
+        |  + (CAST(d7 AS DOUBLE) - n * (ln(1.0 + 1.0/7.0) / ln(10.0))) * (CAST(d7 AS DOUBLE) - n * (ln(1.0 + 1.0/7.0) / ln(10.0))) / (n * (ln(1.0 + 1.0/7.0) / ln(10.0)))
+        |  + (CAST(d8 AS DOUBLE) - n * (ln(1.0 + 1.0/8.0) / ln(10.0))) * (CAST(d8 AS DOUBLE) - n * (ln(1.0 + 1.0/8.0) / ln(10.0))) / (n * (ln(1.0 + 1.0/8.0) / ln(10.0)))
+        |  + (CAST(d9 AS DOUBLE) - n * (ln(1.0 + 1.0/9.0) / ln(10.0))) * (CAST(d9 AS DOUBLE) - n * (ln(1.0 + 1.0/9.0) / ln(10.0))) / (n * (ln(1.0 + 1.0/9.0) / ln(10.0))), 4)
+        |  AS chi2,
+        | ((CAST(d1 AS DOUBLE) - n * (ln(1.0 + 1.0/1.0) / ln(10.0))) * (CAST(d1 AS DOUBLE) - n * (ln(1.0 + 1.0/1.0) / ln(10.0))) / (n * (ln(1.0 + 1.0/1.0) / ln(10.0)))
+        |  + (CAST(d2 AS DOUBLE) - n * (ln(1.0 + 1.0/2.0) / ln(10.0))) * (CAST(d2 AS DOUBLE) - n * (ln(1.0 + 1.0/2.0) / ln(10.0))) / (n * (ln(1.0 + 1.0/2.0) / ln(10.0)))
+        |  + (CAST(d3 AS DOUBLE) - n * (ln(1.0 + 1.0/3.0) / ln(10.0))) * (CAST(d3 AS DOUBLE) - n * (ln(1.0 + 1.0/3.0) / ln(10.0))) / (n * (ln(1.0 + 1.0/3.0) / ln(10.0)))
+        |  + (CAST(d4 AS DOUBLE) - n * (ln(1.0 + 1.0/4.0) / ln(10.0))) * (CAST(d4 AS DOUBLE) - n * (ln(1.0 + 1.0/4.0) / ln(10.0))) / (n * (ln(1.0 + 1.0/4.0) / ln(10.0)))
+        |  + (CAST(d5 AS DOUBLE) - n * (ln(1.0 + 1.0/5.0) / ln(10.0))) * (CAST(d5 AS DOUBLE) - n * (ln(1.0 + 1.0/5.0) / ln(10.0))) / (n * (ln(1.0 + 1.0/5.0) / ln(10.0)))
+        |  + (CAST(d6 AS DOUBLE) - n * (ln(1.0 + 1.0/6.0) / ln(10.0))) * (CAST(d6 AS DOUBLE) - n * (ln(1.0 + 1.0/6.0) / ln(10.0))) / (n * (ln(1.0 + 1.0/6.0) / ln(10.0)))
+        |  + (CAST(d7 AS DOUBLE) - n * (ln(1.0 + 1.0/7.0) / ln(10.0))) * (CAST(d7 AS DOUBLE) - n * (ln(1.0 + 1.0/7.0) / ln(10.0))) / (n * (ln(1.0 + 1.0/7.0) / ln(10.0)))
+        |  + (CAST(d8 AS DOUBLE) - n * (ln(1.0 + 1.0/8.0) / ln(10.0))) * (CAST(d8 AS DOUBLE) - n * (ln(1.0 + 1.0/8.0) / ln(10.0))) / (n * (ln(1.0 + 1.0/8.0) / ln(10.0)))
+        |  + (CAST(d9 AS DOUBLE) - n * (ln(1.0 + 1.0/9.0) / ln(10.0))) * (CAST(d9 AS DOUBLE) - n * (ln(1.0 + 1.0/9.0) / ln(10.0))) / (n * (ln(1.0 + 1.0/9.0) / ln(10.0)))) <= 50.0
+        |  AS benford_ok
+        |FROM g""".stripMargin,
     "q130_cardinality" ->
       """WITH c AS (
         | SELECT l_orderkey, count(*)::BIGINT AS n FROM lineitem GROUP BY 1)

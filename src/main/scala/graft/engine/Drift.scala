@@ -116,4 +116,43 @@ object Drift {
       .groupBy("slice")
       .agg(count(lit(1)).as("n_cats"), sum("__term_ppm").as("kl_ppm_bits"))
   }
+
+  /** Benford first-significant-digit audit over a 2-decimal money-like
+    * column — the classic synthetic/fabricated-numbers detector: organic
+    * multiplicative data follows P(d) = log10(1 + 1/d); uniform or
+    * hand-typed values do not. One row out: the nine exact digit counts,
+    * the chi-square against the Benford expectations, and the flag.
+    *
+    * Parity discipline: the first digit comes from the STRING of an exact
+    * integer — the value casts to DECIMAL(18,2) (deterministic half-up in
+    * both engines, the exactSum2 contract), scales to cents, and lands a
+    * BIGINT whose decimal rendering is identical everywhere; no log10 of
+    * a double anywhere near the digit. The chi-square is a LITERAL
+    * nine-term chain in digit order (each p_d spelled ln(1+1/d)/ln(10) so
+    * both engines derive the same doubles) — no sum aggregate, no
+    * ordering ambiguity. Zero values are excluded (no first digit).
+    */
+  def benford(
+      df: DataFrame, valueCol: String, threshold: Double = 50.0): DataFrame = {
+    val cents = abs((col(valueCol).cast("decimal(18,2)") * 100)
+      .cast("long"))
+    val fd = substring(cents.cast("string"), 1, 1).cast("int")
+    val aggs = count(lit(1)).cast("double").as("n") +:
+      (1 to 9).map(d =>
+        sum(when(col("__d") === d, 1L).otherwise(0L)).as(s"d$d"))
+    val counted = df
+      .select(cents.as("__c"), fd.as("__d"))
+      .filter(col("__c") > 0)
+      .agg(aggs.head, aggs.tail: _*)
+    val chi2 = (1 to 9).map { d =>
+      val pd = log(lit(1.0) + lit(1.0) / lit(d.toDouble)) / log(lit(10.0))
+      val e = col("n") * pd
+      val diff = col(s"d$d").cast("double") - e
+      diff * diff / e
+    }.reduceLeft(_ + _)
+    counted.select((col("n").cast("long").as("n") +:
+      (1 to 9).map(d => col(s"d$d"))) ++ Seq(
+      round(chi2, 4).as("chi2"),
+      (chi2 <= threshold).as("benford_ok")): _*)
+  }
 }

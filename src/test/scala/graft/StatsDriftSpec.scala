@@ -239,4 +239,24 @@ class StatsDriftSpec extends AnyFunSuite {
       "9500/10000 must outrank 3/3 on the lower bound")
     assert(replica(3, 3) < 1000000L && replica(0, 5) >= 0L)
   }
+
+  test("benford: log-distributed digits pass, uniform digits fail, zeros " +
+    "and signs handled, digit counts exact") {
+    // counts proportional to log10(1+1/d) out of 1000
+    val benfordish = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
+    val good = benfordish.zipWithIndex.flatMap { case (k, i) =>
+      Seq.fill(k)((i + 1) * 100.0 + 0.23) } ++ Seq(0.0, -200.5) // zero + sign
+    val Seq(g) = Drift.benford(good.toDF("v"), "v")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Double, Boolean)].collect().toSeq
+    assert(g._1 === 1001L, "zero excluded, negative kept via abs")
+    assert(g._2 === 301L && g._10 === 46L, "exact digit counts")
+    assert(g._3 === 177L, "the -200.5 lands in digit 2 via abs")
+    assert(g._12 === true, s"benford-shaped data must pass: chi2=${g._11}")
+    val uniform = (1 to 9).flatMap(d => Seq.fill(111)(d * 10.0)).toDF("v")
+    val Seq(u) = Drift.benford(uniform, "v")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Double, Boolean)].collect().toSeq
+    assert(u._12 === false, s"uniform digits must fail: chi2=${u._11}")
+  }
 }
