@@ -537,6 +537,13 @@ object SparkEntry {
         "l_orderkey", "l_shipdate", "o_orderdate",
         idCols = Seq("l_orderkey", "l_linenumber"),
         ruleId = "SHIP_BEFORE_ORDER", parentKeyCol = Some("o_orderkey"))),
+    "q132_fd_audit" -> ((s, dir) =>
+      // functional-dependency audit: custkey -> orderpriority (violated by
+      // construction; witnesses are the lexicographic extremes). Duplicate
+      // (det, dep) attributions collapse map-side before the reduce.
+      Validator.fdViolations(
+        t(s, dir, "orders").filter(col("o_custkey") < 300),
+        "o_custkey", "o_orderpriority")),
     "q131_benford" -> ((s, dir) =>
       // Benford first-digit audit over lineitem prices: exact digit
       // counts via the decimal-cents string (no double log near the
@@ -2548,6 +2555,15 @@ object SparkEntry {
         |  AS message
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_orderkey < 3000 AND l.l_shipdate < o.o_orderdate""".stripMargin,
+    "q132_fd_audit" ->
+      """WITH g AS (
+        | SELECT o_custkey, o_orderpriority, count(*) AS n
+        | FROM orders WHERE o_custkey < 300
+        | GROUP BY o_custkey, o_orderpriority)
+        |SELECT o_custkey, count(*)::BIGINT AS n_distinct_dep,
+        | min(CAST(o_orderpriority AS VARCHAR)) AS dep_min,
+        | max(CAST(o_orderpriority AS VARCHAR)) AS dep_max
+        |FROM g GROUP BY o_custkey HAVING count(*) > 1""".stripMargin,
     "q131_benford" ->
       """WITH v AS (
         | SELECT CAST(abs(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)

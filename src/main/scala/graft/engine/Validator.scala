@@ -280,6 +280,29 @@ object Validator {
           "children, found "), n.cast("string")).as("message"))
   }
 
+  /** Functional-dependency audit — "does A determine B?" at table grain:
+    * one row per determinant value bound to MORE than one distinct
+    * dependent value, with the count and the lexicographic witness pair.
+    * The schema-consistency check behind denormalized corpora (a conv_id
+    * mapping to two channels, a doc_id to two languages) — violations
+    * here mean upstream joins or merges disagree about an attribute.
+    *
+    * Scale shape: one partial-combined groupBy on (det, dep) collapses
+    * duplicate attributions BEFORE the per-determinant reduce, so a
+    * billion rows re-asserting the same (id, value) cross the wire once;
+    * the second aggregate sees at most |distinct pairs| rows.
+    */
+  def fdViolations(
+      df: DataFrame, detCol: String, depCol: String): DataFrame =
+    df
+      .groupBy(col(detCol), col(depCol))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(detCol))
+      .agg(count(lit(1)).as("n_distinct_dep"),
+        min(col(depCol).cast("string")).as("dep_min"),
+        max(col(depCol).cast("string")).as("dep_max"))
+      .filter(col("n_distinct_dep") > 1)
+
   /** Per-conversation `invalid_fields` map — reference `verification.py:13`
     * + its `invalid_fields[field] = reason` updates: field → first reason,
     * assembled with `map_from_entries(collect_list(...))` (SURVEY.md §2.5).

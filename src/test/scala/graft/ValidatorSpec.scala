@@ -209,4 +209,19 @@ class ValidatorSpec extends AnyFunSuite {
       (2L, 1L, "Expected between 2 and 4 children, found 1"),
       (4L, 5L, "Expected between 2 and 4 children, found 5")))
   }
+
+  test("fdViolations: holding dependencies emit nothing; violations carry " +
+    "the distinct count and lexicographic witnesses; duplicate " +
+    "attributions collapse; null is a distinct attribution") {
+    val df = Seq(
+      (1L, "web"), (1L, "web"), (1L, "web"),       // holds (dups collapse)
+      (2L, "web"), (2L, "api"), (2L, "api"),       // violated: 2 values
+      (3L, "mob"), (3L, null), (3L, "zzz"))        // null counts as distinct
+      .toDF("conv", "channel")
+    val got = Validator.fdViolations(df, "conv", "channel")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(got === Set(
+      (2L, 2L, "api", "web"),
+      (3L, 3L, "mob", "zzz")))
+  }
 }
