@@ -66,6 +66,10 @@ object Main {
     // fail fast, never silently skip a check the user opted into
     require(!o.temporal || o.conversations.nonEmpty,
       "--temporal requires --conversations (the parent table carrying created_ts)")
+    // the deep-check sinks only run in the audit branch — reject the flags
+    // anywhere else rather than parse-and-ignore them
+    require(o.toolArgs.isEmpty && !o.temporal || o.mode == "audit",
+      s"--tool-args/--temporal run only in audit mode, got --mode ${o.mode}")
     if (o.mode != "strict") require(o.out.nonEmpty, s"--out is required in ${o.mode} mode")
 
     val builder = SparkSession.builder()

@@ -478,10 +478,12 @@ object SparkEntry {
       // FIXED centroids (the first 4 vectors) so DuckDB replays the argmax
       // assignment, the within-cluster candidate topology, and the cosine
       // gate; planted scaled copies (q39's technique) guarantee pairs and
-      // land in their original's cluster by scale-invariance.
+      // land in their original's cluster by scale-invariance. Copy-id
+      // offset 10^7 (the q110 convention) keeps planted ids collision-free
+      // up to 10^7 real vec_ids — far past any test scale factor.
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val copies = e.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 10000L).as("vec_id"),
+        .select((col("vec_id") + 10000000L).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
       val cents = e.filter(col("vec_id") < 4).orderBy("vec_id")
         .select(col("embedding").cast("array<double>")).collect()
@@ -776,7 +778,7 @@ object SparkEntry {
       // dedup, exact verify, and the threshold filter
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val copies = e.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 10000L).as("vec_id"),
+        .select((col("vec_id") + 10000000L).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
       Similarity.cosineNearDupPairs(e.unionByName(copies), threshold = 0.95)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
@@ -1725,7 +1727,7 @@ object SparkEntry {
       // scaled copies (rank 0) are the duplicates the originals win over.
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val copies = e.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 10000L).as("vec_id"),
+        .select((col("vec_id") + 10000000L).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
       val ranks = t(s, dir, "documents")
         .select(col("doc_id").as("vec_id"), col("n_chars"))
@@ -2434,7 +2436,7 @@ object SparkEntry {
       """WITH base AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cp AS (
-        | SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x * 1.01) AS v
+        | SELECT vec_id + 10000000 AS vec_id, list_transform(v, x -> x * 1.01) AS v
         | FROM base WHERE vec_id % 25 = 0),
         |allv AS (SELECT * FROM base UNION ALL SELECT * FROM cp),
         |c AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 4),
@@ -2890,7 +2892,7 @@ object SparkEntry {
       """WITH base AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cp AS (
-        | SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x * 1.01) AS v
+        | SELECT vec_id + 10000000 AS vec_id, list_transform(v, x -> x * 1.01) AS v
         | FROM base WHERE vec_id % 25 = 0),
         |allv AS (SELECT * FROM base UNION ALL SELECT * FROM cp)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -3157,7 +3159,8 @@ object SparkEntry {
         |   count(DISTINCT user_id) AS nc
         | FROM events GROUP BY 1),
         |tot AS (SELECT count(DISTINCT user_id) AS n FROM events),
-        |drops AS (SELECT s FROM f, tot WHERE nc >= ceil(0.15 * n))
+        |drops AS (SELECT s FROM f, tot
+        |          WHERE nc >= greatest(CAST(ceil(0.15 * n) AS BIGINT), 2))
         |SELECT event_id, user_id, event_type, props FROM events
         |WHERE COALESCE(event_type, 'unknown') || ':' || COALESCE(props, '')
         |  NOT IN (SELECT s FROM drops)""".stripMargin,

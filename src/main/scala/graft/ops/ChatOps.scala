@@ -131,8 +131,12 @@ object ChatOps {
       .groupBy("__sig")
       .agg(countDistinct(col(convCol)).as("__nc"))
       .crossJoin(broadcast(total))
-      .filter(col("__nc") >=
-        ceil(lit(minConvFrac) * col("__total")).cast("long"))
+      // floor at 2: a turn seen only in its own conversation cannot be
+      // cross-conversation boilerplate, and without the floor the ceil()
+      // threshold degenerates to 1 on corpora with < 1/minConvFrac
+      // conversations, silently dropping every turn
+      .filter(col("__nc") >= greatest(
+        ceil(lit(minConvFrac) * col("__total")).cast("long"), lit(2L)))
       .select("__sig")
     withSig
       .join(broadcast(dropSigs), Seq("__sig"), "left_anti")

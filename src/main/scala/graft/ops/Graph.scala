@@ -79,6 +79,11 @@ object Graph {
           expr("rank_ppm div deg").as("__c"))
         .groupBy("node")
         .agg(sum("__c").as("__s"))
+      // the round-1 frame is a plain select over `nodes`, not checkpointed —
+      // only superseded checkpoints are dropped (the Bpe.learnMerges rule:
+      // unpersist AFTER the new round materializes, so at most two (node,
+      // rank) copies ever coexist instead of `iters` accumulating)
+      val prev = if (i > 1) Some(rank) else None
       rank = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
@@ -86,6 +91,7 @@ object Graph {
             lit(85L) * expr("__s div 100") +
               expr("(85 * (__s % 100)) div 100"))).as("rank_ppm"))
         .localCheckpoint(true)
+      prev.foreach(_.unpersist())
     }
     rank
   }

@@ -118,6 +118,17 @@ class ChatOpsSpec extends AnyFunSuite {
     val all = ChatOps.dedupTurns(df, "conv", "role", "txt", 1.0)
       .select("eid").as[Long].collect().toSet
     assert(all.size === turns.size)
+
+    // threshold floor: on a tiny corpus (< 1/frac distinct convs) the
+    // ceil() threshold degenerates to 1, which without a floor drops EVERY
+    // turn (each occurs in ≥1 conversation — its own). A turn seen only in
+    // its own conversation is never boilerplate: the floor of 2 keeps the
+    // single-conversation corpus intact at any fraction.
+    val solo = df.filter($"conv" === 1L)
+    val keptSolo = ChatOps.dedupTurns(solo, "conv", "role", "txt", 0.3)
+      .select("eid").as[Long].collect().toSet
+    assert(keptSolo === solo.select("eid").as[Long].collect().toSet,
+      "single-conversation corpus must survive dedupTurns whole")
   }
 
   test("interArrival: hand-computed gaps land in their power-of-two " +

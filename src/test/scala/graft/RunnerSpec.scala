@@ -78,6 +78,16 @@ class RunnerSpec extends AnyFunSuite {
       lit(0).as("part_id"))
     clean.write.mode("overwrite").parquet(s"$in/clean")
     Main.main(Array("--input", s"$in/clean", "--mode", "strict"))
+    // the deep-check sinks run only in audit mode: opting into them in any
+    // other mode must fail fast, never parse-and-silently-skip
+    assertThrows[IllegalArgumentException] {
+      Main.main(Array("--input", s"$in/clean", "--mode", "strict",
+        "--conversations", s"$in/convs", "--temporal"))
+    }
+    assertThrows[IllegalArgumentException] {
+      Main.main(Array("--input", s"$in/clean", "--mode", "strict",
+        "--tool-args", s"$in/turns"))
+    }
   }
 
   test("spark-submit Main: corpus mode writes a split-partitioned corpus " +
