@@ -1833,8 +1833,12 @@ object SparkEntry {
           (col("doc_id") + 2000000L).as("doc_id"),
           plantedPng(col("doc_id")).as("png")),
         "doc_id", "png", lit("image"))
+      // default (strict) mode: text payloads are undecodable, so their
+      // embedding is NULL and embedding_real=false; the planted BMP/PNG
+      // rows carry real pixel-derived vectors flagged true
       Multimodal.featuresFromPacked(packed.unionByName(bmps).unionByName(pngs))
         .select(col("vec_id"), col("kind"), col("meta.byte_len").as("byte_len"),
+          col("embedding_real"),
           size(col("embedding")).as("dim"), size(col("frames")).as("n_frames"),
           col("pix.format").as("pix_format"),
           col("pix.mean_r").as("mean_r"), col("pix.mean_g").as("mean_g"),

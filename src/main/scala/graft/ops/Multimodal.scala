@@ -259,10 +259,11 @@ object Multimodal {
     * executors regardless of input file layout.
     */
   def featureTable(df: DataFrame, textCol: String, keyCol: String,
-      dim: Int = 64, parts: Int = 0): DataFrame = {
+      dim: Int = 64, parts: Int = 0,
+      syntheticFallback: Boolean = false): DataFrame = {
     val packed = packFromText(df, textCol, keyCol)
     val balanced = if (parts > 0) packed.repartition(parts, col("media_id")) else packed
-    featuresFromPacked(balanced, dim)
+    featuresFromPacked(balanced, dim, syntheticFallback)
   }
 
   /** Feature stage over an already-packed media table ([[packFromText]] /
@@ -270,9 +271,20 @@ object Multimodal {
     * pixel statistics where the payload is an uncompressed raster
     * ([[pixelStats]]) — plus `embedding` (derived from the real pixel stats
     * when decodable: channel means and histogram fractions, zero-padded to
-    * `dim`; the marked [[fakeDecodeFeatures]] stub otherwise) and `frames`.
+    * `dim`), `embedding_real` and `frames`.
+    *
+    * Undecodable payloads (JPEG, truncated blobs, text) get a NULL
+    * embedding by default — a synthetic vector silently clustering with
+    * real ones downstream is worse than a missing one, and the
+    * [[Similarity]] entry points refuse unflagged rows anyway. Plumbing
+    * tests / batch-shape rehearsals that genuinely want a deterministic
+    * placeholder opt in with `syntheticFallback = true`, which substitutes
+    * the marked [[fakeDecodeFeatures]] stub; either way `embedding_real`
+    * says which rows carry decoded pixels, so a mixed frame can never
+    * masquerade as all-real.
     */
-  def featuresFromPacked(packed: DataFrame, dim: Int = 64): DataFrame = {
+  def featuresFromPacked(packed: DataFrame, dim: Int = 64,
+      syntheticFallback: Boolean = false): DataFrame = {
     val histBins = 4
     require(dim >= 3 + 3 * histBins, s"dim must fit the ${3 + 3 * histBins} real features")
     val withPix = packed.withColumn("pix", pixelStats(col("media"), histBins))
@@ -286,13 +298,17 @@ object Multimodal {
         round(col("pix.mean_b") / 255.0, 6)),
       hfrac("hist_r"), hfrac("hist_g"), hfrac("hist_b"),
       array_repeat(lit(0.0), dim - 3 - 3 * histBins))
+    val fallback =
+      if (syntheticFallback) fakeDecodeFeatures(col("media"), dim)
+      else lit(null).cast("array<double>")
     withPix.select(
       col("media_id").as("vec_id"),
       col("kind"),
       col("meta"),
       col("pix"),
       when(col("pix.format").isNotNull, realVec)
-        .otherwise(fakeDecodeFeatures(col("media"), dim)).as("embedding"),
+        .otherwise(fallback).as("embedding"),
+      col("pix.format").isNotNull.as("embedding_real"),
       frameSample(col("media")).as("frames"))
   }
 }

@@ -26,6 +26,22 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Index-entry guard shared by every ANN / SemDeDup / cartography entry
+    * point: rows with a NULL embedding never enter the index, and when the
+    * frame carries the `embedding_real` flag
+    * ([[Multimodal.featuresFromPacked]]'s marker) only flagged-real rows
+    * do. This closes the failure mode where synthetic stub vectors (JPEG
+    * and other undecodable payloads) silently cluster with real ones; a
+    * caller who genuinely wants stub vectors indexed must drop the flag
+    * column explicitly — an auditable act — rather than rely on a default.
+    * Pure pushed-down filters: no extra job, no extra exchange.
+    */
+  private def realOnly(df: DataFrame): DataFrame = {
+    val nn = df.filter(col("embedding").isNotNull)
+    if (df.columns.contains("embedding_real")) nn.filter(col("embedding_real"))
+    else nn
+  }
+
   /** Exact brute-force top-k: broadcast the (small) query set against the
     * full embedding table, rank per query. The join is broadcast-nested-loop
     * by construction (no key) — correct baseline; `annTopK` is the scale
@@ -35,8 +51,9 @@ object Similarity {
       embeddings: DataFrame,
       queries: DataFrame,
       k: Int = 10): DataFrame = {
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val q = queries.select(col("vec_id").as("query_id"),
+    val e = realOnly(embeddings)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = realOnly(queries).select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("qv"))
     val scored = e
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -79,13 +96,14 @@ object Similarity {
       dim: Int = 64,
       multiprobe: Boolean = true): DataFrame = {
     val planes = hyperplanes(dim, nBits)
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = realOnly(embeddings)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
     val probes: Column => Column = b =>
       if (multiprobe)
         array((b +: (0 until nBits).map(i => b.bitwiseXOR(lit(1L << i)))): _*)
       else array(b)
-    val q = queries.select(col("vec_id").as("query_id"),
+    val q = realOnly(queries).select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("qv"))
       .withColumn("bucket", explode(probes(lshBucket(col("qv"), planes))))
     val w = Window.partitionBy("query_id")
@@ -108,7 +126,7 @@ object Similarity {
     */
   def ivfCentroids(
       embeddings: DataFrame, nCentroids: Int = 16): Seq[Seq[Double]] =
-    embeddings
+    realOnly(embeddings)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .orderBy(xxhash64(col("vec_id")))
       .limit(nCentroids)
@@ -140,7 +158,8 @@ object Similarity {
       nCentroids: Int = 16,
       iters: Int = 2): Seq[Seq[Double]] = {
     var cents = ivfCentroids(embeddings, nCentroids)
-    val raw = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val raw = realOnly(embeddings)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val nrm = l2norm(col("v"))
     val e = raw.select(col("vec_id"),
       when(nrm > 0, transform(col("v"), x => x / nrm))
@@ -206,7 +225,8 @@ object Similarity {
   private def probedCandidates(
       embeddings: DataFrame, queries: DataFrame,
       cents: Seq[Seq[Double]], nProbe: Int): DataFrame = {
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = realOnly(embeddings)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("cid", ivfAssign(col("v"), cents))
     val probeList = {
       // top nProbe centroid ids by cosine: sort struct(-cos, i) ascending
@@ -215,7 +235,7 @@ object Similarity {
       }: _*)
       transform(slice(array_sort(scoredArr), 1, nProbe), x => x.getField("i"))
     }
-    val q = queries.select(col("vec_id").as("query_id"),
+    val q = realOnly(queries).select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("qv"))
       .withColumn("cid", explode(probeList))
     e.join(broadcast(q), Seq("cid"))
@@ -263,7 +283,7 @@ object Similarity {
       maxBucket: Int = 2000): DataFrame = {
     val planes = hyperplanes(dim, nBits)
     Dedup.bucketAudit(
-      embeddings.select(col("vec_id").as("id"),
+      realOnly(embeddings).select(col("vec_id").as("id"),
         lshBucket(asDouble(col("embedding")), planes).as("bucket")),
       "bucket", maxBucket)
   }
@@ -278,7 +298,8 @@ object Similarity {
       dim: Int = 64,
       maxBucket: Int = 2000): DataFrame = {
     val planes = hyperplanes(dim, nBits)
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = realOnly(embeddings)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // narrow candidate generation (ids only), vectors joined back after —
@@ -323,7 +344,7 @@ object Similarity {
       threshold: Double = 0.95,
       maxCluster: Int = 10000): DataFrame = {
     require(centroids.nonEmpty, "centroids required")
-    val e = embeddings
+    val e = realOnly(embeddings)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("cid", ivfAssign(col("v"), centroids))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -352,7 +373,7 @@ object Similarity {
       centroids: Seq[Seq[Double]],
       maxCluster: Int = 10000): DataFrame =
     Dedup.bucketAudit(
-      embeddings.select(col("vec_id").as("id"),
+      realOnly(embeddings).select(col("vec_id").as("id"),
         ivfAssign(asDouble(col("embedding")), centroids).as("bucket")),
       "bucket", maxCluster)
 
@@ -369,10 +390,11 @@ object Similarity {
       iters: Int = 2,
       threshold: Double = 0.95,
       maxCluster: Int = 10000): DataFrame = {
-    val cents = kmeansCentroids(embeddings, nCentroids, iters)
-    val pairs = semDedupPairs(embeddings, cents, threshold, maxCluster)
+    val real = realOnly(embeddings)
+    val cents = kmeansCentroids(real, nCentroids, iters)
+    val pairs = semDedupPairs(real, cents, threshold, maxCluster)
     Connected.keepBestClusters(
-      embeddings.select(col("vec_id")).join(ranks, Seq("vec_id"), "left")
+      real.select(col("vec_id")).join(ranks, Seq("vec_id"), "left")
         .select(col("vec_id"), coalesce(col(rankCol), lit(0L)).as(rankCol)),
       pairs, "vec_id", rankCol)
   }
@@ -394,7 +416,7 @@ object Similarity {
     */
   def groupCentroidCosine(
       embeddings: DataFrame, groupCol: String): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col(groupCol),
+    val e = realOnly(embeddings).select(col("vec_id"), col(groupCol),
       asDouble(col("embedding")).as("v"))
     val cents = e
       .select(col(groupCol), posexplode(col("v")).as(Seq("pos", "x")))

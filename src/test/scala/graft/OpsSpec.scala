@@ -224,16 +224,47 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((7L, 1007L)))
   }
 
-  test("multimodal plumbing: schema, deterministic stub features, frames") {
-    val ft = Multimodal.featureTable(docs, "text", "doc_id").cache()
-    assert(ft.columns.toSet === Set("vec_id", "kind", "meta", "pix", "embedding", "frames"))
+  test("multimodal plumbing: schema, deterministic stub features, frames; " +
+    "undecodable payloads get NULL embeddings unless the caller opts in") {
+    // default: undecodable (text) payloads carry NO embedding — a synthetic
+    // vector must never be consumable by accident (VERDICT r4 item 1)
+    val strict = Multimodal.featureTable(docs, "text", "doc_id").cache()
+    assert(strict.columns.toSet === Set(
+      "vec_id", "kind", "meta", "pix", "embedding", "embedding_real", "frames"))
+    val srow = strict.filter(col("vec_id") === 1).collect()(0)
+    assert(srow.isNullAt(srow.fieldIndex("embedding")),
+      "undecodable payload must yield a NULL embedding by default")
+    assert(!srow.getAs[Boolean]("embedding_real"))
+    // opt-in plumbing mode: the marked stub, still flagged embedding_real=false
+    val ft = Multimodal
+      .featureTable(docs, "text", "doc_id", syntheticFallback = true).cache()
     val row = ft.filter(col("vec_id") === 1).collect()(0)
     assert(row.getAs[Seq[Double]]("embedding").length === 64)
+    assert(!row.getAs[Boolean]("embedding_real"))
     assert(row.getAs[Seq[Any]]("frames").length === 4)
     // identical media bytes -> identical stub features (doc 1 == doc 4 text)
     val f = ft.filter(col("vec_id").isin(1L, 4L))
       .select("embedding").as[Seq[Double]].collect()
     assert(f(0) === f(1))
+  }
+
+  test("a JPEG payload sniffs as jpeg but carries NO embedding (pixels are " +
+    "not decoded) — the synthetic stub can never masquerade as a decode") {
+    // minimal JPEG: SOI + SOF0 segment with 2x3 dims (header-sniffable,
+    // pixels undecodable here — no DCT/huffman codec in this container)
+    val jpeg: Array[Byte] = Array(
+      0xFF, 0xD8,                                  // SOI
+      0xFF, 0xC0, 0x00, 0x0B, 0x08,                // SOF0, len 11, 8-bit
+      0x00, 0x02, 0x00, 0x03,                      // height 2, width 3
+      0x01, 0x01, 0x11, 0x00).map(_.toByte)
+    val ft = Multimodal.featuresFromPacked(Multimodal.packMedia(
+      Seq((1L, jpeg)).toDF("id", "media"), "id", "media", lit("image")))
+    val row = ft.select(col("meta.format"), col("meta.width"),
+      col("meta.height"), col("embedding"), col("embedding_real")).collect()(0)
+    assert(row.getString(0) === "jpeg", "header sniff is real")
+    assert(row.getInt(1) === 3 && row.getInt(2) === 2, "SOF0 dims parsed")
+    assert(row.isNullAt(3), "JPEG embedding must be NULL by default")
+    assert(!row.getBoolean(4), "and flagged not-real")
   }
 
   test("bpe tokenizer: lossless partition, truncation is an exact prefix") {

@@ -79,6 +79,47 @@ class SemDedupSpec extends AnyFunSuite {
     assert(out(1L) && out(2L) && out(11L), "singletons are keepers")
   }
 
+  test("synthetic / null embeddings never enter the index: rows flagged " +
+    "embedding_real=false (the Multimodal stub marker) and NULL-embedding " +
+    "rows are excluded from pairs, keepers, and ANN candidates") {
+    // a stub vector byte-identical to real vector 0 (the exact failure
+    // mode: a fake JPEG embedding that would cluster with a real one), a
+    // NULL-embedding row, plus real rows flagged true
+    val mixed = Seq(
+      (0L, Some(Seq(1f, 0.01f, 0f, 0f)), true),
+      (1L, Some(Seq(1f, -0.02f, 0.01f, 0f)), true),
+      (100L, Some(Seq(2f, 0.02f, 0f, 0f)), true),
+      (666L, Some(Seq(1f, 0.01f, 0f, 0f)), false), // stub clone of 0
+      (667L, None: Option[Seq[Float]], true))      // undecodable -> NULL
+      .toDF("vec_id", "embedding", "embedding_real")
+    val pairs = Similarity.semDedupPairs(mixed, centroids, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.exists(p => p._1 == 0L || p._2 == 0L), "real dup found")
+    assert(!pairs.exists(p => p._1 >= 666L || p._2 >= 666L),
+      s"stub/null rows must never pair: $pairs")
+    val ranks = Seq((0L, 1L), (1L, 2L), (100L, 3L), (666L, 9L), (667L, 9L))
+      .toDF("vec_id", "n_chars")
+    val keepers = Similarity.semDedup(mixed, ranks, "n_chars",
+      nCentroids = 2, iters = 1, threshold = 0.99)
+      .select("id").as[Long].collect().toSet
+    assert(keepers === Set(0L, 1L, 100L),
+      s"stub/null rows get no keeper verdict at all: $keepers")
+    val ann = Similarity.annTopK(mixed,
+      mixed.filter(col("vec_id") === 666L), k = 5, nBits = 2, dim = 4)
+    assert(ann.count() === 0, "a stub query probes nothing")
+    val brute = Similarity.bruteForceTopK(mixed,
+      mixed.filter(col("vec_id") === 1L), k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!brute.contains(666L) && !brute.contains(667L),
+      "stub/null rows are not candidates")
+    // dropping the flag column is the explicit opt-in: stubs then index
+    val optIn = Similarity.semDedupPairs(
+      mixed.filter(col("embedding").isNotNull).drop("embedding_real"),
+      centroids, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(optIn.contains((0L, 666L)), s"explicit opt-in still works: $optIn")
+  }
+
   test("groupCentroidCosine: identical members score 1, an orthogonal " +
     "pair scores symmetrically, result is partitioning-invariant") {
     val emb = Seq(
