@@ -114,6 +114,34 @@ object SparkEntry {
       lit("0000" + "4000")))
   }
 
+  /** Eight deterministic flat-color baseline JPEGs ([[graft.ops.JpegPlant]]
+    * — DC-only, all-ones quant table, so every decoded sample is EXACTLY
+    * 128 + dc/8): variants 0-3 are 8×8 grayscale at 88/104/120/136,
+    * variants 4-7 are 16×16 YCbCr 4:2:0 at (136,80,192) (96,160,96)
+    * (200,128,128) (64,192,64) — the last one drives R through the clamp.
+    * The blobs are huffman-coded (not SQL-expressible), but the decoded
+    * means ARE analytic, so q133's DuckDB oracle replays the JFIF
+    * conversion arithmetic independently — no decoder on the oracle side,
+    * the check is cross-engine, not circular.
+    */
+  private lazy val jpegVariantHex: Seq[String] = {
+    def hx(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+    val gray = Seq(88, 104, 120, 136).map(g =>
+      hx(graft.ops.JpegPlant.flat(8, 8, Seq(8 * (g - 128)), Seq((1, 1)))))
+    val color = Seq((136, 80, 192), (96, 160, 96), (200, 128, 128),
+      (64, 192, 64)).map { case (y, cb, cr) =>
+      hx(graft.ops.JpegPlant.flat(16, 16,
+        Seq(8 * (y - 128), 8 * (cb - 128), 8 * (cr - 128)),
+        Seq((2, 2), (1, 1), (1, 1))))
+    }
+    gray ++ color
+  }
+
+  /** doc_id → one of the eight [[jpegVariantHex]] blobs (doc_id mod 8). */
+  private def plantedJpeg(docId: Column): Column =
+    unhex(element_at(typedlit(jpegVariantHex),
+      (pmod(docId, lit(8)) + 1).cast("int")))
+
   /** Planted span-dedup corpus shared by q78/q79: docs ≡ 0 (mod 7) get one
     * of 3 shared boilerplate paragraphs appended — built identically in
     * the DuckDB oracles so the winnow pipeline is replayed end-to-end.
@@ -1134,6 +1162,19 @@ object SparkEntry {
           col("p.n_pixels").as("n_pixels"), col("p.mean_r").as("mean_r"),
           col("p.mean_g").as("mean_g"), col("p.mean_b").as("mean_b"))
     }),
+    "q133_jpeg_pixel_stats" -> ((s, dir) => {
+      // real ENTROPY-CODED pixel decode, oracle-certified: planted
+      // [[jpegVariantHex]] baseline JPEGs (huffman DC + IDCT + 4:2:0
+      // chroma upsample + JFIF YCbCr, incl. one clamped channel) decoded
+      // by the pure-JVM JPEG expression — the oracle replays the analytic
+      // 128+dc/8 samples and the JFIF conversion arithmetic independently
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          graft.ops.Multimodal.pixelStats(plantedJpeg(col("doc_id"))).as("p"))
+        .select(col("doc_id"), col("p.format").as("pix_format"),
+          col("p.n_pixels").as("n_pixels"), col("p.mean_r").as("mean_r"),
+          col("p.mean_g").as("mean_g"), col("p.mean_b").as("mean_b"))
+    }),
     "q70_weighted_sample" -> ((s, dir) => {
       // Efraimidis–Spirakis weighted race, oracle-replayed: top-25 docs by
       // ln(u)/w with u a dyadic rational from md5(doc_id) and w = n_chars —
@@ -1833,10 +1874,18 @@ object SparkEntry {
           (col("doc_id") + 2000000L).as("doc_id"),
           plantedPng(col("doc_id")).as("png")),
         "doc_id", "png", lit("image"))
+      // planted baseline JPEGs (one per variant) — the huffman+IDCT decode
+      // feeds the embedding path end-to-end too
+      val jpgs = Multimodal.packMedia(
+        docs.filter(col("doc_id") < 8).select(
+          (col("doc_id") + 3000000L).as("doc_id"),
+          plantedJpeg(col("doc_id")).as("jpg")),
+        "doc_id", "jpg", lit("image"))
       // default (strict) mode: text payloads are undecodable, so their
-      // embedding is NULL and embedding_real=false; the planted BMP/PNG
-      // rows carry real pixel-derived vectors flagged true
-      Multimodal.featuresFromPacked(packed.unionByName(bmps).unionByName(pngs))
+      // embedding is NULL and embedding_real=false; the planted
+      // BMP/PNG/JPEG rows carry real pixel-derived vectors flagged true
+      Multimodal.featuresFromPacked(
+        packed.unionByName(bmps).unionByName(pngs).unionByName(jpgs))
         .select(col("vec_id"), col("kind"), col("meta.byte_len").as("byte_len"),
           col("embedding_real"),
           size(col("embedding")).as("dim"), size(col("frames")).as("n_frames"),
@@ -3045,6 +3094,34 @@ object SparkEntry {
         | round(CAST(6 * (doc_id * 11 % 256) + 1605 AS DOUBLE) / 16, 4) AS mean_g,
         | round(CAST(6 * (doc_id * 37 % 256) + 631 AS DOUBLE) / 16, 4) AS mean_b
         |FROM documents WHERE doc_id < 200""".stripMargin,
+    "q133_jpeg_pixel_stats" ->
+      // analytic replay of the flat-JPEG decode: gray variants are the
+      // constant 128+dc/8 on all channels; color variants run the exact
+      // JFIF double arithmetic the decoder pins (floor(x+0.5), clamp)
+      """WITH v(vr, y, cb, cr, npx) AS (VALUES
+        | (0,  88, NULL, NULL,  64),
+        | (1, 104, NULL, NULL,  64),
+        | (2, 120, NULL, NULL,  64),
+        | (3, 136, NULL, NULL,  64),
+        | (4, 136,   80,  192, 256),
+        | (5,  96,  160,   96, 256),
+        | (6, 200,  128,  128, 256),
+        | (7,  64,  192,   64, 256))
+        |SELECT d.doc_id,
+        | 'jpeg' AS pix_format,
+        | CAST(v.npx AS BIGINT) AS n_pixels,
+        | round(CASE WHEN v.cb IS NULL THEN CAST(v.y AS DOUBLE)
+        |  ELSE least(255.0, greatest(0.0,
+        |   floor(v.y + 1.402 * (v.cr - 128) + 0.5))) END, 4) AS mean_r,
+        | round(CASE WHEN v.cb IS NULL THEN CAST(v.y AS DOUBLE)
+        |  ELSE least(255.0, greatest(0.0,
+        |   floor(v.y - 0.344136 * (v.cb - 128)
+        |         - 0.714136 * (v.cr - 128) + 0.5))) END, 4) AS mean_g,
+        | round(CASE WHEN v.cb IS NULL THEN CAST(v.y AS DOUBLE)
+        |  ELSE least(255.0, greatest(0.0,
+        |   floor(v.y + 1.772 * (v.cb - 128) + 0.5))) END, 4) AS mean_b
+        |FROM documents d JOIN v ON d.doc_id % 8 = v.vr
+        |WHERE d.doc_id < 200""".stripMargin,
     "q70_weighted_sample" ->
       """SELECT doc_id, w FROM (
         | SELECT doc_id, greatest(n_chars, 1) AS w,

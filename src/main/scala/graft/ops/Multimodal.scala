@@ -18,12 +18,14 @@ import org.apache.spark.sql.functions._
   * Inflater — [[graft.functions.PngDecode]]) and for GIF87a/89a first
   * frames (LZW ≤12-bit codes, decoded by the pure-JVM
   * [[graft.functions.GifDecode]]; interlacing is free because channel
-  * stats are order-invariant) — both codegen'd custom Expressions. Only
-  * JPEG pixel payloads keep the **STUB**: this
-  * container has no image/audio codec libraries, so `fakeDecodeFeatures`
-  * derives deterministic pseudo-features from the bytes (clearly marked;
-  * swap in a real decoder via mapInPandas on a cluster with the codec libs
-  * installed).
+  * stats are order-invariant) AND for baseline sequential huffman JPEG
+  * (full marker-walk → entropy decode → IDCT → YCbCr, pure JVM —
+  * [[graft.functions.JpegDecode]]) — all codegen'd custom Expressions.
+  * Only out-of-envelope payloads (progressive/arithmetic JPEG, compressed
+  * audio samples) have no real decode: this container has no codec
+  * libraries, so those rows surface NULL features (or, on explicit
+  * opt-in, the clearly-marked `fakeDecodeFeatures` stub; swap in a real
+  * decoder via mapInPandas on a cluster with the codec libs installed).
   */
 object Multimodal {
 
@@ -163,9 +165,12 @@ object Multimodal {
     *    gray/gray+alpha/RGB/RGBA PNG via the JDK Inflater.
     *  - [[graft.functions.GifPixelStats]]: GIF87a/89a first frame via
     *    pure-JVM LZW; interlace is free since the stats are order-invariant.
+    *  - [[graft.functions.JpegPixelStats]]: baseline sequential huffman
+    *    JPEG (SOF0/SOF1 8-bit, grayscale + YCbCr at 4:4:4/4:2:2/4:4:0/
+    *    4:2:0, restart intervals) — full entropy decode + IDCT, pure JVM.
     *
-    * PGM and grayscale PNG report their gray channel on all three. JPEG
-    * (DCT + Huffman — a real codec), truncated, top-down BMP, or
+    * PGM and grayscale PNG/JPEG report their gray channel on all three.
+    * Progressive/arithmetic JPEG, truncated, top-down BMP, or
     * over-`maxPixels` payloads come back null — this decode is sized for
     * thumbnails; a production cluster swaps in mapInPandas + a codec for
     * big frames, leaving every schema and join downstream unchanged.
@@ -186,7 +191,8 @@ object Multimodal {
     coalesce(
       graft.functions.RasterPixelStats.rasterPixelStats(media, histBins, maxPixels),
       graft.functions.PngPixelStats.pngPixelStats(media, histBins, maxPixels),
-      graft.functions.GifPixelStats.gifPixelStats(media, histBins, maxPixels))
+      graft.functions.GifPixelStats.gifPixelStats(media, histBins, maxPixels),
+      graft.functions.JpegPixelStats.jpegPixelStats(media, histBins, maxPixels))
   }
 
   /** Wrap a text table into a media table: (key, kind, media BINARY,
@@ -273,7 +279,7 @@ object Multimodal {
     * when decodable: channel means and histogram fractions, zero-padded to
     * `dim`), `embedding_real` and `frames`.
     *
-    * Undecodable payloads (JPEG, truncated blobs, text) get a NULL
+    * Undecodable payloads (progressive JPEG, truncated blobs, text) get a NULL
     * embedding by default — a synthetic vector silently clustering with
     * real ones downstream is worse than a missing one, and the
     * [[Similarity]] entry points refuse unflagged rows anyway. Plumbing

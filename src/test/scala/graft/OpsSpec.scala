@@ -248,10 +248,11 @@ class OpsSpec extends AnyFunSuite {
     assert(f(0) === f(1))
   }
 
-  test("a JPEG payload sniffs as jpeg but carries NO embedding (pixels are " +
-    "not decoded) — the synthetic stub can never masquerade as a decode") {
-    // minimal JPEG: SOI + SOF0 segment with 2x3 dims (header-sniffable,
-    // pixels undecodable here — no DCT/huffman codec in this container)
+  test("a TRUNCATED JPEG (header only, no tables/scan) sniffs as jpeg but " +
+    "carries NO embedding — the synthetic stub can never masquerade as a " +
+    "decode (decodable baseline JPEGs get real embeddings: JpegSpec)") {
+    // header-only JPEG: SOI + SOF0 with 2x3 dims (header-sniffable, but
+    // no DQT/DHT/SOS — nothing to decode)
     val jpeg: Array[Byte] = Array(
       0xFF, 0xD8,                                  // SOI
       0xFF, 0xC0, 0x00, 0x0B, 0x08,                // SOF0, len 11, 8-bit
