@@ -142,6 +142,18 @@ object SparkEntry {
     unhex(element_at(typedlit(jpegVariantHex),
       (pmod(docId, lit(8)) + 1).cast("int")))
 
+  /** Pinned merge list for q134's learned-token-budget replay: a chained
+    * English-ish table (th → the → " the") exercising multi-level merges.
+    * The LEARNING of merge lists is gate-checked by BpeSpec + t22; this
+    * entry cross-checks the ENCODE+budget semantics (left-to-right
+    * non-overlapping rewrite, prefix truncation) against an independent
+    * DuckDB replay — chr(1)-separated symbols + a replace() chain, a
+    * different implementation of the same rewrite rule.
+    */
+  private val bpeOracleMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), (" ", "the"), ("i", "n"),
+    ("a", "n"), ("an", "d"), ("e", "r"), ("o", "n"))
+
   /** Planted span-dedup corpus shared by q78/q79: docs ≡ 0 (mod 7) get one
     * of 3 shared boilerplate paragraphs appended — built identically in
     * the DuckDB oracles so the winnow pipeline is replayed end-to-end.
@@ -373,6 +385,21 @@ object SparkEntry {
             .as("total_bpe_tokens"),
           sum(length(TextOps.truncateToTokens(col("text"), 50)).cast("long"))
             .as("trunc50_chars"),
+          count(lit(1)).as("n_docs"))
+    }),
+    "q134_learned_bpe_budget" -> ((s, dir) => {
+      // LEARNED-merge token budget (reduce_input_size with a real BPE
+      // table, closing the tokenizer-parity gap): per lang, total learned
+      // symbols and the char length of the 16-symbol prefix — the DuckDB
+      // twin replays the merge rewrite with a separator+replace chain
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          sum(TextOps.bpeTokenCountLearned(col("text"), bpeOracleMerges)
+            .cast("long")).as("total_learned_tokens"),
+          sum(length(TextOps.truncateToTokensLearned(
+            col("text"), 16, bpeOracleMerges)).cast("long"))
+            .as("trunc16_chars"),
           count(lit(1)).as("n_docs"))
     }),
     "q22_quality_score" -> ((s, dir) => {
@@ -2288,6 +2315,31 @@ object SparkEntry {
          | CAST(sum(length(array_to_string(regexp_extract_all(COALESCE(text, ''), '${graft.ops.TextOps.bpeTokenRe}')[1:50], ''))) AS BIGINT) AS trunc50_chars,
          | count(*) AS n_docs
          |FROM documents GROUP BY lang""".stripMargin,
+    "q134_learned_bpe_budget" -> {
+      // independent replay of the learned-merge rewrite: symbols are
+      // chr(1)-terminated runs; each merge (a,b) is one replace() of
+      // 'a<sep>b<sep>' with 'ab<sep>' — string replace scans left-to-right
+      // non-overlapping, exactly the BPE rule
+      def q(s: String) = "'" + s.replace("'", "''") + "'"
+      // (?s): '.' must match newlines too — whitespace pre-tokens carry \n
+      val chain = bpeOracleMerges.foldLeft(
+        "regexp_replace(t, '(?s)(.)', '\\1' || chr(1), 'g')") {
+        case (acc, (a, b)) =>
+          s"replace($acc, ${q(a)} || chr(1) || ${q(b)} || chr(1), ${q(a + b)} || chr(1))"
+      }
+      s"""WITH enc AS (
+         | SELECT lang, coalesce(list_aggregate(list_transform(
+         |   regexp_extract_all(COALESCE(text, ''), '${graft.ops.TextOps.bpeTokenRe}'),
+         |   t -> $chain), 'string_agg', ''), '') AS seq
+         | FROM documents)
+         |SELECT lang,
+         | CAST(sum(length(seq) - length(replace(seq, chr(1), ''))) AS BIGINT)
+         |   AS total_learned_tokens,
+         | CAST(sum(length(array_to_string(string_split(seq, chr(1))[1:16], '')))
+         |   AS BIGINT) AS trunc16_chars,
+         | count(*) AS n_docs
+         |FROM enc GROUP BY lang""".stripMargin
+    },
     "q23_embedding_integrity" ->
       """SELECT count(*) AS n_vecs,
         | CAST(min(len(embedding)) AS BIGINT) AS min_dim,

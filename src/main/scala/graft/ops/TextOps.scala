@@ -153,6 +153,47 @@ object TextOps {
   def truncateToTokens(c: Column, maxTokens: Int): Column =
     array_join(slice(bpeTokens(c), 1, maxTokens), "")
 
+  /** LEARNED-merge token stream: pre-tokenize with [[bpeTokenRe]], then
+    * split each pre-token to characters and apply the learned merge list
+    * in order (the [[graft.ops.Bpe]] rewrite rule, left-to-right
+    * non-overlapping) — closing the reference `reduce_input_size`
+    * tokenizer-parity gap: the budget now counts REAL BPE symbols from a
+    * learned table ([[graft.ops.Bpe.learnMerges]] /
+    * [[graft.ops.Bpe.learnMergesBatched]]), not just pre-token runs.
+    * Merges only concatenate adjacent characters, so joining the symbols
+    * still reconstructs the input byte-for-byte (lossless, spec-asserted).
+    * Expression depth grows with the merge count — sized for modest merge
+    * lists (budgets, audits); a production encoder compiles the table
+    * into one custom Expression.
+    */
+  def bpeTokensLearned(c: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(bpeTokens(c), w => {
+      val chars = transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+      merges.foldLeft(chars) { case (acc, (a, b)) =>
+        aggregate(acc, array().cast("array<string>"), (s, x) =>
+          when(size(s) === 0, array(x))
+            .when(element_at(s, -1) === a && x === b,
+              concat(slice(s, lit(1), size(s) - 1), array(lit(a + b))))
+            .otherwise(concat(s, array(x))))
+      }
+    }))
+
+  /** Learned-merge token count — bounded between [[bpeTokenCount]]'s
+    * pre-token run count (every pre-token yields ≥ 1 symbol) and the
+    * character count (merges only fuse, never split), converging down
+    * toward the run count as the merge table grows — the real-tokenizer
+    * behavior the run-count stand-in approximates from below.
+    */
+  def bpeTokenCountLearned(c: Column, merges: Seq[(String, String)]): Column =
+    size(bpeTokensLearned(c, merges))
+
+  /** Learned-merge token-budget truncation: keep the first `maxTokens`
+    * LEARNED symbols — still an exact character prefix of the input.
+    */
+  def truncateToTokensLearned(
+      c: Column, maxTokens: Int, merges: Seq[(String, String)]): Column =
+    array_join(slice(bpeTokensLearned(c, merges), 1, maxTokens), "")
+
   /** Strip markdown code fences — reference `clean_json_string`
     * (`src/utils/utils.py:20-27`): remove leading ```json / ``` fences and
     * trailing ``` then trim.

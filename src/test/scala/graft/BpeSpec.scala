@@ -74,6 +74,48 @@ class BpeSpec extends AnyFunSuite {
     assert(got === Seq(("a", "a"), ("aa", "aa")))
   }
 
+  test("learnMergesBatched with maxBatch=1 IS learnMerges on an arbitrary " +
+    "hash-generated corpus (exact reduction, not just similar output)") {
+    val texts = (0 until 200).map(i =>
+      s"w${i % 17} tok${i % 7} ab${i % 5}cd common shared text piece ${i % 3}")
+    val wf = Bpe.wordFreqs(texts.toDF("text"), "text")
+    assert(Bpe.learnMergesBatched(wf, nMerges = 10, maxBatch = 1) ===
+      Bpe.learnMerges(wf, nMerges = 10))
+  }
+
+  test("learnMergesBatched equals the sequential learner on corpora where " +
+    "no in-round-created pair outranks a later candidate (disjoint-token " +
+    "batching semantics), across batch sizes") {
+    // four token-disjoint dominant pairs with strictly separated counts,
+    // then second-tier merges built on the first round's outputs
+    val words = Seq(
+      ("ab", 50L), ("cd", 40L), ("ef", 30L), ("gh", 20L),
+      ("abcd", 10L), ("efgh", 5L))
+    val wf = words.toDF("word", "freq")
+    val seqList = Bpe.learnMerges(wf, nMerges = 8)
+    for (batch <- Seq(2, 4, 8)) {
+      val got = Bpe.learnMergesBatched(wf, nMerges = 8, maxBatch = batch)
+      assert(got === seqList, s"maxBatch=$batch diverged: $got vs $seqList")
+    }
+    // and the learned list actually contains the chained merges
+    assert(seqList.take(4) === Seq(("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")))
+    assert(seqList.contains(("ab", "cd")) && seqList.contains(("ef", "gh")))
+  }
+
+  test("batched overlap deferral: candidates sharing a symbol with an " +
+    "accepted merge wait for the next round and the final list still " +
+    "matches sequential (the 'abc' chain case)") {
+    // (a,b) count 60 dominates; (b,c) count 30 shares b -> deferred; after
+    // the round, 'abc' is ['ab','c'] so the next round sees (ab,c) —
+    // sequential takes the identical path
+    val words = Seq(("ab", 30L), ("abc", 30L))
+    val wf = words.toDF("word", "freq")
+    val seqList = Bpe.learnMerges(wf, nMerges = 4)
+    val batched = Bpe.learnMergesBatched(wf, nMerges = 4, maxBatch = 4)
+    assert(batched === seqList)
+    assert(seqList === Seq(("a", "b"), ("ab", "c")))
+  }
+
   test("encodeWords: tokens concatenate back to the word, merged symbols " +
     "appear as single tokens, merge order respected") {
     val wf = Bpe.wordFreqs(corpus.toDF("text"), "text")
@@ -89,5 +131,47 @@ class BpeSpec extends AnyFunSuite {
     val theTokens = Bpe.encodeWords(Seq("the").toDF("text"), "text", merges)
       .select("tokens").as[Seq[String]].head()
     assert(theTokens.length <= 2, s"expected 'the' compressed, got $theTokens")
+  }
+
+  test("learned token budget (TextOps.bpeTokensLearned): lossless " +
+    "partition, truncation is an exact prefix, counts match a scalar " +
+    "replica and never exceed the pre-token upper bound") {
+    import graft.ops.TextOps
+    val merges = Seq(("t", "h"), ("th", "e"), (" ", "the"), ("i", "n"),
+      ("a", "n"), ("an", "d"), ("e", "r"), ("o", "n"))
+    val texts = Seq(
+      "the then and another, in on thin air!",
+      "The Thermal THE the", // case preserved: merges fire on lowercase only
+      "  double  space\tand\nnewline", "", "no merges here: xyz qqq 42")
+    def replica(t: String): Vector[String] = {
+      val pre = TextOps.bpeTokenRe.r.findAllIn(t).toVector
+      pre.flatMap { w =>
+        merges.foldLeft(w.map(_.toString).toVector)((acc, m) =>
+          applyMergeScalar(acc, m))
+      }
+    }
+    val got = texts.toDF("t").select(
+      col("t"),
+      TextOps.bpeTokensLearned(col("t"), merges).as("toks"),
+      TextOps.bpeTokenCountLearned(col("t"), merges).as("n"),
+      TextOps.bpeTokenCount(col("t")).as("nPre"),
+      TextOps.truncateToTokensLearned(col("t"), 5, merges).as("p5"))
+      .as[(String, Seq[String], Int, Int, String)].collect()
+    got.foreach { case (t, toks, n, nPre, p5) =>
+      val want = replica(t)
+      assert(toks === want, s"symbol stream for '$t'")
+      assert(toks.mkString("") === t, s"lossless for '$t'")
+      assert(t.startsWith(p5), s"'$p5' not a prefix of '$t'")
+      assert(p5 === want.take(5).mkString(""), s"prefix symbols for '$t'")
+      assert(n === want.length)
+      // the learned count sits between the pre-token run count (every
+      // pre-token yields >= 1 symbol) and the character count (merges
+      // only fuse, never split)
+      assert(n >= nPre && n <= t.length, s"bounds for '$t': $nPre <= $n")
+    }
+    // 'the' with the chain (t,h)(th,e)( ,the): " the" is ONE symbol
+    val one = Seq(" the").toDF("t")
+      .select(TextOps.bpeTokensLearned(col("t"), merges)).as[Seq[String]].head()
+    assert(one === Seq(" the"))
   }
 }
