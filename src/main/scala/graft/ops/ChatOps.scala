@@ -43,6 +43,30 @@ object ChatOps {
       .withColumn("n_tokens", greatest(lit(1L),
         floor(length(col("rendered")) / lit(4)).cast("long")))
 
+  /** Group-size audit for the whole-conversation assembly ops
+    * ([[renderConversations]] / [[messagesJson]] / [[sftCorpus]] /
+    * [[prefixSignatures]]) — the [[Dedup.bucketAudit]] shape applied to
+    * the conv key: ONE row (n_convs, max_turns, n_oversized_convs,
+    * n_turns_in_oversized). Those ops materialize one conversation's
+    * turns per task ("bounded by construction" — transcripts are
+    * thousands of turns, not millions); this audit turns that claim into
+    * a COUNT, so an adversarial mega-conversation is measured up front
+    * instead of OOMing an executor mid-assembly. Only (conv, count) rows
+    * shuffle — turn text never enters the exchange (PlanSpec-pinned).
+    */
+  def convSizeAudit(
+      df: DataFrame, convCol: String, maxTurns: Long = 100000L): DataFrame = {
+    require(maxTurns >= 1, "maxTurns >= 1")
+    df.groupBy(col(convCol)).agg(count(lit(1)).as("bn"))
+      .agg(
+        count(lit(1)).as("n_convs"),
+        coalesce(max(col("bn")), lit(0L)).as("max_turns"),
+        coalesce(sum(when(col("bn") > maxTurns, 1L)), lit(0L))
+          .as("n_oversized_convs"),
+        coalesce(sum(when(col("bn") > maxTurns, col("bn"))), lit(0L))
+          .as("n_turns_in_oversized"))
+  }
+
   /** Per-conversation signature of the first `k` turns (role:text joined
     * on an RS control char, md5'd). Agent transcripts that branch from a
     * shared setup collide here; conversations shorter than k sign what

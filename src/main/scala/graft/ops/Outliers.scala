@@ -102,9 +102,27 @@ object Outliers {
     * one count aggregate. A billion-value continuous double column is
     * the WRONG input here; bucket it first (histogram/lengthBuckets) or
     * use t-digest quantiles.
+    *
+    * The contract is ENFORCED, not assumed: the distinct-value frame is
+    * persisted and counted before the window runs, and a domain wider
+    * than `maxDomain` fails fast with the remediation in the message —
+    * a measured abort up front instead of one window task OOMing an
+    * executor (and a broadcast blowing the driver) later. The count is
+    * over the already-aggregated domain frame, so the guard costs one
+    * small job, not a second corpus scan.
     */
-  def rankPpmByValue(df: DataFrame, valueCol: String): DataFrame = {
+  def rankPpmByValue(
+      df: DataFrame, valueCol: String, maxDomain: Long = 1000000L)
+      : DataFrame = {
+    require(maxDomain >= 1, "maxDomain >= 1")
     val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDistinct = counts.count()
+    require(nDistinct <= maxDomain,
+      s"rankPpmByValue: $valueCol has $nDistinct distinct values " +
+        s"(maxDomain=$maxDomain) — an unbounded/continuous score breaks " +
+        "the single-task cumulative window; bucket it first " +
+        "(histogram/lengthBuckets) or use t-digest quantiles")
     val w = Window.orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val total = df.agg(count(lit(1)).as("__t"))

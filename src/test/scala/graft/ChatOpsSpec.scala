@@ -36,6 +36,25 @@ class ChatOpsSpec extends AnyFunSuite {
     assert(out(2)._4 === 2L, "10-char render estimates floor(10/4) tokens")
   }
 
+  test("convSizeAudit measures a planted mega-conversation up front: " +
+    "oversized convs and their turn mass are counted in one row") {
+    val mega = (0 until 500).map(i =>
+      (99L, ts(1), 1000L + i, "user", s"turn $i"))
+    val df = (turns ++ mega).toDF("conv", "ts", "eid", "role", "txt")
+    val Seq((nc, mx, nOver, nTurns)) =
+      ChatOps.convSizeAudit(df, "conv", maxTurns = 100L)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(nc === 4L, "three normal convs + the mega one")
+    assert(mx === 500L)
+    assert(nOver === 1L && nTurns === 500L,
+      "exactly the mega-conversation is flagged with its turn count")
+    // clean input: zero oversized
+    val Seq((_, mx2, z1, z2)) =
+      ChatOps.convSizeAudit(turns.toDF("conv", "ts", "eid", "role", "txt"),
+        "conv", maxTurns = 100L).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(mx2 === 3L && z1 === 0L && z2 === 0L)
+  }
+
   test("render order is deterministic under repartitioning even with " +
     "tied timestamps (tie column breaks them)") {
     val tied = Seq(

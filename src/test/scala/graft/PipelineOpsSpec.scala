@@ -140,4 +140,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("id", "pct_le_ppm").as[(Long, Long)].collect().toMap
     assert(r1 === r)
   }
+
+  test("rankPpmByValue enforces the bounded-domain contract: a domain " +
+    "wider than maxDomain aborts up front with the remediation, instead " +
+    "of OOMing the single-task window later") {
+    val wide = spark.range(500).select(col("id"), (col("id") * 7).as("score"))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Outliers.rankPpmByValue(wide, "score", maxDomain = 100)
+    }
+    assert(e.getMessage.contains("500 distinct values") &&
+      e.getMessage.contains("t-digest"), e.getMessage)
+    // at-the-bound passes (the guard is ≤, not <)
+    val ok = graft.ops.Outliers.rankPpmByValue(wide, "score", maxDomain = 500)
+    assert(ok.count() === 500)
+  }
 }

@@ -302,6 +302,19 @@ class PlanSpec extends AnyFunSuite {
       s"a range-partitioned global sort defeats the top-k heap:\n$p")
   }
 
+  test("convSizeAudit: turn text never enters the exchange — only " +
+    "(conv, count) rows shuffle, so auditing a mega-conversation corpus " +
+    "is itself cheap") {
+    import spark.implicits._
+    val df = (0 until 30)
+      .map(i => (i.toLong % 3, s"a long turn payload body number $i"))
+      .toDF("conv", "txt")
+    val p = plan(graft.ops.ChatOps.convSizeAudit(df, "conv"))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("txt#")), s"text shuffled in:\n$p")
+  }
+
   test("splitLeakage shuffles only narrow gram-hash rows: document text " +
     "never reaches an exchange") {
     import spark.implicits._
