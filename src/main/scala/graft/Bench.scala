@@ -154,6 +154,30 @@ object Bench {
     // the extras must never cost the round its headline JSON: any failure
     // here degrades to an empty section, not a crashed bench
     val extraJson: String = if (skipExtras) "" else try {
+    // ---- streaming throughput FIRST among the extras (the r4 verdict's
+    // JVM-position item): the stateful numbers swung 327k-1.0M turns/s
+    // across r4 captures because they ran after the skew/funnel blocks'
+    // multi-GB allocations; here they run in the freshest post-query JVM
+    // state, TWICE each, and both runs are reported so the band is
+    // visible in the capture itself ----
+    def runStream(build: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Dataset[_]): Double = {
+      val ck = Files.createTempDirectory("graft_bench_ck").toString
+      val src = spark.readStream.schema(turns.schema).parquet(tPath)
+      val t0 = System.nanoTime()
+      val q = build(src).writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val streamViolRuns = (1 to 2).map(_ =>
+      runStream(df => StreamValidator.violations(df)))
+    val streamOrderRuns = (1 to 2).map(_ =>
+      runStream(df => StreamValidator.statefulTsOrder(df)))
+    val streamViolSec = streamViolRuns.min
+    val streamOrderSec = streamOrderRuns.min
+
     // hot conversation (window + dedup key) AND hot stratum (sampling key),
     // plus a deterministic per-row uid for the stratified sort order.
     // 1/3 of all turns land on the hot key (~4.4M at the default size): a
@@ -203,23 +227,6 @@ object Bench {
         .stratifiedSampleSalted(skewTurns, "stratum", "uid", 1000, 32)
         .count())
 
-    // ---- streaming throughput: the stateless violation stream and the
-    // stateful cross-batch ts-order check, driven by Trigger.AvailableNow
-    // over the SAME materialized bench table (batch-comparable turns/sec) ----
-    def runStream(build: org.apache.spark.sql.DataFrame =>
-        org.apache.spark.sql.Dataset[_]): Double = {
-      val ck = Files.createTempDirectory("graft_bench_ck").toString
-      val src = spark.readStream.schema(turns.schema).parquet(tPath)
-      val t0 = System.nanoTime()
-      val q = build(src).writeStream.format("noop")
-        .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      (System.nanoTime() - t0) / 1e9
-    }
-    val streamViolSec = runStream(df => StreamValidator.violations(df))
-    val streamOrderSec = runStream(df => StreamValidator.statefulTsOrder(df))
-
     // ---- corpus-funnel persist A/B (same JVM, interleaved, best of 2):
     // persistIntermediates=false replays the round-2 recompute-per-consumer
     // plan; true is the shipped path. Same config as the t17 entry. ----
@@ -251,8 +258,10 @@ object Bench {
     val corpusModeSec = (System.nanoTime() - c0) / 1e9
     val skewJson =
       f"""{"hot_conv_turns":$hotTurns,"window_plain_sec":$wPlainSec%.3f,"window_plain_max_task_ms":$wPlainMax,"window_seg_sec":$wSegSec%.3f,"window_seg_max_task_ms":$wSegMax,"dedup_naive_sec":$dNaiveSec%.3f,"dedup_naive_max_task_ms":$dNaiveMax,"dedup_salted_sec":$dSaltSec%.3f,"dedup_salted_max_task_ms":$dSaltMax,"strat_plain_sec":$ssPlainSec%.3f,"strat_plain_max_task_ms":$ssPlainMax,"strat_salted_sec":$ssSaltSec%.3f,"strat_salted_max_task_ms":$ssSaltMax}"""
+    val svr = streamViolRuns.map(r => f"$r%.3f").mkString("[", ",", "]")
+    val sor = streamOrderRuns.map(r => f"$r%.3f").mkString("[", ",", "]")
     val streamJson =
-      f"""{"viol_sec":$streamViolSec%.3f,"viol_turns_per_sec":${nTurns / streamViolSec}%.0f,"order_sec":$streamOrderSec%.3f,"order_turns_per_sec":${nTurns / streamOrderSec}%.0f}"""
+      f"""{"jvm_position":"first extra, post-query","viol_sec":$streamViolSec%.3f,"viol_runs_sec":$svr,"viol_turns_per_sec":${nTurns / streamViolSec}%.0f,"order_sec":$streamOrderSec%.3f,"order_runs_sec":$sor,"order_turns_per_sec":${nTurns / streamOrderSec}%.0f}"""
     val funnelJson =
       f"""{"no_persist_sec":$funnelNoPersistSec%.3f,"persist_sec":$funnelPersistSec%.3f,"corpus_mode_sec":$corpusModeSec%.3f}"""
     s""""skew":$skewJson,"stream":$streamJson,"funnel_ab":$funnelJson,"""
