@@ -2317,28 +2317,36 @@ object SparkEntry {
          |FROM documents GROUP BY lang""".stripMargin,
     "q134_learned_bpe_budget" -> {
       // independent replay of the learned-merge rewrite: symbols are
-      // chr(1)-terminated runs; each merge (a,b) is one replace() of
-      // 'a<sep>b<sep>' with 'ab<sep>' — string replace scans left-to-right
+      // chr(1)-WRAPPED runs (separator on BOTH sides — a trailing-only
+      // separator lets 'e<sep>r<sep>' falsely match the suffix of symbol
+      // 'the'); each merge (a,b) is one replace() of '<s>a<s><s>b<s>'
+      // with '<s>ab<s>' — string replace scans left-to-right
       // non-overlapping, exactly the BPE rule
       def q(s: String) = "'" + s.replace("'", "''") + "'"
       // (?s): '.' must match newlines too — whitespace pre-tokens carry \n
       val chain = bpeOracleMerges.foldLeft(
-        "regexp_replace(t, '(?s)(.)', '\\1' || chr(1), 'g')") {
+        "regexp_replace(t, '(?s)(.)', chr(1) || '\\1' || chr(1), 'g')") {
         case (acc, (a, b)) =>
-          s"replace($acc, ${q(a)} || chr(1) || ${q(b)} || chr(1), ${q(a + b)} || chr(1))"
+          s"replace($acc, chr(1) || ${q(a)} || chr(1) || chr(1) || ${q(b)} || chr(1), chr(1) || ${q(a + b)} || chr(1))"
       }
       s"""WITH enc AS (
          | SELECT lang, coalesce(list_aggregate(list_transform(
          |   regexp_extract_all(COALESCE(text, ''), '${graft.ops.TextOps.bpeTokenRe}'),
          |   t -> $chain), 'string_agg', ''), '') AS seq
-         | FROM documents)
+         | FROM documents),
+         |col AS (
+         | SELECT lang, seq,
+         |  CASE WHEN seq = '' THEN ''
+         |   ELSE substr(replace(seq, chr(1) || chr(1), chr(1)), 2,
+         |     length(replace(seq, chr(1) || chr(1), chr(1))) - 2) END AS body
+         | FROM enc)
          |SELECT lang,
-         | CAST(sum(length(seq) - length(replace(seq, chr(1), ''))) AS BIGINT)
-         |   AS total_learned_tokens,
-         | CAST(sum(length(array_to_string(string_split(seq, chr(1))[1:16], '')))
+         | CAST(sum((length(seq) - length(replace(seq, chr(1), ''))) // 2)
+         |   AS BIGINT) AS total_learned_tokens,
+         | CAST(sum(length(array_to_string(string_split(body, chr(1))[1:16], '')))
          |   AS BIGINT) AS trunc16_chars,
          | count(*) AS n_docs
-         |FROM enc GROUP BY lang""".stripMargin
+         |FROM col GROUP BY lang""".stripMargin
     },
     "q23_embedding_integrity" ->
       """SELECT count(*) AS n_vecs,

@@ -153,30 +153,64 @@ object TextOps {
   def truncateToTokens(c: Column, maxTokens: Int): Column =
     array_join(slice(bpeTokens(c), 1, maxTokens), "")
 
-  /** LEARNED-merge token stream: pre-tokenize with [[bpeTokenRe]], then
-    * split each pre-token to characters and apply the learned merge list
-    * in order (the [[graft.ops.Bpe]] rewrite rule, left-to-right
-    * non-overlapping) — closing the reference `reduce_input_size`
-    * tokenizer-parity gap: the budget now counts REAL BPE symbols from a
-    * learned table ([[graft.ops.Bpe.learnMerges]] /
-    * [[graft.ops.Bpe.learnMergesBatched]]), not just pre-token runs.
-    * Merges only concatenate adjacent characters, so joining the symbols
-    * still reconstructs the input byte-for-byte (lossless, spec-asserted).
-    * Expression depth grows with the merge count — sized for modest merge
-    * lists (budgets, audits); a production encoder compiles the table
-    * into one custom Expression.
+  /** Symbol terminator / pre-token boundary markers for the learned-merge
+    * rewrite below. In-band by necessity; both are C0 controls the
+    * pipeline's canonicalize stage strips anyway, and the functions strip
+    * them defensively first so boundaries stay unambiguous on raw input.
     */
-  def bpeTokensLearned(c: Column, merges: Seq[(String, String)]): Column =
-    flatten(transform(bpeTokens(c), w => {
-      val chars = transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
-      merges.foldLeft(chars) { case (acc, (a, b)) =>
-        aggregate(acc, array().cast("array<string>"), (s, x) =>
-          when(size(s) === 0, array(x))
-            .when(element_at(s, -1) === a && x === b,
-              concat(slice(s, lit(1), size(s) - 1), array(lit(a + b))))
-            .otherwise(concat(s, array(x))))
-      }
-    }))
+  private val SEP = "\u0001" // terminates every symbol
+  private val BND = "\u0002" // separates pre-tokens (merges never cross it)
+
+  /** LEARNED-merge token stream: pre-tokenize with [[bpeTokenRe]], then
+    * apply the learned merge list in order within each pre-token (the
+    * [[graft.ops.Bpe]] rewrite rule, left-to-right non-overlapping) —
+    * closing the reference `reduce_input_size` tokenizer-parity gap: the
+    * budget now counts REAL BPE symbols from a learned table
+    * ([[graft.ops.Bpe.learnMerges]] / [[graft.ops.Bpe.learnMergesBatched]]),
+    * not just pre-token runs. Merges only concatenate adjacent characters,
+    * so joining the symbols reconstructs the (control-stripped) input
+    * byte-for-byte (lossless, spec-asserted).
+    *
+    * Shape: the symbol sequence is ONE string with every symbol WRAPPED
+    * in separators ("␁t␁␁h␁␁e␁", pre-tokens fenced by ␂ so merges cannot
+    * cross them) and each merge (a,b) is a single `replace` of "␁a␁␁b␁"
+    * with "␁ab␁" — string replace scans left-to-right non-overlapping,
+    * which IS the BPE rule. The wrap must cover BOTH sides: a
+    * trailing-only separator lets "e␁r␁" falsely match the SUFFIX of
+    * symbol "the" (caught by the scalar-replica spec), and a
+    * leading-only one the symmetric prefix case; double-sided anchors
+    * make a pattern match exactly a whole-symbol pair. Everything is
+    * codegen'd string ops (one regexp per row, then a replace chain);
+    * the first cut used a per-pre-token interpreted `aggregate` fold and
+    * cost 4.6× this form warm on the q134 probe (10.8 → 2.3 s at sf0.1 —
+    * the interpreted-HOF lesson, again). Expression depth grows with the merge count — sized for
+    * modest merge lists (budgets, audits); a production encoder compiles
+    * the table into one custom Expression.
+    */
+  def bpeTokensLearned(c: Column, merges: Seq[(String, String)]): Column = {
+    val s = bpeSymbolStream(c, merges)
+    // symbols are non-empty, so inter-symbol "␁␁" collapses to "␁"
+    // unambiguously; strip the outer wrap and split
+    val collapsed = replace(s, lit(SEP + SEP), lit(SEP))
+    val inner = collapsed.substr(lit(2), greatest(length(collapsed) - 2, lit(0)))
+    when(length(collapsed) === 0, array().cast("array<string>"))
+      .otherwise(split(inner, SEP, -1))
+  }
+
+  /** The merged ␁-wrapped-symbol string over ␂-fenced pre-tokens, fences
+    * removed after the merge chain runs.
+    */
+  private def bpeSymbolStream(
+      c: Column, merges: Seq[(String, String)]): Column = {
+    val clean = translate(coalesce(c, lit("")), SEP + BND, "")
+    val joined = array_join(
+      regexp_extract_all(clean, lit(bpeTokenRe), lit(0)), BND)
+    val chars = regexp_replace(joined, "(?s)(.)", SEP + "$1" + SEP)
+    val merged = merges.foldLeft(chars) { case (acc, (a, b)) =>
+      replace(acc, lit(SEP + a + SEP + SEP + b + SEP), lit(SEP + a + b + SEP))
+    }
+    replace(merged, lit(SEP + BND + SEP), lit(""))
+  }
 
   /** Learned-merge token count — bounded between [[bpeTokenCount]]'s
     * pre-token run count (every pre-token yields ≥ 1 symbol) and the
@@ -184,8 +218,14 @@ object TextOps {
     * toward the run count as the merge table grows — the real-tokenizer
     * behavior the run-count stand-in approximates from below.
     */
-  def bpeTokenCountLearned(c: Column, merges: Seq[(String, String)]): Column =
-    size(bpeTokensLearned(c, merges))
+  def bpeTokenCountLearned(c: Column, merges: Seq[(String, String)]): Column = {
+    // every symbol carries exactly two ␁ (fences already removed) —
+    // count symbols as #␁ / 2, no split allocation
+    val seq = bpeSymbolStream(c, merges)
+    call_function("div",
+      (length(seq) - length(translate(seq, SEP, ""))).cast("long"), lit(2L))
+      .cast("int")
+  }
 
   /** Learned-merge token-budget truncation: keep the first `maxTokens`
     * LEARNED symbols — still an exact character prefix of the input.
