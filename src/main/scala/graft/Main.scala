@@ -28,7 +28,10 @@ import graft.engine.{Runner, Validator}
   * corpus split-partitioned under `--out` plus a per-stage funnel report;
   * sft mode runs [[graft.ops.ChatOps.sftCorpus]] over a transcript table
   * (conv_id, turn_idx, role, text, ts) and writes JSONL-ready messages
-  * rows under `--out`.
+  * rows under `--out`, gated by a conversation-size audit
+  * ([[graft.ops.ChatOps.convSizeAudit]]): conversations over `--max-turns`
+  * (default 100000) are counted, reported, and excluded up front instead
+  * of OOMing the per-conversation assembly tasks.
   */
 object Main {
 
@@ -41,7 +44,8 @@ object Main {
       out: String = "",
       runId: String = "run",
       mode: String = "audit",
-      resume: Boolean = true)
+      resume: Boolean = true,
+      maxTurns: Long = 100000L)
 
   private def parse(args: List[String], o: Opts = Opts()): Opts = args match {
     case "--input" :: v :: rest         => parse(rest, o.copy(input = v))
@@ -53,6 +57,7 @@ object Main {
     case "--run-id" :: v :: rest        => parse(rest, o.copy(runId = v))
     case "--mode" :: v :: rest          => parse(rest, o.copy(mode = v))
     case "--no-resume" :: rest          => parse(rest, o.copy(resume = false))
+    case "--max-turns" :: v :: rest     => parse(rest, o.copy(maxTurns = v.toLong))
     case Nil                            => o
     case other :: _ =>
       throw new IllegalArgumentException(s"unknown argument: $other")
@@ -120,15 +125,38 @@ object Main {
         // transcript → SFT export: boilerplate-turn dedup, shared-prefix
         // collapse, JSONL messages rendering — one text file row per
         // surviving conversation (the downstream trainer's input format)
+        import org.apache.spark.sql.functions.{col, count, lit}
         val turns = spark.read.parquet(o.input)
+        // group-size gate BEFORE the whole-conversation assembly: the
+        // render ops materialize one conversation per task, so an
+        // adversarial mega-conversation must be counted and excluded up
+        // front (ChatOps.convSizeAudit), not discovered as an executor
+        // OOM mid-assembly; --max-turns sets the bound (default 100k)
+        val Seq((nConvsIn, maxSeen, nOver, turnsOver)) = graft.ops.ChatOps
+          .convSizeAudit(turns, "conv_id", o.maxTurns)
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        val kept =
+          if (nOver == 0) turns
+          else {
+            System.err.println(s"CONV AUDIT: dropping $nOver oversized " +
+              s"conversations ($turnsOver turns > ${o.maxTurns}/conv; " +
+              s"max seen $maxSeen)")
+            val over = turns.groupBy(col("conv_id"))
+              .agg(count(lit(1)).as("__n"))
+              .filter(col("__n") > o.maxTurns).select("conv_id")
+            turns.join(over, Seq("conv_id"), "left_anti")
+          }
         val out = graft.ops.ChatOps.sftCorpus(
-            turns, "conv_id", "ts", "turn_idx", "role", "text")
+            kept, "conv_id", "ts", "turn_idx", "role", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         out.select("messages_json")
           .write.mode("overwrite").text(s"${o.out}/sft")
         val n = out.count() // served from the persisted frame
         out.unpersist()
-        println(s"""{"status":"done","mode":"sft","conversations":$n}""")
+        println(s"""{"status":"done","mode":"sft","conversations":$n,""" +
+          s""""convs_in":$nConvsIn,"max_turns_seen":$maxSeen,""" +
+          s""""oversized_convs_dropped":$nOver}""")
         return // finally handles spark.stop()
       }
       val turns = spark.read.parquet(o.input)

@@ -154,6 +154,31 @@ class RunnerSpec extends AnyFunSuite {
       .count() === n)
   }
 
+  test("spark-submit Main: sft mode's conversation-size gate drops a " +
+    "planted mega-conversation up front (counted in the audit) while the " +
+    "normal conversations still render") {
+    val in = java.nio.file.Files.createTempDirectory("graft_sft_in2").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sft_out2").toString
+    val base = graft.sources.TranscriptGen
+      .transcripts(spark, graft.sources.TranscriptGen.Config(nConvs = 20L))
+    // mega-conversation: 300 turns on one conv key
+    val mega = spark.range(300).select(
+      lit("MEGA").as("conv_id"), col("id").cast("int").as("turn_idx"),
+      lit("user").as("role"), concat(lit("turn "), col("id")).as("text"),
+      lit("search").as("tool"),
+      (lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).cast("long") +
+        col("id")).cast("timestamp").as("ts"),
+      lit(0).as("part_id"))
+    base.unionByName(mega, allowMissingColumns = true)
+      .write.mode("overwrite").parquet(s"$in/turns")
+    Main.main(Array("--input", s"$in/turns", "--mode", "sft", "--out", out,
+      "--max-turns", "100"))
+    val lines = spark.read.text(s"$out/sft").collect().map(_.getString(0))
+    assert(lines.nonEmpty, "normal conversations still render")
+    assert(!lines.exists(_.contains("turn 299")),
+      "the mega-conversation must be excluded from the corpus")
+  }
+
   test("spark-submit Main: --tool-args and --temporal opt-in sinks carry " +
     "the deep-check violations alongside the default audit outputs") {
     val in = java.nio.file.Files.createTempDirectory("graft_deep_in").toString
