@@ -21,14 +21,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * struct shape of the sibling decoders so the four paths are drop-in
   * interchangeable downstream.
   *
-  * Supported envelope (the baseline that covers the overwhelming majority
-  * of web JPEGs): sequential DCT, huffman coded (SOF0; SOF1's 8-bit case
-  * decodes identically and is accepted), 8-bit precision, 1 component
-  * (grayscale) or 3 components (YCbCr) with sampling factors in {1, 2} —
-  * i.e. 4:4:4, 4:2:2, 4:4:0 and 4:2:0 — single interleaved scan, optional
-  * restart intervals. Progressive (SOF2), arithmetic coding, 12-bit,
-  * hierarchical, CMYK and multi-scan files decode to null — honest nulls,
-  * never throws: corrupt bytes are data, not errors, at 100 TB.
+  * Supported envelope (covering the overwhelming majority of web JPEGs):
+  * huffman-coded DCT, 8-bit precision, 1 component (grayscale) or 3
+  * components (YCbCr) with sampling factors in {1, 2} — i.e. 4:4:4,
+  * 4:2:2, 4:4:0 and 4:2:0 — optional restart intervals, in BOTH coding
+  * orders: sequential (SOF0; SOF1's 8-bit case decodes identically) as a
+  * single interleaved scan with streaming per-MCU IDCT, and progressive
+  * (SOF2) as multi-scan spectral selection + successive approximation
+  * accumulated into per-component coefficient buffers (DC first/refine,
+  * AC first with EOB runs, AC refinement with inline correction bits —
+  * see [[JpegDecode.progressiveScan]]). Arithmetic coding, 12-bit,
+  * hierarchical and CMYK files decode to null — honest nulls, never
+  * throws: corrupt bytes are data, not errors, at 100 TB.
   *
   * Catalyst surface: a custom codegen `Expression` (same pattern as
   * [[PngPixelStats]]) — the generated code is one static call, so the
@@ -195,6 +199,12 @@ object JpegDecode {
     var plane: Array[Byte] = _ // planeW × planeH samples
     var planeW: Int = 0
     var pred: Int = 0 // DC predictor
+    // progressive state: the QUANTIZED coefficient buffer being
+    // accumulated across scans (padded block grid, natural order per
+    // block), plus the padded and non-interleaved block-grid dims
+    var coefs: Array[Int] = _
+    var bw = 0; var bh = 0   // padded (MCU-aligned) block grid
+    var nbw = 0; var nbh = 0 // non-interleaved (ceil) block grid
   }
 
   private def decode(
@@ -209,10 +219,46 @@ object JpegDecode {
     var w = 0; var h = 0
     var restartInterval = 0
     var scanStart = -1
+    var progressive = false
+    var eoi = false
+    var nScans = 0
+    var entropyAfter = -1
+    var hMax = 1; var vMax = 1
+    var mcusX = 0; var mcusY = 0
 
-    // ---- marker walk up to SOS ----
+    // progressive: finalize MCU geometry and allocate the per-component
+    // quantized-coefficient buffers at the first SOS (all SOF data final)
+    def ensureGeometry(): Boolean = {
+      if (mcusX > 0) return true
+      var ci = 0
+      while (ci < comps.length) {
+        if (comps(ci).h > hMax) hMax = comps(ci).h
+        if (comps(ci).v > vMax) vMax = comps(ci).v
+        ci += 1
+      }
+      mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+      mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+      ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        c.bw = mcusX * c.h; c.bh = mcusY * c.v
+        c.nbw = ((w * c.h + hMax - 1) / hMax + 7) / 8
+        c.nbh = ((h * c.v + vMax - 1) / vMax + 7) / 8
+        if (progressive) {
+          // 64 ints per block = one int per padded pixel — same budget
+          // shape as the sample planes
+          if (c.bw.toLong * c.bh * 64 > 4L * maxPixels + 4096) return false
+          c.coefs = new Array[Int](c.bw * c.bh * 64)
+        }
+        ci += 1
+      }
+      true
+    }
+
+    // ---- marker walk (sequential: up to SOS; progressive: scans are
+    // decoded inline as their SOS arrives, walk ends at EOI) ----
     var pos = 2
-    while (scanStart < 0) {
+    while (scanStart < 0 && !eoi) {
       if (pos + 2 > bytes.length) return null
       if (u8(bytes(pos)) != 0xff) return null
       var m = u8(bytes(pos + 1)); pos += 2
@@ -222,6 +268,11 @@ object JpegDecode {
       }
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
         // standalone marker, no segment — nothing to do
+      } else if (m == 0xd9) {
+        // EOI: terminates a progressive stream; a sequential one stops at
+        // SOS and never walks this far
+        if (!progressive || comps == null) return null
+        eoi = true
       } else {
         if (pos + 2 > bytes.length) return null
         val len = (u8(bytes(pos)) << 8) | u8(bytes(pos + 1))
@@ -261,8 +312,9 @@ object JpegDecode {
               if (tc == 0) dcH(th) = huff else acH(th) = huff
               p += 17 + total
             }
-          case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 sequential, SOF2 progressive
             if (comps != null) return null // one frame only
+            progressive = m == 0xc2
             if (u8(bytes(seg)) != 8) return null // 8-bit precision only
             h = (u8(bytes(seg + 1)) << 8) | u8(bytes(seg + 2))
             w = (u8(bytes(seg + 3)) << 8) | u8(bytes(seg + 4))
@@ -280,44 +332,61 @@ object JpegDecode {
               comps(i) = new Comp(u8(bytes(b)), ch, cv, u8(bytes(b + 2)))
               i += 1
             }
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
               0xcd | 0xce | 0xcf =>
-            return null // progressive / lossless / arithmetic: out of envelope
+            return null // lossless / arithmetic / hierarchical: out of envelope
           case 0xdd => // DRI: payload is the 2-byte interval
             if (segLen < 2) return null
             restartInterval = (u8(bytes(seg)) << 8) | u8(bytes(seg + 1))
           case 0xda => // SOS
             if (comps == null) return null
             val ns = u8(bytes(seg))
-            if (ns != comps.length) return null // single interleaved scan only
+            if (ns < 1 || ns > comps.length) return null
+            val scanComps = new Array[Comp](ns)
             var i = 0
             while (i < ns) {
               val cid = u8(bytes(seg + 1 + 2 * i))
               val tt = u8(bytes(seg + 2 + 2 * i))
-              var found = false
+              var found: Comp = null
               var j = 0
               while (j < comps.length) {
-                if (comps(j).id == cid) {
-                  comps(j).dcTab = dcH(tt >> 4)
-                  comps(j).acTab = acH(tt & 0x0f)
-                  if (comps(j).dcTab == null || comps(j).acTab == null) return null
-                  found = true
-                }
+                if (comps(j).id == cid) found = comps(j)
                 j += 1
               }
-              if (!found) return null
+              if (found == null) return null
+              found.dcTab = dcH(tt >> 4)
+              found.acTab = acH(tt & 0x0f)
+              scanComps(i) = found
               i += 1
             }
-            // Ss=0, Se=63, AhAl=0 for sequential
-            if (u8(bytes(seg + 1 + 2 * ns)) != 0 ||
-              u8(bytes(seg + 2 + 2 * ns)) != 63 ||
-              u8(bytes(seg + 3 + 2 * ns)) != 0) return null
-            scanStart = pos + len
+            val sSs = u8(bytes(seg + 1 + 2 * ns))
+            val sSe = u8(bytes(seg + 2 + 2 * ns))
+            val sAa = u8(bytes(seg + 3 + 2 * ns))
+            if (!progressive) {
+              // one interleaved scan: Ss=0, Se=63, AhAl=0, all components,
+              // both tables present
+              if (ns != comps.length) return null
+              if (sSs != 0 || sSe != 63 || sAa != 0) return null
+              i = 0
+              while (i < ns) {
+                if (scanComps(i).dcTab == null || scanComps(i).acTab == null)
+                  return null
+                i += 1
+              }
+              scanStart = pos + len
+            } else {
+              if (!ensureGeometry()) return null
+              nScans += 1
+              entropyAfter = progressiveScan(bytes, pos + len, scanComps,
+                sSs, sSe, sAa >> 4, sAa & 0x0f, restartInterval, mcusX, mcusY)
+            }
           case _ => // APPn / COM / anything else: skip
         }
-        if (scanStart < 0) pos += len
+        if (entropyAfter >= 0) { pos = entropyAfter; entropyAfter = -1 }
+        else if (scanStart < 0) pos += len
       }
     }
+    if (progressive && nScans == 0) return null
 
     // every component needs its quant table
     var ci = 0
@@ -327,15 +396,7 @@ object JpegDecode {
     }
 
     // ---- MCU geometry + planes ----
-    var hMax = 1; var vMax = 1
-    ci = 0
-    while (ci < comps.length) {
-      if (comps(ci).h > hMax) hMax = comps(ci).h
-      if (comps(ci).v > vMax) vMax = comps(ci).v
-      ci += 1
-    }
-    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
-    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    if (!ensureGeometry()) return null
     ci = 0
     while (ci < comps.length) {
       val c = comps(ci)
@@ -348,10 +409,32 @@ object JpegDecode {
       ci += 1
     }
 
-    // ---- entropy decode: interleaved MCUs ----
-    val br = new BitReader(bytes, scanStart)
     val coef = new Array[Int](64)    // dequantized, natural order
     val tmp = new Array[Double](64)  // IDCT row-pass scratch
+    if (progressive) {
+      // ---- progressive: scans already accumulated the quantized
+      // coefficients; dequantize and IDCT every padded block ----
+      ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val q = qt(c.tq)
+        var by = 0
+        while (by < c.bh) {
+          var bx = 0
+          while (bx < c.bw) {
+            val base = (by * c.bw + bx) * 64
+            var k = 0
+            while (k < 64) { coef(k) = c.coefs(base + k) * q(k); k += 1 }
+            idctBlock(coef, tmp, c, bx, by)
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+    } else {
+    // ---- entropy decode: interleaved MCUs ----
+    val br = new BitReader(bytes, scanStart)
     var rstCount = 0
     var rstN = 0
     var my = 0
@@ -405,6 +488,7 @@ object JpegDecode {
       }
       my += 1
     }
+    }
 
     // ---- upsample + color convert + accumulate ----
     var sr = 0L; var sg = 0L; var sb = 0L
@@ -445,6 +529,206 @@ object JpegDecode {
       round4(sr / nd), round4(sg / nd), round4(sb / nd),
       new GenericArrayData(hr), new GenericArrayData(hg),
       new GenericArrayData(hb)))
+  }
+
+  /** Decode ONE progressive scan (T.81 G.1.2: spectral selection +
+    * successive approximation) into the components' quantized-coefficient
+    * buffers, and return the byte position of the marker that follows the
+    * scan's entropy data. Throws on corrupt data (the caller nulls).
+    *
+    *  - DC first (Ss=0, Ah=0): huffman diff coding, value stored << Al.
+    *  - DC refinement (Ah>0): one raw bit per block, OR'd at bit Al
+    *    (two's-complement OR reconstructs negatives correctly).
+    *  - AC first (Ss≥1, Ah=0): baseline run-length coding over the band
+    *    plus EOBn run codes (run = (1<<r)+bits blocks whose band is done).
+    *  - AC refinement (Ah>0): the intricate one — newly-significant
+    *    coefficients arrive as ±1<<Al with a sign bit; every
+    *    previously-nonzero coefficient crossed on the way contributes one
+    *    inline correction bit; EOB runs still carry correction bits for
+    *    the remaining nonzero history of each block in the run.
+    *
+    * DC scans traverse the interleaved MCU grid (or the component's own
+    * ceil-block grid when single-component); AC scans are
+    * non-interleaved by spec — exactly one component, its own grid.
+    */
+  private def progressiveScan(
+      bytes: Array[Byte], start: Int, scanComps: Array[Comp],
+      ss: Int, se: Int, ah: Int, al: Int, ri: Int,
+      mcusX: Int, mcusY: Int): Int = {
+    if (ss < 0 || se > 63 || ss > se || al > 13 || ah > 14)
+      throw new IllegalStateException("bad scan band")
+    val br = new BitReader(bytes, start)
+    var eobrun = 0
+    var rstN = 0
+    var sinceRst = 0
+    var i = 0
+    while (i < scanComps.length) { scanComps(i).pred = 0; i += 1 }
+
+    def maybeRestart(): Unit =
+      if (ri > 0 && sinceRst == ri) {
+        br.restart(rstN)
+        rstN = (rstN + 1) & 7
+        sinceRst = 0
+        eobrun = 0
+        var j = 0
+        while (j < scanComps.length) { scanComps(j).pred = 0; j += 1 }
+      }
+
+    def dcBlock(c: Comp, base: Int): Unit =
+      if (ah == 0) {
+        if (c.dcTab == null) throw new IllegalStateException("no DC table")
+        val s = br.decode(c.dcTab)
+        if (s > 11) throw new IllegalStateException("bad DC cat")
+        c.pred += extend(br.receive(s), s)
+        c.coefs(base) = c.pred << al
+      } else {
+        if (br.bit() == 1) c.coefs(base) |= 1 << al
+      }
+
+    def acFirst(c: Comp, base: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      var done = false
+      while (k <= se && !done) {
+        val rs = br.decode(c.acTab)
+        val r = rs >> 4; val sz = rs & 0x0f
+        if (sz == 0) {
+          if (r == 15) k += 16
+          else {
+            // EOBn: run covers (1<<r)+bits blocks INCLUDING this one
+            eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+            done = true
+          }
+        } else {
+          k += r
+          if (k > se) throw new IllegalStateException("AC overrun")
+          c.coefs(base + ZIGZAG(k)) = extend(br.receive(sz), sz) << al
+          k += 1
+        }
+      }
+    }
+
+    def acRefine(c: Comp, base: Int): Unit = {
+      val p1 = 1 << al
+      def correct(idx: Int): Unit =
+        if (br.bit() == 1 && (c.coefs(idx) & p1) == 0)
+          c.coefs(idx) += (if (c.coefs(idx) >= 0) p1 else -p1)
+      var k = ss
+      if (eobrun == 0) {
+        var done = false
+        while (k <= se && !done) {
+          val rs = br.decode(c.acTab)
+          var r = rs >> 4; val sz = rs & 0x0f
+          var newVal = 0
+          if (sz == 0) {
+            if (r != 15) {
+              // refinement EOBn counts (1<<r)+bits blocks including this
+              // one; this block's remaining history is refined below
+              eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+              done = true
+            } // r == 15: ZRL — skip 16 zero-history slots below
+          } else {
+            if (sz != 1) throw new IllegalStateException("bad refine size")
+            newVal = if (br.bit() == 1) p1 else -p1
+          }
+          if (!done) {
+            // advance over the band: nonzero-history coefficients crossed
+            // contribute inline correction bits; r counts zero-history
+            // slots to skip; the new coefficient lands on the (r+1)-th
+            var placed = false
+            while (k <= se && !placed) {
+              val idx = base + ZIGZAG(k)
+              if (c.coefs(idx) != 0) correct(idx)
+              else if (r == 0) {
+                if (newVal != 0) c.coefs(idx) = newVal
+                placed = true
+              } else r -= 1
+              k += 1
+            }
+            if (!placed && newVal != 0)
+              throw new IllegalStateException("refine overrun")
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // EOB run: the rest of this block's nonzero history still refines
+        while (k <= se) {
+          val idx = base + ZIGZAG(k)
+          if (c.coefs(idx) != 0) correct(idx)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    if (ss == 0) {
+      if (se != 0) throw new IllegalStateException("DC scan must have Se=0")
+      if (scanComps.length == 1) {
+        val c = scanComps(0)
+        var by = 0
+        while (by < c.nbh) {
+          var bx = 0
+          while (bx < c.nbw) {
+            maybeRestart()
+            dcBlock(c, (by * c.bw + bx) * 64)
+            sinceRst += 1
+            bx += 1
+          }
+          by += 1
+        }
+      } else {
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            maybeRestart()
+            var j = 0
+            while (j < scanComps.length) {
+              val c = scanComps(j)
+              var by = 0
+              while (by < c.v) {
+                var bx = 0
+                while (bx < c.h) {
+                  dcBlock(c, ((my * c.v + by) * c.bw + (mx * c.h + bx)) * 64)
+                  bx += 1
+                }
+                by += 1
+              }
+              j += 1
+            }
+            sinceRst += 1
+            mx += 1
+          }
+          my += 1
+        }
+      }
+    } else {
+      if (scanComps.length != 1)
+        throw new IllegalStateException("AC scan must be single-component")
+      val c = scanComps(0)
+      if (c.acTab == null) throw new IllegalStateException("no AC table")
+      var by = 0
+      while (by < c.nbh) {
+        var bx = 0
+        while (bx < c.nbw) {
+          maybeRestart()
+          val base = (by * c.bw + bx) * 64
+          if (ah == 0) acFirst(c, base) else acRefine(c, base)
+          sinceRst += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+
+    // byte-align and skip pad bytes / stray RSTn up to the next marker
+    var p = br.pos
+    while (p + 1 < bytes.length &&
+      !(u8(bytes(p)) == 0xff && u8(bytes(p + 1)) != 0x00 &&
+        !(u8(bytes(p + 1)) >= 0xd0 && u8(bytes(p + 1)) <= 0xd7))) p += 1
+    if (p + 1 >= bytes.length)
+      throw new IllegalStateException("no marker after scan")
+    p
   }
 
   /** Separable 2-D IDCT of one dequantized block straight into the

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * stats are order-invariant) AND for baseline sequential huffman JPEG
   * (full marker-walk → entropy decode → IDCT → YCbCr, pure JVM —
   * [[graft.functions.JpegDecode]]) — all codegen'd custom Expressions.
-  * Only out-of-envelope payloads (progressive/arithmetic JPEG, compressed
+  * Only out-of-envelope payloads (arithmetic-coded/12-bit JPEG, compressed
   * audio samples) have no real decode: this container has no codec
   * libraries, so those rows surface NULL features (or, on explicit
   * opt-in, the clearly-marked `fakeDecodeFeatures` stub; swap in a real
@@ -165,12 +165,14 @@ object Multimodal {
     *    gray/gray+alpha/RGB/RGBA PNG via the JDK Inflater.
     *  - [[graft.functions.GifPixelStats]]: GIF87a/89a first frame via
     *    pure-JVM LZW; interlace is free since the stats are order-invariant.
-    *  - [[graft.functions.JpegPixelStats]]: baseline sequential huffman
-    *    JPEG (SOF0/SOF1 8-bit, grayscale + YCbCr at 4:4:4/4:2:2/4:4:0/
-    *    4:2:0, restart intervals) — full entropy decode + IDCT, pure JVM.
+    *  - [[graft.functions.JpegPixelStats]]: huffman-coded JPEG — both
+    *    sequential baseline (SOF0/SOF1 8-bit) AND progressive (SOF2,
+    *    spectral selection + successive approximation), grayscale + YCbCr
+    *    at 4:4:4/4:2:2/4:4:0/4:2:0, restart intervals — full entropy
+    *    decode + IDCT, pure JVM.
     *
     * PGM and grayscale PNG/JPEG report their gray channel on all three.
-    * Progressive/arithmetic JPEG, truncated, top-down BMP, or
+    * Arithmetic-coded/12-bit JPEG, truncated, top-down BMP, or
     * over-`maxPixels` payloads come back null — this decode is sized for
     * thumbnails; a production cluster swaps in mapInPandas + a codec for
     * big frames, leaving every schema and join downstream unchanged.
@@ -279,7 +281,7 @@ object Multimodal {
     * when decodable: channel means and histogram fractions, zero-padded to
     * `dim`), `embedding_real` and `frames`.
     *
-    * Undecodable payloads (progressive JPEG, truncated blobs, text) get a NULL
+    * Undecodable payloads (arithmetic-coded JPEG, truncated blobs, text) get a NULL
     * embedding by default — a synthetic vector silently clustering with
     * real ones downstream is worse than a missing one, and the
     * [[Similarity]] entry points refuse unflagged rows anyway. Plumbing

@@ -14,9 +14,14 @@ import graft.ops.{JpegPlant, Multimodal}
   *    run-length AC with ZRL, byte stuffing) + an independent reference
   *    decode (dequant → IDCT → nearest-neighbor upsample → JFIF YCbCr)
   *    whose stats must match the engine bit-for-bit;
-  *  - honest nulls for everything out of envelope: progressive, 12-bit,
-  *    arithmetic coding, truncated entropy data, corrupt huffman, huge
-  *    dims, garbage.
+  *  - a progressive (SOF2) encoder covering spectral selection,
+  *    successive approximation (DC + AC refinement with inline correction
+  *    bits and EOB runs) and DC restart intervals, verified bit-exact
+  *    against the baseline decode of the same quantized blocks
+  *    (progressive coding is coefficient-lossless by construction);
+  *  - honest nulls for everything out of envelope: malformed progressive
+  *    (sequential band in an SOF2 stream), 12-bit, arithmetic coding,
+  *    truncated entropy data, corrupt huffman, huge dims, garbage.
   */
 class JpegSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -318,13 +323,282 @@ class JpegSpec extends AnyFunSuite {
     assert(r.getSeq[Long](5) === ehr)
   }
 
+  // ---------------- progressive encoder (SOF2) ----------------
+
+  /** Progressive encoder over the same quantized blocks: scan script =
+    * (component indices, Ss, Se, Ah, Al) per scan. Mirrors T.81 G.1.2 /
+    * the libjpeg encoder: DC point transform is an ARITHMETIC shift, AC a
+    * magnitude shift; AC-first scans fold empty bands into EOB runs; AC
+    * refinement emits newly-significant coefficients as (run, 1) + sign
+    * with inline correction bits for crossed history, and EOB runs carry
+    * the folded blocks' correction bits after the EOBn code.
+    */
+  /** Progressive AC huffman table: the Annex K symbols PLUS the EOBn run
+    * codes 0x10..0xE0 (which only exist in progressive streams), all at a
+    * flat 8-bit length — 176 codes ≤ 256, Kraft-valid, no all-ones code.
+    */
+  private val pAcVals: Array[Byte] =
+    kAcVals ++ (1 to 14).map(r => (r << 4).toByte)
+  private val pAcBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, pAcVals.length, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  private def encodeProgressive(w: Int, h: Int, samp: Seq[(Int, Int)],
+      blocks: Seq[Map[(Int, Int), Array[Int]]], q: Array[Int],
+      scans: Seq[(Seq[Int], Int, Int, Int, Int)],
+      dcDri: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, p: Array[Int]): Unit = {
+      marker(m); u16(p.length + 2); p.foreach(out.write)
+    }
+    marker(0xd8)
+    segment(0xdb, Array(0x00) ++ ZZ.map(q))
+    segment(0xc2, // SOF2
+      Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, samp.size) ++
+        samp.indices.flatMap(i => Seq(i + 1, (samp(i)._1 << 4) | samp(i)._2, 0)))
+    segment(0xc4,
+      Array(0x00) ++ kDcBits ++ kDcVals.map(_ & 0xff) ++
+        Array(0x10) ++ pAcBits ++ pAcVals.map(_ & 0xff))
+    val dcC = canon(kDcBits); val acC = canon(pAcBits)
+    val acIdx = pAcVals.zipWithIndex.map { case (v, i) => (v & 0xff) -> i }.toMap
+    val hMax = samp.map(_._1).max; val vMax = samp.map(_._2).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    def nbw(c: Int) = ((w * samp(c)._1 + hMax - 1) / hMax + 7) / 8
+    def nbh(c: Int) = ((h * samp(c)._2 + vMax - 1) / vMax + 7) / 8
+    def blk(c: Int, bx: Int, by: Int): Array[Int] =
+      blocks(c).getOrElse((bx, by), new Array[Int](64))
+
+    var driCurrent = -1 // track so DRI is (re)emitted when it changes
+    for ((compIdx, ss, se, ah, al) <- scans) {
+      val wantDri = if (ss == 0) dcDri else 0
+      if (wantDri != math.max(driCurrent, 0)) {
+        segment(0xdd, Array((wantDri >> 8) & 0xff, wantDri & 0xff))
+        driCurrent = wantDri
+      }
+      segment(0xda,
+        Array(compIdx.size) ++ compIdx.flatMap(i => Seq(i + 1, 0x00)) ++
+          Array(ss, se, (ah << 4) | al))
+      val bw = new BitW
+      var rstN = 0
+      var sinceRst = 0
+      var eobrun = 0
+      val pendingBr = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def emitEobrun(): Unit = if (eobrun > 0) {
+        var r = 0
+        while ((1 << (r + 1)) <= eobrun && r < 14) r += 1
+        val (code, len) = acC(acIdx(r << 4))
+        bw.put(code, len)
+        if (r > 0) bw.put(eobrun - (1 << r), r)
+        pendingBr.foreach(b => bw.put(b, 1))
+        pendingBr.clear()
+        eobrun = 0
+      }
+      val preds = Array.fill(compIdx.size)(0)
+      def maybeRestart(): Unit = if (wantDri > 0 && sinceRst == wantDri) {
+        emitEobrun()
+        bw.align(); bw.out.write(0xff); bw.out.write(0xd0 + rstN)
+        rstN = (rstN + 1) & 7; sinceRst = 0
+        preds.indices.foreach(preds(_) = 0)
+      }
+
+      def dcBlock(ci: Int, c: Int, bx: Int, by: Int): Unit = {
+        val v = blk(c, bx, by)(0) >> al // ARITHMETIC point transform
+        if (ah == 0) {
+          val diff = v - preds(ci); preds(ci) = v
+          val s = cat(diff)
+          val (code, len) = dcC(s); bw.put(code, len)
+          if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+        } else bw.put(v & 1, 1)
+      }
+      def acFirstBlock(c: Int, bx: Int, by: Int): Unit = {
+        val b = blk(c, bx, by)
+        val vs = (ss to se).map { k =>
+          val v = b(ZZ(k)); val t = math.abs(v) >> al
+          if (v < 0) -t else t
+        }
+        if (vs.forall(_ == 0)) { eobrun += 1; if (eobrun == 0x7fff) emitEobrun() }
+        else {
+          emitEobrun()
+          var r = 0
+          var lastNz = -1
+          vs.indices.foreach(i => if (vs(i) != 0) lastNz = i)
+          for (i <- vs.indices.take(lastNz + 1)) {
+            val v = vs(i)
+            if (v == 0) r += 1
+            else {
+              while (r > 15) {
+                val (z, zl) = acC(acIdx(0xf0)); bw.put(z, zl); r -= 16
+              }
+              val s = cat(v)
+              val (code, len) = acC(acIdx((r << 4) | s)); bw.put(code, len)
+              bw.put(if (v >= 0) v else v + (1 << s) - 1, s)
+              r = 0
+            }
+          }
+          if (lastNz < vs.length - 1) { eobrun += 1 } // trailing zeros -> EOB
+        }
+      }
+      def acRefineBlock(c: Int, bx: Int, by: Int): Unit = {
+        val b = blk(c, bx, by)
+        val abs = (ss to se).map(k => math.abs(b(ZZ(k))) >> al)
+        var eobIdx = -1
+        abs.indices.foreach(i => if (abs(i) == 1) eobIdx = i)
+        var r = 0
+        val localBr = scala.collection.mutable.ArrayBuffer.empty[Int]
+        for (i <- abs.indices) {
+          val t = abs(i)
+          if (t == 0) r += 1
+          else {
+            // the ZRL flush runs at EVERY nonzero (history included) so
+            // crossed-history correction bits land after the right ZRL —
+            // mirroring the decoder's inline reads; runs with no newly-
+            // significant coefficient left (i > eobIdx) fold into EOB
+            while (r > 15 && i <= eobIdx) {
+              emitEobrun()
+              val (z, zl) = acC(acIdx(0xf0)); bw.put(z, zl); r -= 16
+              localBr.foreach(bb => bw.put(bb, 1)); localBr.clear()
+            }
+            if (t > 1) localBr += (t & 1) // history: correction bit
+            else {
+              emitEobrun()
+              val (code, len) = acC(acIdx((r << 4) | 1)); bw.put(code, len)
+              bw.put(if (b(ZZ(ss + i)) < 0) 0 else 1, 1) // sign
+              localBr.foreach(bb => bw.put(bb, 1)); localBr.clear()
+              r = 0
+            }
+          }
+        }
+        if (r > 0 || localBr.nonEmpty) {
+          eobrun += 1
+          pendingBr ++= localBr
+          if (eobrun == 0x7fff) emitEobrun()
+        }
+      }
+
+      if (ss == 0) {
+        if (compIdx.size == 1) {
+          val c = compIdx.head
+          for (by <- 0 until nbh(c); bx <- 0 until nbw(c)) {
+            maybeRestart(); dcBlock(0, c, bx, by); sinceRst += 1
+          }
+        } else {
+          for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+            maybeRestart()
+            for (ci <- compIdx.indices; c = compIdx(ci);
+                 by <- 0 until samp(c)._2; bx <- 0 until samp(c)._1)
+              dcBlock(ci, c, mx * samp(c)._1 + bx, my * samp(c)._2 + by)
+            sinceRst += 1
+          }
+        }
+      } else {
+        val c = compIdx.head
+        for (by <- 0 until nbh(c); bx <- 0 until nbw(c)) {
+          if (ah == 0) acFirstBlock(c, bx, by) else acRefineBlock(c, bx, by)
+        }
+        emitEobrun()
+      }
+      if (ss == 0) () // DC scans have no eobrun
+      bw.align()
+      out.write(bw.out.toByteArray)
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  test("progressive spectral selection: multi-scan gray and 4:2:0 color " +
+    "decode to EXACTLY the baseline stats of the same quantized blocks " +
+    "(progressive coding is coefficient-lossless)") {
+    val q = Array.tabulate(64)(i => 1 + (i % 7))
+    // gray 24x16 gradient, three spectral bands
+    val w = 24; val h = 16
+    val plane = Array.tabulate(h, w)((y, x) => (x * 11 + y * 23 + x * y) % 256)
+    val blocks = Seq(fdctBlocks(plane, q))
+    val prog = encodeProgressive(w, h, Seq((1, 1)), blocks, q, Seq(
+      (Seq(0), 0, 0, 0, 0), (Seq(0), 1, 5, 0, 0), (Seq(0), 6, 63, 0, 0)))
+    val r = decodeStats(prog)
+    val (er, eg, eb, ehr) = refStats(w, h, Seq((1, 1)), blocks, q)
+    assert(r.getString(0) === "jpeg", "progressive gray must decode")
+    assert(r.getDouble(2) === er && r.getDouble(3) === eg &&
+      r.getDouble(4) === eb)
+    assert(r.getSeq[Long](5) === ehr)
+    // 4:2:0 color 20x12, interleaved DC + per-component AC bands
+    val q2 = Array.tabulate(64)(i => 2 + (i % 5))
+    val cw = 20; val ch = 12
+    val mX = (cw + 15) / 16; val mY = (ch + 15) / 16
+    val yP = Array.tabulate(mY * 16, mX * 16)((y, x) => (x * 7 + y * 13) % 256)
+    val cbP = Array.tabulate(mY * 8, mX * 8)((y, x) => (128 + x * 5 - y * 3) % 256)
+    val crP = Array.tabulate(mY * 8, mX * 8)((y, x) => (100 + x * 2 + y * 9) % 256)
+    val samp = Seq((2, 2), (1, 1), (1, 1))
+    val cBlocks = Seq(fdctBlocks(yP, q2), fdctBlocks(cbP, q2), fdctBlocks(crP, q2))
+    val cProg = encodeProgressive(cw, ch, samp, cBlocks, q2, Seq(
+      (Seq(0, 1, 2), 0, 0, 0, 0),
+      (Seq(0), 1, 5, 0, 0), (Seq(0), 6, 63, 0, 0),
+      (Seq(1), 1, 63, 0, 0), (Seq(2), 1, 63, 0, 0)))
+    val cr = decodeStats(cProg)
+    val (cer, ceg, ceb, cehr) = refStats(cw, ch, samp, cBlocks, q2)
+    assert(cr.getString(0) === "jpeg", "progressive 4:2:0 must decode")
+    assert(cr.getDouble(2) === cer && cr.getDouble(3) === ceg &&
+      cr.getDouble(4) === ceb)
+    assert(cr.getSeq[Long](5) === cehr)
+  }
+
+  test("progressive successive approximation: DC and AC refinement scans " +
+    "(Al=2 -> 1 -> 0) reconstruct the exact coefficients — gray and color, " +
+    "plus a DC restart-interval variant") {
+    val q = Array.tabulate(64)(i => 1 + (i % 4))
+    val w = 24; val h = 16
+    val plane = Array.tabulate(h, w)((y, x) => (x * 29 + y * 17 + x * y * 3) % 256)
+    val blocks = Seq(fdctBlocks(plane, q))
+    val scansSA = Seq(
+      (Seq(0), 0, 0, 0, 1), (Seq(0), 0, 0, 1, 0), // DC first + refine
+      (Seq(0), 1, 63, 0, 2),                      // AC first at Al=2
+      (Seq(0), 1, 63, 2, 1),                      // refine to Al=1
+      (Seq(0), 1, 63, 1, 0))                      // refine to Al=0
+    val prog = encodeProgressive(w, h, Seq((1, 1)), blocks, q, scansSA)
+    val r = decodeStats(prog)
+    val (er, eg, eb, ehr) = refStats(w, h, Seq((1, 1)), blocks, q)
+    assert(r.getString(0) === "jpeg", "SA gray must decode")
+    assert(r.getDouble(2) === er && r.getDouble(3) === eg &&
+      r.getDouble(4) === eb, "SA refinement must be exactly lossless")
+    assert(r.getSeq[Long](5) === ehr)
+    // color with band-split SA on Y
+    val cw = 20; val ch = 12
+    val mX = (cw + 15) / 16; val mY = (ch + 15) / 16
+    val yP = Array.tabulate(mY * 16, mX * 16)((y, x) => (x * 3 + y * 31 + x * y) % 256)
+    val cbP = Array.tabulate(mY * 8, mX * 8)((y, x) => (40 + x * 9 + y * 5) % 256)
+    val crP = Array.tabulate(mY * 8, mX * 8)((y, x) => (200 - x * 4 + y * 7) % 256)
+    val samp = Seq((2, 2), (1, 1), (1, 1))
+    val cBlocks = Seq(fdctBlocks(yP, q), fdctBlocks(cbP, q), fdctBlocks(crP, q))
+    val cProg = encodeProgressive(cw, ch, samp, cBlocks, q, Seq(
+      (Seq(0, 1, 2), 0, 0, 0, 1), (Seq(0, 1, 2), 0, 0, 1, 0),
+      (Seq(0), 1, 5, 0, 1), (Seq(0), 6, 63, 0, 1),
+      (Seq(0), 1, 5, 1, 0), (Seq(0), 6, 63, 1, 0),
+      (Seq(1), 1, 63, 0, 1), (Seq(1), 1, 63, 1, 0),
+      (Seq(2), 1, 63, 0, 0)))
+    val crr = decodeStats(cProg)
+    val (cer, ceg, ceb, cehr) = refStats(cw, ch, samp, cBlocks, q)
+    assert(crr.getString(0) === "jpeg", "SA color must decode")
+    assert(crr.getDouble(2) === cer && crr.getDouble(3) === ceg &&
+      crr.getDouble(4) === ceb)
+    assert(crr.getSeq[Long](5) === cehr)
+    // DC restart markers in the progressive DC scan (DRI reset to 0 for AC)
+    val rProg = encodeProgressive(w, h, Seq((1, 1)), blocks, q, Seq(
+      (Seq(0), 0, 0, 0, 0), (Seq(0), 1, 63, 0, 0)), dcDri = 2)
+    val rr = decodeStats(rProg)
+    assert(rr.getString(0) === "jpeg", "DC restart variant must decode")
+    assert(rr.getDouble(2) === er && rr.getSeq[Long](5) === ehr)
+  }
+
   // ---------------- honest nulls ----------------
 
   test("out-of-envelope and corrupt JPEGs decode to null, never throw") {
     val good = JpegPlant.flat(8, 8, Seq(64), Seq((1, 1)))
     def mut(f: Array[Byte] => Array[Byte]): Array[Byte] = f(good.clone())
 
-    val progressive = mut { b => // SOF0 -> SOF2
+    val badProgressive = mut { b => // SOF0 -> SOF2 but the scan stays
+      // sequential (Ss=0, Se=63) — illegal progressive band, must null
       val i = b.indexOfSlice(Array(0xff.toByte, 0xc0.toByte)); b(i + 1) = 0xc2.toByte; b
     }
     val twelveBit = mut { b => // precision byte 8 -> 12
@@ -340,7 +614,7 @@ class JpegSpec extends AnyFunSuite {
     val notJpeg = "not an image at all".getBytes
     val soiOnly = Array(0xff.toByte, 0xd8.toByte)
     val rows = Seq(
-      ("progressive", progressive), ("12bit", twelveBit),
+      ("bad_progressive", badProgressive), ("12bit", twelveBit),
       ("truncated", truncated), ("huge", hugeDims),
       ("garbage", notJpeg), ("soi_only", soiOnly), ("good", good))
       .toDF("name", "media")
@@ -348,7 +622,7 @@ class JpegSpec extends AnyFunSuite {
       .select(col("name"), col("p.format")).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(rows("good") === "jpeg", "control must decode")
-    for (k <- Seq("progressive", "12bit", "truncated", "huge", "garbage", "soi_only"))
+    for (k <- Seq("bad_progressive", "12bit", "truncated", "huge", "garbage", "soi_only"))
       assert(rows(k) === null, s"$k must null out")
   }
 
