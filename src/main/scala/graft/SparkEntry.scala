@@ -142,6 +142,61 @@ object SparkEntry {
     unhex(element_at(typedlit(jpegVariantHex),
       (pmod(docId, lit(8)) + 1).cast("int")))
 
+  /** The PROGRESSIVE (SOF2) twins of [[jpegVariantHex]] — identical
+    * analytic pixels, multi-scan coding ([[graft.ops.JpegPlant
+    * .flatProgressive]]), so q135 certifies the progressive decode path
+    * against the very same independent oracle arithmetic as q133.
+    */
+  private lazy val jpegProgVariantHex: Seq[String] = {
+    def hx(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+    val gray = Seq(88, 104, 120, 136).map(g =>
+      hx(graft.ops.JpegPlant.flatProgressive(
+        8, 8, Seq(8 * (g - 128)), Seq((1, 1)))))
+    val color = Seq((136, 80, 192), (96, 160, 96), (200, 128, 128),
+      (64, 192, 64)).map { case (y, cb, cr) =>
+      hx(graft.ops.JpegPlant.flatProgressive(16, 16,
+        Seq(8 * (y - 128), 8 * (cb - 128), 8 * (cr - 128)),
+        Seq((2, 2), (1, 1), (1, 1))))
+    }
+    gray ++ color
+  }
+
+  private def plantedJpegProg(docId: Column): Column =
+    unhex(element_at(typedlit(jpegProgVariantHex),
+      (pmod(docId, lit(8)) + 1).cast("int")))
+
+  /** Shared analytic oracle for the flat-JPEG entries (q133 sequential,
+    * q135 progressive — the planted pixels are identical by design):
+    * gray variants are the constant 128+dc/8 on all channels; color
+    * variants run the exact JFIF double arithmetic the decoder pins
+    * (floor(x+0.5), clamp).
+    */
+  private val jpegFlatOracleSql: String =
+    """WITH v(vr, y, cb, cr, npx) AS (VALUES
+      | (0,  88, NULL, NULL,  64),
+      | (1, 104, NULL, NULL,  64),
+      | (2, 120, NULL, NULL,  64),
+      | (3, 136, NULL, NULL,  64),
+      | (4, 136,   80,  192, 256),
+      | (5,  96,  160,   96, 256),
+      | (6, 200,  128,  128, 256),
+      | (7,  64,  192,   64, 256))
+      |SELECT d.doc_id,
+      | 'jpeg' AS pix_format,
+      | CAST(v.npx AS BIGINT) AS n_pixels,
+      | round(CASE WHEN v.cb IS NULL THEN CAST(v.y AS DOUBLE)
+      |  ELSE least(255.0, greatest(0.0,
+      |   floor(v.y + 1.402 * (v.cr - 128) + 0.5))) END, 4) AS mean_r,
+      | round(CASE WHEN v.cb IS NULL THEN CAST(v.y AS DOUBLE)
+      |  ELSE least(255.0, greatest(0.0,
+      |   floor(v.y - 0.344136 * (v.cb - 128)
+      |         - 0.714136 * (v.cr - 128) + 0.5))) END, 4) AS mean_g,
+      | round(CASE WHEN v.cb IS NULL THEN CAST(v.y AS DOUBLE)
+      |  ELSE least(255.0, greatest(0.0,
+      |   floor(v.y + 1.772 * (v.cb - 128) + 0.5))) END, 4) AS mean_b
+      |FROM documents d JOIN v ON d.doc_id % 8 = v.vr
+      |WHERE d.doc_id < 200""".stripMargin
+
   /** Pinned merge list for q134's learned-token-budget replay: a chained
     * English-ish table (th → the → " the") exercising multi-level merges.
     * The LEARNING of merge lists is gate-checked by BpeSpec + t22; this
@@ -1198,6 +1253,18 @@ object SparkEntry {
       t(s, dir, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"),
           graft.ops.Multimodal.pixelStats(plantedJpeg(col("doc_id"))).as("p"))
+        .select(col("doc_id"), col("p.format").as("pix_format"),
+          col("p.n_pixels").as("n_pixels"), col("p.mean_r").as("mean_r"),
+          col("p.mean_g").as("mean_g"), col("p.mean_b").as("mean_b"))
+    }),
+    "q135_jpeg_progressive" -> ((s, dir) => {
+      // PROGRESSIVE (SOF2) pixel decode, oracle-certified: the multi-scan
+      // twins of q133's planted blobs (same analytic pixels) through the
+      // coefficient-buffering scan loop — DC scan + per-component EOB-only
+      // AC scans; the oracle replays the identical independent arithmetic
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          graft.ops.Multimodal.pixelStats(plantedJpegProg(col("doc_id"))).as("p"))
         .select(col("doc_id"), col("p.format").as("pix_format"),
           col("p.n_pixels").as("n_pixels"), col("p.mean_r").as("mean_r"),
           col("p.mean_g").as("mean_g"), col("p.mean_b").as("mean_b"))
@@ -3154,34 +3221,8 @@ object SparkEntry {
         | round(CAST(6 * (doc_id * 11 % 256) + 1605 AS DOUBLE) / 16, 4) AS mean_g,
         | round(CAST(6 * (doc_id * 37 % 256) + 631 AS DOUBLE) / 16, 4) AS mean_b
         |FROM documents WHERE doc_id < 200""".stripMargin,
-    "q133_jpeg_pixel_stats" ->
-      // analytic replay of the flat-JPEG decode: gray variants are the
-      // constant 128+dc/8 on all channels; color variants run the exact
-      // JFIF double arithmetic the decoder pins (floor(x+0.5), clamp)
-      """WITH v(vr, y, cb, cr, npx) AS (VALUES
-        | (0,  88, NULL, NULL,  64),
-        | (1, 104, NULL, NULL,  64),
-        | (2, 120, NULL, NULL,  64),
-        | (3, 136, NULL, NULL,  64),
-        | (4, 136,   80,  192, 256),
-        | (5,  96,  160,   96, 256),
-        | (6, 200,  128,  128, 256),
-        | (7,  64,  192,   64, 256))
-        |SELECT d.doc_id,
-        | 'jpeg' AS pix_format,
-        | CAST(v.npx AS BIGINT) AS n_pixels,
-        | round(CASE WHEN v.cb IS NULL THEN CAST(v.y AS DOUBLE)
-        |  ELSE least(255.0, greatest(0.0,
-        |   floor(v.y + 1.402 * (v.cr - 128) + 0.5))) END, 4) AS mean_r,
-        | round(CASE WHEN v.cb IS NULL THEN CAST(v.y AS DOUBLE)
-        |  ELSE least(255.0, greatest(0.0,
-        |   floor(v.y - 0.344136 * (v.cb - 128)
-        |         - 0.714136 * (v.cr - 128) + 0.5))) END, 4) AS mean_g,
-        | round(CASE WHEN v.cb IS NULL THEN CAST(v.y AS DOUBLE)
-        |  ELSE least(255.0, greatest(0.0,
-        |   floor(v.y + 1.772 * (v.cb - 128) + 0.5))) END, 4) AS mean_b
-        |FROM documents d JOIN v ON d.doc_id % 8 = v.vr
-        |WHERE d.doc_id < 200""".stripMargin,
+    "q133_jpeg_pixel_stats" -> jpegFlatOracleSql,
+    "q135_jpeg_progressive" -> jpegFlatOracleSql,
     "q70_weighted_sample" ->
       """SELECT doc_id, w FROM (
         | SELECT doc_id, greatest(n_chars, 1) AS w,

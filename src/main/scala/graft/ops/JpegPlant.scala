@@ -141,4 +141,77 @@ object JpegPlant {
     marker(0xd9) // EOI
     out.toByteArray
   }
+
+  /** The PROGRESSIVE (SOF2) twin of [[flat]]: identical analytic pixels
+    * (every sample is exactly 128 + dc/8), coded as one interleaved DC
+    * scan followed by one AC scan per component whose every block is a
+    * lone EOB code (the band is all-zero for a flat image). Exercises the
+    * multi-scan marker walk, coefficient buffering, non-interleaved AC
+    * traversal and EOB handling with the same DuckDB-replayable truth as
+    * the sequential planter.
+    */
+  def flatProgressive(w: Int, h: Int, dcs: Seq[Int],
+      samp: Seq[(Int, Int)]): Array[Byte] = {
+    require(dcs.size == 1 || dcs.size == 3, "1 or 3 components")
+    require(samp.size == dcs.size, "one (h,v) per component")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, payload: Array[Int]): Unit = {
+      marker(m); u16(payload.length + 2); payload.foreach(out.write)
+    }
+    marker(0xd8)
+    segment(0xdb, Array(0x00) ++ Array.fill(64)(1))
+    segment(0xc2, // SOF2
+      Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, dcs.size) ++
+        dcs.indices.flatMap(i =>
+          Seq(i + 1, (samp(i)._1 << 4) | samp(i)._2, 0)))
+    segment(0xc4,
+      Array(0x00) ++ dcBits ++ dcVals.map(_ & 0xff) ++
+        Array(0x10) ++ acBits ++ acVals.map(_ & 0xff))
+    val dcCodes = canon(dcBits)
+    val acCodes = canon(acBits)
+    val hMax = samp.map(_._1).max
+    val vMax = samp.map(_._2).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+
+    // scan 1: interleaved DC, Ss=Se=0, Ah=Al=0
+    segment(0xda,
+      Array(dcs.size) ++ dcs.indices.flatMap(i => Seq(i + 1, 0x00)) ++
+        Array(0, 0, 0))
+    val bw = new BitWriter
+    val sent = Array.fill(dcs.size)(false)
+    var mcu = 0
+    while (mcu < mcusX * mcusY) {
+      for (c <- dcs.indices; _ <- 0 until samp(c)._1 * samp(c)._2) {
+        val diff = if (sent(c)) 0 else dcs(c)
+        sent(c) = true
+        val s = cat(diff)
+        val (code, len) = dcCodes(s)
+        bw.put(code, len)
+        if (s > 0)
+          bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      }
+      mcu += 1
+    }
+    bw.align()
+    out.write(bw.bytes)
+
+    // one AC scan per component: Ss=1, Se=63, all-zero band -> one EOB
+    // code per block of the component's own (non-interleaved) grid
+    for (c <- dcs.indices) {
+      segment(0xda, Array(1, c + 1, 0x00, 1, 63, 0))
+      val nbw = ((w * samp(c)._1 + hMax - 1) / hMax + 7) / 8
+      val nbh = ((h * samp(c)._2 + vMax - 1) / vMax + 7) / 8
+      val bwAc = new BitWriter
+      val (eob, eobLen) = acCodes(0)
+      var b = 0
+      while (b < nbw * nbh) { bwAc.put(eob, eobLen); b += 1 }
+      bwAc.align()
+      out.write(bwAc.bytes)
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
 }
