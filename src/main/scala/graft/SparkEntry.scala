@@ -165,6 +165,32 @@ object SparkEntry {
     unhex(element_at(typedlit(jpegProgVariantHex),
       (pmod(docId, lit(8)) + 1).cast("int")))
 
+  /** Successive-approximation DC variants for q136: ODD dc values so the
+    * refinement scan's bit is forced to 1 in every block — the decoder
+    * must reconstruct `(dc >> 1) << 1 | 1 = dc` exactly; the decoded flat
+    * sample is floor(dc/8 + 128.5), replayed from these dc literals by
+    * the oracle.
+    */
+  private val jpegSaDcs: Seq[Seq[Int]] = Seq(
+    Seq(-321), Seq(-191), Seq(65), Seq(257),                // gray
+    Seq(65, -383, 513), Seq(-255, 257, -255),               // color 4:2:0
+    Seq(577, 1, 1), Seq(-511, 513, -511))
+
+  private lazy val jpegSaVariantHex: Seq[String] = {
+    def hx(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+    jpegSaDcs.map { dcs =>
+      if (dcs.size == 1)
+        hx(graft.ops.JpegPlant.flatProgressive(8, 8, dcs, Seq((1, 1)), sa = true))
+      else
+        hx(graft.ops.JpegPlant.flatProgressive(16, 16, dcs,
+          Seq((2, 2), (1, 1), (1, 1)), sa = true))
+    }
+  }
+
+  private def plantedJpegSa(docId: Column): Column =
+    unhex(element_at(typedlit(jpegSaVariantHex),
+      (pmod(docId, lit(8)) + 1).cast("int")))
+
   /** Shared analytic oracle for the flat-JPEG entries (q133 sequential,
     * q135 progressive — the planted pixels are identical by design):
     * gray variants are the constant 128+dc/8 on all channels; color
@@ -1265,6 +1291,19 @@ object SparkEntry {
       t(s, dir, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"),
           graft.ops.Multimodal.pixelStats(plantedJpegProg(col("doc_id"))).as("p"))
+        .select(col("doc_id"), col("p.format").as("pix_format"),
+          col("p.n_pixels").as("n_pixels"), col("p.mean_r").as("mean_r"),
+          col("p.mean_g").as("mean_g"), col("p.mean_b").as("mean_b"))
+    }),
+    "q136_jpeg_sa_refine" -> ((s, dir) => {
+      // successive-approximation DC refinement, oracle-certified: odd-dc
+      // planted SOF2 blobs ([[jpegSaVariantHex]]) force every refinement
+      // bit to 1; the oracle reconstructs floor(dc/8 + 128.5) from the dc
+      // literals — if the decoder dropped or misplaced a single
+      // refinement bit every mean would shift by 0.25 in dc units
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          graft.ops.Multimodal.pixelStats(plantedJpegSa(col("doc_id"))).as("p"))
         .select(col("doc_id"), col("p.format").as("pix_format"),
           col("p.n_pixels").as("n_pixels"), col("p.mean_r").as("mean_r"),
           col("p.mean_g").as("mean_g"), col("p.mean_b").as("mean_b"))
@@ -3223,6 +3262,42 @@ object SparkEntry {
         |FROM documents WHERE doc_id < 200""".stripMargin,
     "q133_jpeg_pixel_stats" -> jpegFlatOracleSql,
     "q135_jpeg_progressive" -> jpegFlatOracleSql,
+    "q136_jpeg_sa_refine" ->
+      // reconstruct the SA-coded samples from the dc literals: sample =
+      // floor(dc/8 + 128.5) (odd dc — the refinement bit is always 1),
+      // then the same pinned JFIF conversion
+      """WITH v(vr, dy, dcb, dcr, npx) AS (VALUES
+        | (0, -321, NULL, NULL,  64),
+        | (1, -191, NULL, NULL,  64),
+        | (2,   65, NULL, NULL,  64),
+        | (3,  257, NULL, NULL,  64),
+        | (4,   65, -383,  513, 256),
+        | (5, -255,  257, -255, 256),
+        | (6,  577,    1,    1, 256),
+        | (7, -511,  513, -511, 256)),
+        |s AS (
+        | SELECT vr, npx,
+        |  floor(dy / 8.0 + 128.5) AS y,
+        |  CASE WHEN dcb IS NULL THEN NULL
+        |   ELSE floor(dcb / 8.0 + 128.5) END AS cb,
+        |  CASE WHEN dcr IS NULL THEN NULL
+        |   ELSE floor(dcr / 8.0 + 128.5) END AS cr
+        | FROM v)
+        |SELECT d.doc_id,
+        | 'jpeg' AS pix_format,
+        | CAST(s.npx AS BIGINT) AS n_pixels,
+        | round(CASE WHEN s.cb IS NULL THEN s.y
+        |  ELSE least(255.0, greatest(0.0,
+        |   floor(s.y + 1.402 * (s.cr - 128) + 0.5))) END, 4) AS mean_r,
+        | round(CASE WHEN s.cb IS NULL THEN s.y
+        |  ELSE least(255.0, greatest(0.0,
+        |   floor(s.y - 0.344136 * (s.cb - 128)
+        |         - 0.714136 * (s.cr - 128) + 0.5))) END, 4) AS mean_g,
+        | round(CASE WHEN s.cb IS NULL THEN s.y
+        |  ELSE least(255.0, greatest(0.0,
+        |   floor(s.y + 1.772 * (s.cb - 128) + 0.5))) END, 4) AS mean_b
+        |FROM documents d JOIN s ON d.doc_id % 8 = s.vr
+        |WHERE d.doc_id < 200""".stripMargin,
     "q70_weighted_sample" ->
       """SELECT doc_id, w FROM (
         | SELECT doc_id, greatest(n_chars, 1) AS w,

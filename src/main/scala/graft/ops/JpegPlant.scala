@@ -149,9 +149,17 @@ object JpegPlant {
     * multi-scan marker walk, coefficient buffering, non-interleaved AC
     * traversal and EOB handling with the same DuckDB-replayable truth as
     * the sequential planter.
+    *
+    * With `sa = true` the DC band is coded in TWO scans — first at Al=1
+    * (arithmetic point transform, values dc>>1) then a refinement scan at
+    * Ah=1/Al=0 carrying one raw bit (dc & 1) per block — so choosing ODD
+    * `dcs` forces every refinement bit to 1 and the reconstruction
+    * `(dc>>1)<<1 | 1 = dc` is analytically checkable: the decoded sample
+    * is exactly `floor(dc/8 + 128.5)` (q136's oracle replays that
+    * arithmetic from the dc literals, independent of the decoder).
     */
   def flatProgressive(w: Int, h: Int, dcs: Seq[Int],
-      samp: Seq[(Int, Int)]): Array[Byte] = {
+      samp: Seq[(Int, Int)], sa: Boolean = false): Array[Byte] = {
     require(dcs.size == 1 || dcs.size == 3, "1 or 3 components")
     require(samp.size == dcs.size, "one (h,v) per component")
     val out = new java.io.ByteArrayOutputStream()
@@ -176,16 +184,18 @@ object JpegPlant {
     val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
     val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
 
-    // scan 1: interleaved DC, Ss=Se=0, Ah=Al=0
+    // scan 1: interleaved DC first pass, Ss=Se=0, Ah=0, Al = (sa ? 1 : 0);
+    // the coded values are the point-transformed dc >> Al (ARITHMETIC)
+    val al1 = if (sa) 1 else 0
     segment(0xda,
       Array(dcs.size) ++ dcs.indices.flatMap(i => Seq(i + 1, 0x00)) ++
-        Array(0, 0, 0))
+        Array(0, 0, al1))
     val bw = new BitWriter
     val sent = Array.fill(dcs.size)(false)
     var mcu = 0
     while (mcu < mcusX * mcusY) {
       for (c <- dcs.indices; _ <- 0 until samp(c)._1 * samp(c)._2) {
-        val diff = if (sent(c)) 0 else dcs(c)
+        val diff = if (sent(c)) 0 else dcs(c) >> al1
         sent(c) = true
         val s = cat(diff)
         val (code, len) = dcCodes(s)
@@ -197,6 +207,23 @@ object JpegPlant {
     }
     bw.align()
     out.write(bw.bytes)
+
+    if (sa) {
+      // DC refinement scan (Ah=1, Al=0): one raw bit — bit 0 of the dc
+      // VALUE (not the diff) — per block, same interleaved traversal
+      segment(0xda,
+        Array(dcs.size) ++ dcs.indices.flatMap(i => Seq(i + 1, 0x00)) ++
+          Array(0, 0, (1 << 4) | 0))
+      val bwR = new BitWriter
+      var m2 = 0
+      while (m2 < mcusX * mcusY) {
+        for (c <- dcs.indices; _ <- 0 until samp(c)._1 * samp(c)._2)
+          bwR.put(dcs(c) & 1, 1)
+        m2 += 1
+      }
+      bwR.align()
+      out.write(bwR.bytes)
+    }
 
     // one AC scan per component: Ss=1, Se=63, all-zero band -> one EOB
     // code per block of the component's own (non-interleaved) grid

@@ -67,6 +67,25 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("flatProgressive: SOF2 twins of the flat planter decode to the same " +
+    "analytic constants, and the sa=true variant's odd dc forces every DC " +
+    "refinement bit (sample = floor(dc/8 + 128.5))") {
+    val plain = JpegPlant.flatProgressive(8, 8, Seq(-320), Seq((1, 1)))
+    val p = decodeStats(plain)
+    assert(p.getString(0) === "jpeg" && p.getDouble(2) === 88.0)
+    val sa = JpegPlant.flatProgressive(8, 8, Seq(-321), Seq((1, 1)), sa = true)
+    val r = decodeStats(sa)
+    assert(r.getString(0) === "jpeg", "SA variant must decode")
+    assert(r.getDouble(2) === 88.0, "floor(-321/8 + 128.5) = 88")
+    val saColor = JpegPlant.flatProgressive(16, 16, Seq(65, -383, 513),
+      Seq((2, 2), (1, 1), (1, 1)), sa = true)
+    val c = decodeStats(saColor)
+    // samples (136, 80, 192) -> the q133 variant-4 JFIF conversions
+    assert(c.getString(0) === "jpeg")
+    assert(c.getDouble(2) === 226.0 && c.getDouble(3) === 107.0 &&
+      c.getDouble(4) === 51.0, s"got ${c.getDouble(2)}/${c.getDouble(3)}/${c.getDouble(4)}")
+  }
+
   test("flat YCbCr at 4:4:4, 4:2:2, 4:2:0 and odd dims: every pixel is the " +
     "pinned JFIF conversion of the analytic (Y, Cb, Cr) constants") {
     // Y = 128+8 = 136, Cb = 128-48 = 80, Cr = 128+64 = 192
