@@ -40,6 +40,42 @@ object Probe {
       return
     }
 
+    // mode: `Probe jq <sfDir> <name...>` — like `q` but also counts driver
+    // jobs / stages / tasks per run (host-independent scheduler-overhead
+    // evidence: a lazy-checkpoint or shuffle-removal win shows up here even
+    // when the sandbox host's wall-clock is noisy).
+    if (args.headOption.contains("jq")) {
+      val sfDir = args(1)
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+      class Counter extends SparkListener {
+        val jobs = new java.util.concurrent.atomic.AtomicLong
+        val stages = new java.util.concurrent.atomic.AtomicLong
+        val tasks = new java.util.concurrent.atomic.AtomicLong
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+          stages.incrementAndGet()
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          tasks.incrementAndGet()
+      }
+      args.drop(2).foreach { name =>
+        val fn = SparkEntry.queries(name)
+        (1 to 2).foreach { rep =>
+          val c = new Counter
+          spark.sparkContext.addSparkListener(c)
+          val t0 = System.nanoTime()
+          noop(fn(spark, sfDir))
+          val sec = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300) // let the async listener bus drain
+          spark.sparkContext.removeSparkListener(c)
+          println(f"PROBE jq $name%-28s rep$rep $sec%7.2f s  " +
+            f"jobs=${c.jobs.get}%3d stages=${c.stages.get}%3d tasks=${c.tasks.get}%5d")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // mode: `Probe qtime <sfDir> <name>` — split one query's driver-side
     // phases: analysis, optimization+physical planning, execution. Used to
     // attribute the fixed ~5-14 s cost of the planted-decode entries.

@@ -73,12 +73,18 @@ object Bpe {
     require(nMerges >= 1 && nMerges <= 10000, "nMerges in [1, 10000]")
     // explicit single-char split: `split(w, "")` emits a trailing empty
     // token in some engines — substring over a sequence cannot
+    // LAZY checkpoints throughout (the Connected rule): each round's
+    // pair-count collect is the first action over the freshly rewritten
+    // vocab, so it materializes the checkpoint inside the same job — one
+    // scheduler round-trip per merge instead of two. The superseded round
+    // is unpersisted only AFTER the collect materialized its successor.
     var vocab = wordFreqs
       .select(col("freq"),
         transform(sequence(lit(1), length(col("word"))),
           i => col("word").substr(i, lit(1))).as("syms"))
       .filter(size(col("syms")) >= 1)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var i = 0
     var done = false
@@ -91,19 +97,22 @@ object Bpe {
         .filter(col("n") >= minCount)
         .orderBy(col("n").desc, col("a").asc, col("b").asc)
         .limit(1) // TakeOrderedAndProject; ONE row reaches the driver
-        .collect()
+        .collect() // materializes `vocab` (and its checkpoint)
+      prev.foreach(_.unpersist())
+      prev = None
       if (best.isEmpty) done = true
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((a, b))
         val next = vocab
           .select(col("freq"), applyMerge(col("syms"), a, b).as("syms"))
-          .localCheckpoint(true)
-        vocab.unpersist()
+          .localCheckpoint(false)
+        prev = Some(vocab)
         vocab = next
       }
     }
     vocab.unpersist()
+    prev.foreach(_.unpersist())
     merges.toSeq
   }
 
@@ -146,12 +155,14 @@ object Bpe {
       maxBatch: Int = 64): Seq[(String, String)] = {
     require(nMerges >= 1 && nMerges <= 100000, "nMerges in [1, 100000]")
     require(maxBatch >= 1 && maxBatch <= 256, "maxBatch in [1, 256]")
+    // lazy checkpoints + unpersist-after-materialize: see [[learnMerges]]
     var vocab = wordFreqs
       .select(col("freq"),
         transform(sequence(lit(1), length(col("word"))),
           i => col("word").substr(i, lit(1))).as("syms"))
       .filter(size(col("syms")) >= 1)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.size < nMerges && !done) {
@@ -165,7 +176,9 @@ object Bpe {
         .filter(col("n") >= minCount)
         .orderBy(col("n").desc, col("a").asc, col("b").asc)
         .limit(want * 4)
-        .collect()
+        .collect() // materializes `vocab` (and its checkpoint)
+      prev.foreach(_.unpersist())
+      prev = None
       val used = scala.collection.mutable.HashSet.empty[String]
       val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       var i = 0
@@ -181,12 +194,13 @@ object Bpe {
         merges ++= batch
         val next = vocab
           .select(col("freq"), applyMerges(col("syms"), batch.toSeq).as("syms"))
-          .localCheckpoint(true)
-        vocab.unpersist()
+          .localCheckpoint(false)
+        prev = Some(vocab)
         vocab = next
       }
     }
     vocab.unpersist()
+    prev.foreach(_.unpersist())
     merges.toSeq
   }
 

@@ -38,7 +38,16 @@ object Connected {
 
   /** Large-star: every node connects its strictly-larger neighbors to the
     * minimum of its neighborhood (including itself). Output keeps the
-    * a > b invariant: emitted (v, m) has v > u >= m.
+    * a > b invariant: emitted (v, m) has v > u >= m. Emits exactly ONE row
+    * per input row (the (u=b, v=a) adjacency of each edge is the only one
+    * passing v > u), so round volume never grows.
+    *
+    * The round-1 trailing `distinct()` is gone (guide §2.4): every
+    * downstream consumer — [[smallStar]]'s min-aggregate and join — is
+    * duplicate-insensitive at the SET level, the round's multiset size is
+    * invariant (see above), and the map-side partial aggregates already
+    * collapse duplicates before they reach the wire; the distinct bought
+    * one full exchange per round for nothing.
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val adj = e.select(col("a").as("u"), col("b").as("v"))
@@ -49,19 +58,31 @@ object Connected {
     adj.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("a"), col("m").as("b"))
-      .distinct()
   }
 
   /** Small-star: every node connects its smaller neighbors (and itself) to
     * the minimum of those. Input/output both hold the a > b invariant.
+    *
+    * One join, no union branch, no trailing distinct (3 exchanges fewer
+    * per round than the round-5 form, PlanSpec-pinned): the group's SELF
+    * row (a, m) is emitted by REDIRECTING the rows that attain the group
+    * minimum (b == m) — every group has at least one, duplicates collapse
+    * in the next round's aggregates / the final extraction's distinct —
+    * so the old `unionAll(mins)` branch (which re-computed the aggregate
+    * subtree) and its dedup exchange vanish. Emitted SET is identical to
+    * the textbook form: {(b, m) : b ≠ m} ∪ {(a, m)}; emitted multiset has
+    * exactly one row per input row, so round volume stays ≤ the canonical
+    * edge count forever. m < a always (m = min of b's and b < a), so the
+    * a ≠ b guard only defends degenerate inputs.
     */
   private def smallStar(e: DataFrame): DataFrame = {
     val mins = e.groupBy("a").agg(min(col("b")).as("m"))
-    val moved = e.join(mins, "a")
-      .select(col("b").as("a"), col("m").as("b"))
-      .filter(col("a") =!= col("b"))
-    val self = mins.select(col("a"), col("m").as("b"))
-    moved.unionAll(self).distinct()
+    e.join(mins, "a")
+      .select(
+        when(col("b") === col("m"), col("a")).otherwise(col("b")).as("na"),
+        col("m").as("nb"))
+      .filter(col("na") =!= col("nb"))
+      .select(col("na").as("a"), col("nb").as("b"))
   }
 
   /** Component assignment for every node that appears in `edges` (cols
@@ -73,17 +94,23 @@ object Connected {
     // localCheckpoint each round: a round is ~6 nested operators, so the
     // un-truncated logical plan doubles per iteration and Catalyst analysis
     // goes exponential by round ~4 (measured: minutes on a 500-edge input).
-    // Eager checkpoint materializes the (tiny, two-long) edge rows and
-    // resets the plan to a scan. On a cluster this would be reliable
-    // `checkpoint` for fault tolerance.
-    var e = canonical(edges).localCheckpoint(true)
+    // The checkpoint is LAZY (eager=false): the Dataset's plan is truncated
+    // to a LogicalRDD either way, and the round's fingerprint collect is the
+    // first action, so it materializes the (tiny, two-long) edge rows AND
+    // saves the checkpoint in ONE job instead of a materialize job followed
+    // by a fingerprint job — half the scheduler round-trips per iteration
+    // (measured: the per-round cost here is job overhead, not data). The
+    // previous round is unpersisted only AFTER the new round's fingerprint
+    // materialized it, so truncated lineage never needs recomputing. On a
+    // cluster this would be reliable `checkpoint` for fault tolerance.
+    var e = canonical(edges).localCheckpoint(false)
     var fp = fingerprint(e)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val nfp = fingerprint(next)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val nfp = fingerprint(next) // materializes `next` (and its checkpoint)
       e.unpersist()
       e = next
       converged = nfp == fp
@@ -97,15 +124,40 @@ object Connected {
   }
 
   /** Cheap deterministic edge-set fingerprint for the convergence test:
-    * (row count, xor of per-edge hashes). Order-independent, overflow-free
-    * under ANSI mode (a long `sum` of hashes can overflow and throw).
+    * (row count, xor of per-edge hashes). Order-independent by
+    * construction (count + xor commute), and computed as an RDD
+    * mapPartitions + driver combine of one (count, xor) pair per partition
+    * — it rides the SAME result stage that materializes the round's lazy
+    * checkpoint, so the convergence test costs ZERO extra stages (the SQL
+    * `agg` form added a partial/final aggregate pair with an exchange
+    * every round). The hash is internal round-over-round state, never
+    * exposed — any strong 64-bit mix works.
+    *
+    * The fingerprint is over the round's MULTISET (rounds no longer dedupe
+    * — see [[smallStar]]). A multiset fixpoint implies a set fixpoint
+    * (each operator emits a row iff its set-level inputs exist), and at a
+    * star forest the round maps each row to itself, so the multiset
+    * stabilizes at most one round after the set does — the convergence
+    * guarantee is unchanged.
     */
   private def fingerprint(e: DataFrame): (Long, Long) = {
-    val r = e.agg(
-      count(lit(1)).as("n"),
-      coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)).as("h"))
-      .collect()(0)
-    (r.getLong(0), r.getLong(1))
+    def mix(z0: Long): Long = { // splitmix64 finalizer
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val parts = e.queryExecution.toRdd.mapPartitions { it =>
+      var n = 0L
+      var h = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        n += 1
+        h ^= mix(mix(r.getLong(0)) ^ java.lang.Long.rotateLeft(mix(r.getLong(1)), 17))
+      }
+      Iterator.single((n, h))
+    }.collect()
+    (parts.map(_._1).sum, parts.map(_._2).foldLeft(0L)(_ ^ _))
   }
 
   /** Duplicate-group resolution: given near-dup pairs (id_a, id_b, …) and

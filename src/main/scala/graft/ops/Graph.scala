@@ -58,17 +58,26 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5): DataFrame = {
     require(iters >= 1 && iters <= 50, "iters in [1, 50]")
+    // Shared inputs are LAZY localCheckpoints: each is referenced once per
+    // round, so the truncated plan keeps Catalyst analysis linear in
+    // `iters`, and the blocks materialize inside the caller's single action
+    // on first use (then every later round reads cached blocks). No
+    // per-round driver job exists at all below the checkpoint cadence —
+    // the round-4 shape (eager checkpoint per round) paid one scheduler
+    // round-trip per iteration for data that is two longs per row.
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val outDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     var rank = nodes.select(col("node"), lit(1000000L).as("rank_ppm"))
+    var periodic: Option[DataFrame] = None
     var i = 0
     while (i < iters) {
       i += 1
@@ -79,19 +88,25 @@ object Graph {
           expr("rank_ppm div deg").as("__c"))
         .groupBy("node")
         .agg(sum("__c").as("__s"))
-      // the round-1 frame is a plain select over `nodes`, not checkpointed —
-      // only superseded checkpoints are dropped (the Bpe.learnMerges rule:
-      // unpersist AFTER the new round materializes, so at most two (node,
-      // rank) copies ever coexist instead of `iters` accumulating)
-      val prev = if (i > 1) Some(rank) else None
       rank = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + when(col("__s").isNull, lit(0L)).otherwise(
             lit(85L) * expr("__s div 100") +
               expr("(85 * (__s % 100)) div 100"))).as("rank_ppm"))
-        .localCheckpoint(true)
-      prev.foreach(_.unpersist())
+      // Plan growth is LINEAR here (each round references `rank` once), so
+      // no per-round truncation is needed; an EAGER checkpoint every 8
+      // rounds bounds both plan depth and recompute lineage for large
+      // `iters` (50 max) without paying one job per round at small `iters`.
+      // The superseded periodic checkpoint is dropped only after the new
+      // one materialized (the Connected rule: truncated lineage must never
+      // need recomputing).
+      if (i % 8 == 0 && i < iters) {
+        val ck = rank.localCheckpoint(true)
+        periodic.foreach(_.unpersist())
+        periodic = Some(ck)
+        rank = ck
+      }
     }
     rank
   }

@@ -42,13 +42,16 @@ object LangModel {
     * contribute nothing (explode of the empty array).
     */
   private[ops] def trigramStream(
-      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val t = lower(col(textCol))
     val n = length(t)
     val idx = when(n >= 3, sequence(lit(1), n - 2))
       .otherwise(array().cast("array<int>"))
-    df.select(col(idCol), t.as("__t"), explode(idx).as("__i"))
-      .select(col(idCol), col("__t").substr(col("__i"), lit(3)).as("tri"))
+    val extras = extraCols.map(col)
+    df.select(col(idCol) +: extras :+ t.as("__t") :+ explode(idx).as("__i"): _*)
+      .select(col(idCol) +: extras :+
+        col("__t").substr(col("__i"), lit(3)).as("tri"): _*)
   }
 
   /** Train the smoothed trigram model over `ref`. Returns
@@ -66,23 +69,31 @@ object LangModel {
       ref: DataFrame, idCol: String, textCol: String,
       minFrac: Double = 1e-7): (DataFrame, DataFrame, Long) = {
     require(minFrac > 0 && minFrac < 1, "minFrac in (0,1)")
+    // LAZY checkpoint: the vocab countDistinct below is the first action
+    // over the counts and materializes the checkpoint inside its own job
+    // (the Connected rule) — an eager checkpoint here paid one extra
+    // scheduler round-trip per train() call for the same single pass.
     val c3full = trigramStream(ref, idCol, textCol)
       .groupBy("tri").agg(count(lit(1)).as("c3"))
-      .localCheckpoint(true)
-    // one-row total broadcast-crossJoins onto the prune filters — the
-    // Tfidf/Boilerplate pattern, never a driver round-trip in the plan
-    val total = c3full.agg(sum("c3").as("__total"))
-    val keep = col("c3") >= ceil(lit(minFrac) * col("__total")).cast("long")
-    val model3 = c3full.crossJoin(broadcast(total))
-      .filter(keep).select(col("tri"), col("c3"))
+      .localCheckpoint(false)
+    // ONE driver action fetches vocab AND the total: the vocab countDistinct
+    // was already an unavoidable driver round-trip, so the total rides the
+    // same one-row aggregate and the prune threshold becomes a literal —
+    // the per-model crossJoin(broadcast(total)) subtrees (an extra
+    // aggregate + broadcast build each) vanish from the scoring plan.
+    // ceil(minFrac · total) is the identical IEEE double chain either way.
+    val row = c3full.agg(
+      countDistinct(substring(col("tri"), 3, 1)).as("__v"),
+      sum("c3").as("__total")).first()
+    val vocab = row.getLong(0)
+    val total = if (row.isNullAt(1)) 0L else row.getLong(1) // null on empty ref
+    val thr = math.ceil(minFrac * total.toDouble).toLong
+    val model3 = c3full.filter(col("c3") >= thr).select(col("tri"), col("c3"))
     val model2 = c3full
       .groupBy(substring(col("tri"), 1, 2).as("bg"))
       .agg(sum("c3").as("c2"))
-      .crossJoin(broadcast(total))
-      .filter(col("c2") >= ceil(lit(minFrac) * col("__total")).cast("long"))
+      .filter(col("c2") >= thr)
       .select(col("bg"), col("c2"))
-    val vocab = c3full
-      .select(countDistinct(substring(col("tri"), 3, 1))).first().getLong(0)
     (model3, model2, vocab)
   }
 
@@ -152,9 +163,50 @@ object LangModel {
   def importanceWeights(
       docs: DataFrame, idCol: String, textCol: String, targetFilter: Column,
       minFrac: Double = 1e-5): DataFrame = {
-    val (m3t, m2t, vt) = train(docs.filter(targetFilter), idCol, textCol, minFrac)
-    val (m3r, m2r, vr) = train(docs, idCol, textCol, minFrac)
+    // ONE-PASS dual train (was: two independent train() calls, which
+    // tokenized the corpus twice — the raw model's trigram stream is a
+    // superset of the target's). A single conditional aggregate counts
+    // every trigram for both models: c3r = corpus count, c3t = count
+    // within the target slice. Each model's (model3, model2, vocab)
+    // derives from these counts by exactly the train() formulas, so the
+    // pruned models — and therefore every score — are identical to the
+    // two-train form; the corpus-scale tokenize+shuffle runs once instead
+    // of twice. The checkpoint is lazy; the combined one-row totals/vocab
+    // collect below is the first action and materializes it.
+    val c3both = trigramStream(
+      docs.select(col(idCol), col(textCol), targetFilter.as("__tgt")),
+      idCol, textCol, extraCols = Seq("__tgt"))
+      .groupBy("tri")
+      .agg(count(lit(1)).as("c3r"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("c3t"))
+      .localCheckpoint(false)
+    // ONE driver action: both vocab sizes (distinct third chars with a
+    // nonzero count on that side — identical to each train()'s vocab over
+    // its own slice) AND both totals, so the prune thresholds are literals
+    // (the train() pattern — no totals-broadcast subtrees in the plan).
+    val vrow = c3both.agg(
+      countDistinct(substring(col("tri"), 3, 1)).as("vr"),
+      countDistinct(
+        when(col("c3t") > 0, substring(col("tri"), 3, 1))).as("vt"),
+      sum("c3r").as("tr"),
+      sum("c3t").as("tt")).first()
+    val vr = vrow.getLong(0)
+    val vt = vrow.getLong(1)
     require(vt > 0 && vr > 0, "empty training slice")
+    def models(cnt: String, total: Long): (DataFrame, DataFrame) = {
+      val thr = math.ceil(minFrac * total.toDouble).toLong
+      val base = c3both.filter(col(cnt) > 0)
+        .select(col("tri"), col(cnt).as("c3"))
+      val m3 = base.filter(col("c3") >= thr).select(col("tri"), col("c3"))
+      val m2 = base
+        .groupBy(substring(col("tri"), 1, 2).as("bg"))
+        .agg(sum("c3").as("c2"))
+        .filter(col("c2") >= thr)
+        .select(col("bg"), col("c2"))
+      (m3, m2)
+    }
+    val (m3t, m2t) = models("c3t", vrow.getLong(3))
+    val (m3r, m2r) = models("c3r", vrow.getLong(2))
     val tris = trigramStream(docs, idCol, textCol)
     val joined = tris
       .join(broadcast(m3t.withColumnRenamed("c3", "c3t")), Seq("tri"), "left")
@@ -175,10 +227,19 @@ object LangModel {
   }
 
   def xentBuckets(scored: DataFrame): DataFrame = {
-    val cuts = scored.agg(
+    // The scored frame feeds BOTH the percentile-cut aggregate (a broadcast
+    // subtree) and the bucketing pass: without a checkpoint the whole
+    // train+score chain executes twice inside one action (exchange reuse
+    // does not cover the differing consumers). Lazy checkpoint: the
+    // broadcast build — scheduled first, the main branch depends on it —
+    // materializes the (one narrow row per doc) frame; the bucketing pass
+    // reads the blocks. At 10¹² rows this is exactly the "score once,
+    // cut from the stored scores" shape a real CCNet pipeline runs.
+    val s = scored.localCheckpoint(false)
+    val cuts = s.agg(
       expr("percentile(xent_bits, 0.3333333333333333)").as("__c1"),
       expr("percentile(xent_bits, 0.6666666666666666)").as("__c2"))
-    scored.crossJoin(broadcast(cuts))
+    s.crossJoin(broadcast(cuts))
       .select(
         when(col("xent_bits") <= col("__c1"), "head")
           .when(col("xent_bits") <= col("__c2"), "middle")

@@ -115,8 +115,13 @@ object Outliers {
       df: DataFrame, valueCol: String, maxDomain: Long = 1000000L)
       : DataFrame = {
     require(maxDomain >= 1, "maxDomain >= 1")
+    // LAZY localCheckpoint, not persist (the r5 ADVICE leak): the guard
+    // count below materializes it in one job, the require-failure path
+    // leaves no CacheManager entry behind, and the blocks are
+    // ContextCleaner-managed once the caller drops the frame — a persist()
+    // here pinned executor storage for the JVM lifetime.
     val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val nDistinct = counts.count()
     require(nDistinct <= maxDomain,
       s"rankPpmByValue: $valueCol has $nDistinct distinct values " +
