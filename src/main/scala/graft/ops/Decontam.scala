@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilterAgg, BloomMightContainLong}
@@ -26,6 +26,22 @@ object Decontam {
     * shared grams. Documents with zero overlap are absent (a filter, not a
     * left join — at corpus scale the output is the rare side).
     */
+  /** Per-position word-`n`-gram hash structs over an ALREADY-MATERIALIZED
+    * word array, via the compiled [[graft.functions.WordGramHashes]]
+    * expression — no gram STRING is ever built and no interpreted lambda
+    * runs per position (the prior concat_ws/xxhash64-HOF form paid ~µs of
+    * interpreter walk per gram, the dominant per-row cost of this family).
+    * The match relation is identical: words contain no whitespace (split
+    * contract), so gram-string equality ⟺ word-sequence equality, and both
+    * the bench and corpus sides hash through the same expression (parity
+    * holds whenever no 64-bit collision — the same guarantee the
+    * xxhash64-of-string form gave; the oracles certify it). Docs shorter
+    * than `n` words degrade to one whole-array gram, mirroring
+    * [[Dedup.shinglesOfWords]]'s whole-string convention.
+    */
+  private def gramStructs(words: Column, n: Int): Column =
+    graft.functions.WordGramHashes.wordGramHashes(words, Seq(n))
+
   def contaminated(
       corpus: DataFrame,
       bench: DataFrame,
@@ -34,14 +50,16 @@ object Decontam {
       n: Int = 13): DataFrame = {
     val benchGrams = bench
       .select(Dedup.splitWords(col(textCol)).as("__w"))
-      .select(explode(Dedup.shinglesOfWords(col("__w"), n)).as("g"))
-      .select(xxhash64(col("g")).as("gh"))
+      .select(explode(gramStructs(col("__w"), n)).as("g"))
+      .select(col("g.h").as("gh"))
       .distinct()
+    // per-doc gram dedup rides the final count_distinct — exploding the
+    // non-distinct hash stream is byte-equivalent and skips a per-doc
+    // array_distinct pass
     corpus
       .select(col(keyCol).as("id"), Dedup.splitWords(col(textCol)).as("__w"))
-      .select(col("id"),
-        explode(Dedup.shinglesOfWords(col("__w"), n)).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("gh"))
+      .select(col("id"), explode(gramStructs(col("__w"), n)).as("g"))
+      .select(col("id"), col("g.h").as("gh"))
       .join(broadcast(benchGrams), Seq("gh"))
       .groupBy("id")
       .agg(count_distinct(col("gh")).as("n_hit_grams"))
@@ -78,21 +96,17 @@ object Decontam {
     import org.apache.spark.sql.expressions.Window
     val benchGrams = bench
       .select(Dedup.splitWords(col(textCol)).as("__w"))
-      .select(explode(Dedup.shinglesOfWords(col("__w"), n)).as("g"))
-      .select(xxhash64(col("g")).as("gh"))
+      .select(explode(gramStructs(col("__w"), n)).as("g"))
+      .select(col("g.h").as("gh"))
       .distinct()
-    // positional (non-distinct) grams: run/frac semantics need the stream
+    // positional (non-distinct) gram hashes: run/frac semantics need the
+    // stream; see [[gramStructs]] — no gram string is ever materialized
     val posGrams = corpus
       .select(col(keyCol).as("id"), Dedup.splitWords(col(textCol)).as("__w"))
-      .select(col("id"),
-        when(size(col("__w")) < n, array(concat_ws(" ", col("__w"))))
-          .otherwise(transform(
-            sequence(lit(1), size(col("__w")) - (n - 1)),
-            i => concat_ws(" ", slice(col("__w"), i, lit(n))))).as("__g"))
+      .select(col("id"), gramStructs(col("__w"), n).as("__g"))
       .select(col("id"), size(col("__g")).cast("long").as("n_grams"),
         posexplode(col("__g")).as(Seq("pos", "g")))
-      .select(col("id"), col("n_grams"), col("pos"),
-        xxhash64(col("g")).as("gh"))
+      .select(col("id"), col("n_grams"), col("pos"), col("g.h").as("gh"))
     val hits = posGrams.join(broadcast(benchGrams), Seq("gh"))
     val win = Window.partitionBy("id").orderBy("pos")
     hits
@@ -132,8 +146,8 @@ object Decontam {
       .select(col(splitCol).as("split"), col(keyCol).as("id"),
         Dedup.splitWords(col(textCol)).as("__w"))
       .select(col("split"), col("id"),
-        explode(Dedup.shinglesOfWords(col("__w"), n)).as("g"))
-      .select(col("split"), col("id"), xxhash64(col("g")).as("gh"))
+        explode(gramStructs(col("__w"), n)).as("g"))
+      .select(col("split"), col("id"), col("g.h").as("gh"))
     val trainGrams =
       grams.filter(col("split") === trainLabel).select("gh").distinct()
     grams.filter(col("split") =!= trainLabel)

@@ -437,7 +437,17 @@ object Dedup {
   def containmentPairs(
       corpus: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minContainment: Double = 0.8): DataFrame = {
-    val p = pairs.select(col("id_a"), col("id_b"))
+    // The candidate frame is consumed FOUR times below (both branches of
+    // the id union, then both sides of the text join) — and `pairs` is
+    // typically itself a multi-stage generator (winnow buckets), so without
+    // a checkpoint the whole generator pipeline executes four times inside
+    // one action (measured: 44 scheduler jobs on t23, ~20 of them repeat
+    // generator stages). Lazy localCheckpoint: the first consumer
+    // materializes the (narrow id-pair) rows, the rest read blocks. The
+    // shingle frame gets the same treatment — it feeds two join sides, and
+    // each row carries an interpreted-HOF-built gram array that must not be
+    // built twice per doc.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
     val ids = p.select(col("id_a").as("__id"))
       .unionByName(p.select(col("id_b").as("__id"))).distinct()
     val sh = corpus
@@ -445,6 +455,7 @@ object Dedup {
       .join(ids, Seq("__id"), "left_semi")
       .select(col("__id"), splitWords(col("__t")).as("__w"))
       .select(col("__id"), shinglesOfWords(col("__w"), n).as("__s"))
+      .localCheckpoint(false)
     p
       .join(sh.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
       .join(sh.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")

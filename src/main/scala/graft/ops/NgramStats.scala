@@ -53,25 +53,23 @@ object NgramStats {
     // SpanDedup.fingerprints' gram array, measured there at 50×)
     val withW = df.select(col(idCol), nch.as("__nch"),
       split(trim(t0), "\\s+").as("__w"))
-    val w = col("__w")
-    // one nested-lambda pass builds (n, gram) for every n; sequence(1,
-    // size) is always non-empty (split of "" yields [""]), the filter
-    // drops start positions whose window would run past the end
-    val grams = flatten(transform(
-      array(ns.map(n => lit(n)): _*),
-      n => transform(
-        filter(sequence(lit(1), size(w)), i => i + n - lit(1) <= size(w)),
-        i => struct(n.as("n"), concat_ws(" ", slice(w, i, n)).as("g")))))
-    // xxhash64, NOT the md5-60bit idiom: this hash is internal grouping
-    // state (never exposed, the outputs are coverage integers), so the
-    // engines need not hash identically — they only must count the same
-    // groups, and a full 64-bit xxhash collides strictly less often than
-    // a 60-bit md5 truncation.
+    // ONE compiled pass ([[graft.functions.WordGramHashes]]) emits
+    // (n, gram-hash, gram-char-length) for every requested n: word hashes
+    // and length prefix-sums compute once per document, every window is a
+    // handful of long multiplies — the previous nested interpreted lambdas
+    // (a concat_ws'd gram string per position) paid ~µs of expression-tree
+    // walk per gram and dominated the whole operator. emitShort=false:
+    // positions whose window would run past the end emit nothing (the
+    // original filter semantics — short docs rely on the zero sentinel).
+    // The hash is internal grouping state (never exposed, the outputs are
+    // coverage integers), so the engines need not hash identically — they
+    // only must count the same groups.
     val exploded = withW
-      .select(col(idCol), col("__nch"), explode(grams).as("t"))
+      .select(col(idCol), col("__nch"),
+        explode(graft.functions.WordGramHashes.wordGramHashes(
+          col("__w"), ns, emitShort = false)).as("t"))
       .select(col(idCol), col("__nch"), col("t.n").as("__n"),
-        xxhash64(col("t.g")).as("__h"),
-        length(col("t.g")).cast("long").as("__glen"))
+        col("t.h").as("__h"), col("t.glen").as("__glen"))
       // zero sentinel keeps docs alive that are too short for ANY n
       // (n=0 never matches a requested n, so it contributes no cover)
       .unionByName(df.select(col(idCol), nch.as("__nch"),
