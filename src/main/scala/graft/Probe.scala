@@ -102,6 +102,57 @@ object Probe {
       return
     }
 
+    // mode: `Probe plans <sfDir> <outDir> <name...>` — write each query's
+    // .explain("formatted") to <outDir>/<name>.txt (the r06 plan-evidence
+    // dump; EXECUTED plan after running the query so AQE's final shape —
+    // join strategies, reused exchanges — is what lands in the file).
+    if (args.headOption.contains("plans")) {
+      val sfDir = args(1)
+      val outDir = args(2)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      args.drop(3).foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        try noop(df) catch { case e: Throwable =>
+          println(s"PROBE plans $name FAILED: ${e.getMessage}") }
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$outDir/$name.txt"),
+          txt.getBytes("UTF-8"))
+        println(s"PROBE plans $name written")
+      }
+      spark.stop()
+      return
+    }
+
+    // mode: `Probe runner <tPath> <cPath>` — phase attribution for the
+    // headline validate job: pipeline compute (noop), violations write,
+    // verdicts derive+write, per sink.
+    if (args.headOption.contains("runner")) {
+      val turns = spark.read.parquet(args(1))
+      val convs = spark.read.parquet(args(2))
+      (1 to 2).foreach { rep =>
+        val outDir = java.nio.file.Files
+          .createTempDirectory(s"probe_runner$rep").toString
+        time(s"rep$rep allViolations noop")(noop(
+          Validator.allViolations(turns, Some(convs), sortOutput = false)))
+        time(s"rep$rep violations write")(
+          Validator.allViolations(turns, Some(convs), sortOutput = false)
+            .repartition(col("part_id"))
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .write.mode("overwrite").partitionBy("part_id")
+            .parquet(s"$outDir/violations"))
+        val written = spark.read.parquet(s"$outDir/violations")
+        time(s"rep$rep verdicts noop")(noop(Validator.verdicts(turns, written)))
+        time(s"rep$rep verdicts write")(
+          Validator.verdicts(turns, written).coalesce(1)
+            .write.mode("overwrite").partitionBy("part_id")
+            .parquet(s"$outDir/verdicts"))
+      }
+      spark.stop()
+      return
+    }
+
     // mode: `Probe control` — the zero-engine-code host-ceiling control the
     // BASELINE.md scaling sections cite: marginal pure-codegen work (a
     // 12e9-row aggregate minus a 3e9-row one cancels session/JIT startup),

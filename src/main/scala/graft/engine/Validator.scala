@@ -142,10 +142,19 @@ object Validator {
     // fixed-width mutable buffer, so both phases stay HashAggregate with
     // map-side partial combine (min(text) here would demote the whole hot
     // path to SortAggregate — measured finding, see PlanSpec).
+    // The salt hashes (role, ts) — row content, so deterministic under
+    // task retry — and deliberately NOT text: with text in the salt the
+    // phase-A scan had to read and hash the dominant column of the table
+    // just to pick a bucket, costing a full text pass per validate run
+    // (guide §2.3 "shuffle keys, not payloads" applied to the salt
+    // derivation). Per-key sums are salt-invariant, so the output is
+    // byte-identical; only an exact-duplicate flood (identical role+ts)
+    // concentrates on one salt, and such rows hashed identically under
+    // the old salt too.
     val salted = turns
       .groupBy(
         col("conv_id"), col("turn_idx"),
-        pmod(xxhash64(col("role"), col("text"), col("ts")), lit(saltFactor))
+        pmod(xxhash64(col("role"), col("ts")), lit(saltFactor))
           .as("salt"))
       .agg(count(lit(1)).as("c"), min("part_id").as("pid"))
     val dupKeys = salted
@@ -373,6 +382,67 @@ object Validator {
     * exchange would ship `text` (the dominant bytes) through the network
     * once per consumer; pruned scans read it exactly once, map-side.
     */
+  /** Merged tail of [[tsOrderViolations]] + [[dupViolations]] for
+    * [[allViolations]]: row-identical output (asserted in ValidatorSpec —
+    * same keys, same aggregated minima, same message bytes), but the two
+    * branches' text-attach stages share ONE (conv_id, turn_idx, text) scan,
+    * one broadcast join, and one aggregate instead of two of each — at any
+    * scale the text column dominates scan bytes, so this removes a full
+    * text pass per validate run (guide §1.2: fewer passes first). The
+    * standalone branch functions remain the single-check entry points
+    * (t04, skew bench, streaming parity).
+    */
+  private def tsDupViolations(
+      turns: DataFrame, saltFactor: Int): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val tsBad = turns
+      .select(col("conv_id"), col("turn_idx"), col("part_id"), col("ts"))
+      .select(col("conv_id"), col("turn_idx"), col("part_id"), col("ts"),
+        lag("ts", 1).over(w).as("prev_ts"))
+      .filter(col("prev_ts").isNotNull && col("prev_ts") > col("ts"))
+      .groupBy(col("conv_id"), col("turn_idx"))
+      .agg(min("part_id").as("part_id"),
+        min(struct(col("ts"), col("prev_ts"))).as("p"))
+    val pType = tsBad.schema("p").dataType
+    // narrow phase A+B (see dupViolations — the salt reads no text)
+    val salted = turns
+      .groupBy(
+        col("conv_id"), col("turn_idx"),
+        pmod(xxhash64(col("role"), col("ts")), lit(saltFactor))
+          .as("salt"))
+      .agg(count(lit(1)).as("c"), min("part_id").as("pid"))
+    val dupBad = salted
+      .groupBy(col("conv_id"), col("turn_idx"))
+      .agg(sum("c").as("n"), min("pid").as("part_id"))
+      .filter(col("n") > 1)
+    val badAll = tsBad
+      .select(col("conv_id"), col("turn_idx"), col("part_id"), col("p"),
+        lit(null).cast("long").as("n"), lit("ts").as("__tag"))
+      .unionByName(dupBad
+        .select(col("conv_id"), col("turn_idx"), col("part_id"),
+          lit(null).cast(pType).as("p"), col("n"), lit("dup").as("__tag")))
+    turns
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+      .join(badAll, Seq("conv_id", "turn_idx"))
+      .groupBy(col("conv_id"), col("turn_idx"), col("__tag"))
+      .agg(min("part_id").as("part_id"), min("p").as("p"), min("n").as("n"),
+        min("text").as("text"))
+      .select(
+        col("conv_id"), col("turn_idx"), col("part_id"),
+        when(col("__tag") === "ts", lit("TS_ORDER_ts"))
+          .otherwise(lit("DUPLICATE_KEY")).as("rule_id"),
+        when(col("__tag") === "ts", lit("ts"))
+          .otherwise(lit("conv_id,turn_idx")).as("field"),
+        when(col("__tag") === "ts",
+          format_string("Non-monotonic ts in conv %s at turn %d: %s < %s",
+            col("conv_id"), col("turn_idx"),
+            col("p.ts").cast("string"), col("p.prev_ts").cast("string")))
+          .otherwise(format_string(
+            "%d duplicate rows for key (conv_id, turn_idx)=(%s, %d)",
+            col("n"), col("conv_id"), col("turn_idx"))).as("message"),
+        col("text"))
+  }
+
   def allViolations(
       turns: DataFrame,
       conversations: Option[DataFrame] = None,
@@ -380,8 +450,7 @@ object Validator {
       saltFactor: Int = 16,
       sortOutput: Boolean = true): DataFrame = {
     val base = rowViolations(turns, checks)
-      .unionByName(tsOrderViolations(turns))
-      .unionByName(dupViolations(turns, saltFactor))
+      .unionByName(tsDupViolations(turns, saltFactor))
     val all = conversations match {
       case Some(dim) => base.unionByName(orphanViolations(turns, dim))
       case None      => base

@@ -224,4 +224,19 @@ class ValidatorSpec extends AnyFunSuite {
       (2L, 2L, "api", "web"),
       (3L, 3L, "mob", "zzz")))
   }
+
+  test("merged ts+dup tail is row-identical to the standalone branch " +
+      "functions (the shared text-attach optimization changes the plan, " +
+      "never a byte)") {
+    val merged = violations
+      .filter(col("rule_id").isin("TS_ORDER_ts", "DUPLICATE_KEY"))
+      .select("conv_id", "turn_idx", "part_id", "rule_id", "field",
+        "message", "text")
+    val branches = Validator.tsOrderViolations(turns)
+      .unionByName(Validator.dupViolations(turns))
+      .select("conv_id", "turn_idx", "part_id", "rule_id", "field",
+        "message", "text")
+    assert(merged.exceptAll(branches).isEmpty &&
+      branches.exceptAll(merged).isEmpty)
+  }
 }
