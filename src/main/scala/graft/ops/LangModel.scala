@@ -193,28 +193,30 @@ object LangModel {
     val vr = vrow.getLong(0)
     val vt = vrow.getLong(1)
     require(vt > 0 && vr > 0, "empty training slice")
-    def models(cnt: String, total: Long): (DataFrame, DataFrame) = {
-      val thr = math.ceil(minFrac * total.toDouble).toLong
-      val base = c3both.filter(col(cnt) > 0)
-        .select(col("tri"), col(cnt).as("c3"))
-      val m3 = base.filter(col("c3") >= thr).select(col("tri"), col("c3"))
-      val m2 = base
-        .groupBy(substring(col("tri"), 1, 2).as("bg"))
-        .agg(sum("c3").as("c2"))
-        .filter(col("c2") >= thr)
-        .select(col("bg"), col("c2"))
-      (m3, m2)
-    }
-    val (m3t, m2t) = models("c3t", vrow.getLong(3))
-    val (m3r, m2r) = models("c3r", vrow.getLong(2))
+    val thrT = math.ceil(minFrac * vrow.getLong(3).toDouble).toLong
+    val thrR = math.ceil(minFrac * vrow.getLong(2).toDouble).toLong
+    // MERGED per-key models: both sides' kept counts ride one (tri) frame
+    // and one (bg) frame, with a count masked to null exactly when that
+    // side's train() would have pruned the entry — so the scoring stream
+    // pays TWO broadcast-join probes per trigram instead of four, and each
+    // probed row is identical to what the per-model join produced.
+    val m3 = c3both
+      .select(col("tri"),
+        when(col("c3t") >= thrT, col("c3t")).as("c3t"),
+        when(col("c3r") >= thrR, col("c3r")).as("c3r"))
+      .filter(col("c3t").isNotNull || col("c3r").isNotNull)
+    val m2 = c3both
+      .groupBy(substring(col("tri"), 1, 2).as("bg"))
+      .agg(sum(when(col("c3t") > 0, col("c3t"))).as("s2t"),
+        sum("c3r").as("s2r"))
+      .select(col("bg").as("__bg"),
+        when(col("s2t") >= thrT, col("s2t")).as("c2t"),
+        when(col("s2r") >= thrR, col("s2r")).as("c2r"))
+      .filter(col("c2t").isNotNull || col("c2r").isNotNull)
     val tris = trigramStream(docs, idCol, textCol)
     val joined = tris
-      .join(broadcast(m3t.withColumnRenamed("c3", "c3t")), Seq("tri"), "left")
-      .join(broadcast(m2t.select(col("bg").as("__bgt"), col("c2").as("c2t"))),
-        substring(col("tri"), 1, 2) === col("__bgt"), "left")
-      .join(broadcast(m3r.withColumnRenamed("c3", "c3r")), Seq("tri"), "left")
-      .join(broadcast(m2r.select(col("bg").as("__bgr"), col("c2").as("c2r"))),
-        substring(col("tri"), 1, 2) === col("__bgr"), "left")
+      .join(broadcast(m3), Seq("tri"), "left")
+      .join(broadcast(m2), substring(col("tri"), 1, 2) === col("__bg"), "left")
     val lt = log((coalesce(col("c3t"), lit(0L)) + 1).cast("double") /
       (coalesce(col("c2t"), lit(0L)) + vt))
     val lr = log((coalesce(col("c3r"), lit(0L)) + 1).cast("double") /
