@@ -93,11 +93,17 @@ object Boilerplate {
       keyCol: String,
       n: Int,
       frequentFilter: DataFrame => DataFrame): DataFrame = {
+    // positional gram hashes via the compiled expression (the Decontam
+    // pattern): no gram string, no interpreted per-position lambda; gram
+    // equality ⟺ word-sequence equality, so per-hash counts — and thus
+    // every coverage number — are identical modulo 64-bit collisions, the
+    // same guarantee xxhash64(gram string) gave. The string faces above
+    // remain for scalar/spec use.
     val grams = corpus
       .select(col(keyCol).as("id"), Dedup.splitWords(col(textCol)).as("__w"))
-      .select(col("id"),
-        explode(gramsAllOfWords(col("__w"), n)).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("gh"))
+      .select(col("id"), explode(graft.functions.WordGramHashes
+        .wordGramHashes(col("__w"), Seq(n))).as("g"))
+      .select(col("id"), col("g.h").as("gh"))
     val frequent = frequentFilter(
       grams.groupBy("gh").agg(count(lit(1)).as("cnt")))
       .select(col("gh"), lit(1).as("hit"))

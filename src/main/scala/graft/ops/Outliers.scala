@@ -122,7 +122,15 @@ object Outliers {
     // here pinned executor storage for the JVM lifetime.
     val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
       .localCheckpoint(false)
-    val nDistinct = counts.count()
+    // ONE driver action fetches the guard cardinality AND the row total
+    // (Σ of the domain counts ≡ count(*) of the corpus): the total used to
+    // be a second full corpus scan inside a broadcast crossJoin subtree —
+    // it now reads the already-materialized domain blocks and lands as a
+    // literal in the ppm expression (identical integers, identical floor).
+    val grow = counts.agg(count(lit(1)).as("__nd"), sum("__c").as("__t"))
+      .first()
+    val nDistinct = grow.getLong(0)
+    val total = if (grow.isNullAt(1)) 0L else grow.getLong(1)
     require(nDistinct <= maxDomain,
       s"rankPpmByValue: $valueCol has $nDistinct distinct values " +
         s"(maxDomain=$maxDomain) — an unbounded/continuous score breaks " +
@@ -130,12 +138,10 @@ object Outliers {
         "(histogram/lengthBuckets) or use t-digest quantiles")
     val w = Window.orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val total = df.agg(count(lit(1)).as("__t"))
     val cum = counts
       .withColumn("__cum", sum("__c").over(w))
-      .crossJoin(broadcast(total))
       .select(col(valueCol),
-        floor(col("__cum").cast("double") * lit(1000000.0) / col("__t"))
+        floor(col("__cum").cast("double") * lit(1000000.0) / lit(total))
           .cast("long").as("pct_le_ppm"))
     df.join(broadcast(cum), Seq(valueCol))
   }

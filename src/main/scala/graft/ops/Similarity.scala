@@ -42,6 +42,20 @@ object Similarity {
     else nn
   }
 
+  /** Stats-gated broadcast for the query side of the ANN joins (the
+    * `Validator.orphanViolations` pattern, r5 verdict item): the intended
+    * shape is a small query set riding a broadcast hash join, but a caller
+    * passing a corpus-sized query frame must degrade to a plain shuffle
+    * equi-join instead of OOMing the driver building the broadcast. The
+    * optimizer's size estimate decides; under the threshold the plan is
+    * byte-identical to the unconditional broadcast.
+    */
+  private def broadcastIfSmall(
+      df: DataFrame, thresholdBytes: Long = 64L << 20): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= thresholdBytes)
+      broadcast(df)
+    else df
+
   /** Exact brute-force top-k: broadcast the (small) query set against the
     * full embedding table, rank per query. The join is broadcast-nested-loop
     * by construction (no key) — correct baseline; `annTopK` is the scale
@@ -108,7 +122,7 @@ object Similarity {
       .withColumn("bucket", explode(probes(lshBucket(col("qv"), planes))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id"))
-    e.join(broadcast(q), Seq("bucket"))
+    e.join(broadcastIfSmall(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("v"), col("qv")).as("cos"))
@@ -161,9 +175,14 @@ object Similarity {
     val raw = realOnly(embeddings)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val nrm = l2norm(col("v"))
+    // normalized members are consumed once per Lloyd round: lazy
+    // checkpoint materializes them in round 1's mean-collect and every
+    // later round reads blocks instead of re-scanning + re-normalizing
+    // the corpus (one corpus pass per extra round saved at any scale)
     val e = raw.select(col("vec_id"),
       when(nrm > 0, transform(col("v"), x => x / nrm))
         .otherwise(col("v")).as("v"))
+      .localCheckpoint(false)
     for (_ <- 0 until iters) {
       val means = e
         .withColumn("cid", ivfAssign(col("v"), cents))
@@ -238,7 +257,7 @@ object Similarity {
     val q = realOnly(queries).select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("qv"))
       .withColumn("cid", explode(probeList))
-    e.join(broadcast(q), Seq("cid"))
+    e.join(broadcastIfSmall(q), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("v"), col("qv")).as("cos"))
