@@ -90,7 +90,49 @@ object Connected {
     * reachable. Nodes with no edges are the caller's to union in (they are
     * their own component and never entered the edge list).
     */
-  def components(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+  /** Size-gated LOCAL fast path for [[components]]: a graph whose
+    * canonical edge count is at or under the threshold collects to the
+    * driver (bounded: 100k edges = 1.6 MB of longs, the same bounded-
+    * driver-action class as the k×dim centroid collects) and resolves by
+    * union-find with min-label relabeling — identical output to the
+    * distributed loop, since "component = min reachable id" is algorithm-
+    * independent. Rationale: the alternating-star loop needs O(log n)
+    * rounds REGARDLESS of size, and each round costs several scheduler
+    * barriers — on the small pair graphs real dedup stages emit (near-dup
+    * pairs are rare by construction) the loop is pure overhead, while any
+    * graph over the threshold keeps the scale path. The hybrid-cutoff
+    * pattern, applied to rounds instead of comparisons.
+    */
+  private def componentsLocal(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val aType = e.schema("a").dataType
+    val rows = e.select(col("a").cast("long"), col("b").cast("long")).collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    // iterative find + full path compression (recursion could stack-
+    // overflow on an adversarial union order at the threshold size)
+    def find(x0: Long): Long = {
+      var r = x0
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var x = x0
+      while (x != r) { val nxt = parent(x); parent(x) = r; x = nxt }
+      r
+    }
+    rows.foreach { r =>
+      val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // per-root minimum = component label (find already path-compresses to
+    // the min, because unions always point the larger root at the smaller)
+    val out = parent.keys.toSeq.map(k => (k, find(k)))
+    import spark.implicits._
+    out.toDF("id", "component")
+      .select(col("id").cast(aType).as("id"),
+        col("component").cast(aType).as("component"))
+  }
+
+  def components(
+      edges: DataFrame, maxRounds: Int = 50,
+      localThreshold: Long = 100000L): DataFrame = {
     // localCheckpoint each round: a round is ~6 nested operators, so the
     // un-truncated logical plan doubles per iteration and Catalyst analysis
     // goes exponential by round ~4 (measured: minutes on a 500-edge input).
@@ -104,7 +146,12 @@ object Connected {
     // materialized it, so truncated lineage never needs recomputing. On a
     // cluster this would be reliable `checkpoint` for fault tolerance.
     var e = canonical(edges).localCheckpoint(false)
-    var fp = fingerprint(e)
+    var fp = fingerprint(e) // materializes e; _1 is the exact edge count
+    if (fp._1 <= localThreshold) {
+      val local = componentsLocal(e)
+      e.unpersist()
+      return local
+    }
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {

@@ -78,6 +78,26 @@ class ConnectedSpec extends AnyFunSuite {
       (10L, 10L, false), (11L, 10L, true), (20L, 20L, true)))
   }
 
+  test("distributed star loop matches the local fast path (and the " +
+      "union-find oracle) on every shape — localThreshold=0 forces the " +
+      "loop, the default takes the bounded driver path") {
+    val shapes = Seq(
+      (0L until 63L).map(i => (i, i + 1)),                       // chain
+      (0 until 300).map { i =>
+        ((i * 2654435761L) % 97, (i * 40503L + 7) % 97)
+      }.filter { case (a, b) => a != b },                        // mixed
+      Seq((5L, 3L), (3L, 5L), (10L, 11L), (11L, 12L)))           // tiny
+    shapes.foreach { edges =>
+      val viaLoop = Connected
+        .components(edges.toDF("a", "b"), localThreshold = 0L)
+        .as[(Long, Long)].collect().toMap
+      val viaLocal = Connected.components(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(viaLoop === viaLocal)
+      assert(viaLoop === ufOracle(edges))
+    }
+  }
+
   test("result is invariant under input partitioning") {
     val edges = (0L until 40L).map(i => (i, (i * 7 + 3) % 40)).filter(e => e._1 != e._2)
     val df1 = edges.toDF("a", "b").repartition(1)
