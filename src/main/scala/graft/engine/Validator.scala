@@ -449,11 +449,38 @@ object Validator {
       checks: Seq[Check] = Checks.transcriptChecks,
       saltFactor: Int = 16,
       sortOutput: Boolean = true): DataFrame = {
-    val base = rowViolations(turns, checks)
+    // When the dim's key set fits the broadcast budget (the
+    // orphanViolations stats gate), the referential check rides the SAME
+    // scan as the row checks: one broadcast left-join marks dim presence
+    // and ORPHAN_CONV becomes one more compiled rule in the row-check
+    // explode — removing the orphan branch's separate full-width text scan
+    // per validate run (guide §1.2). The dim keys are deduped first so the
+    // 1:1 join can never duplicate turn rows (a left_anti is insensitive
+    // to dim duplicates; the marker join must be made so). Over-budget
+    // dims keep the standalone anti-join branch unchanged.
+    val merged = conversations.flatMap { dim =>
+      val dimKeys = dim.select("conv_id").distinct()
+      val dimSize = dimKeys.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (dimSize <= (64L << 20)) {
+        val orphanCheck: Check = new Check {
+          val ruleId = "ORPHAN_CONV"
+          val field = "conv_id"
+          def violated: Column = col("__dim").isNull
+          def message: Column =
+            format_string("Dangling conv_id reference: %s", col("conv_id"))
+        }
+        val joined = turns.join(
+          broadcast(dimKeys.withColumn("__dim", lit(1))),
+          Seq("conv_id"), "left")
+        Some(rowViolations(joined, checks :+ orphanCheck))
+      } else None
+    }
+    val base = merged.getOrElse(rowViolations(turns, checks))
       .unionByName(tsDupViolations(turns, saltFactor))
     val all = conversations match {
-      case Some(dim) => base.unionByName(orphanViolations(turns, dim))
-      case None      => base
+      case Some(dim) if merged.isEmpty =>
+        base.unionByName(orphanViolations(turns, dim))
+      case _ => base
     }
     // sortOutput=false lets a sink that repartitions by part_id apply the
     // stable ordering once, after its exchange, instead of sorting twice.
